@@ -1,0 +1,242 @@
+"""Deterministic synthetic token corpus (FIXTURES.md §1).
+
+Every token is a *closed-form integer function* of ``(doc_id, j)`` using only
+``+ * % //`` on int64 — computable bit-identically by vectorized numpy on the
+Spark side and by plain SQL on the DuckDB oracle side. That makes the full
+encode→decode round trip oracle-checkable: the driver compares aggregates of
+our *decoded* tokens against DuckDB evaluating the generator formula directly,
+so any codec bug surfaces as a value-hash mismatch.
+
+Regimes (FIXTURES.md token-distribution regimes; each makes one codec optimal,
+playing the role of the reference's per-geometry-type round-trip matrix
+/root/reference/tests/test_encoder.py:54-129 and its pathological corpus
+tests/errors.wkt):
+
+  0 constant     -> CONSTANT/RLE        4 clustered -> FOR_BITPACK
+  1 long runs    -> RLE                 5 zipf-ish  -> selector free choice
+  2 low card     -> DICT_BITPACK        6 uniform   -> RAW/BITPACK fallback
+  3 sorted ids   -> DELTA_ZZ_BITPACK    7 sawtooth  -> zigzag exercise
+  8 int32 boundaries (overrides, doc_id % 131 == 13)
+
+Edge-case lengths mixed in (analog of empty-layer / single-point tests,
+/root/reference/tests/test_encoder.py:1024-1033,
+/root/reference/mapbox_vector_tile/geom_encoder.py:105-108):
+``n_tok = 0`` when ``doc_id % 101 == 0``, ``1`` when ``doc_id % 103 == 7``,
+outlier ``8192`` when ``doc_id % 127 == 11`` (skew for the size-weighted
+partitioner).
+
+All intermediates stay below 2^63 for ``doc_id <= 10^8`` (asserted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_DOC_ID = 100_000_000
+MOD = 1_000_000_007  # checksum modulus (pmod on both sides)
+
+SOURCES = ["web", "books", "code", "wiki", "forum"]
+
+N_REGIMES = 9
+REGIME_NAMES = [
+    "constant",
+    "long_runs",
+    "low_card",
+    "sorted_ids",
+    "clustered",
+    "zipf_ish",
+    "uniform",
+    "sawtooth",
+    "boundary",
+]
+
+
+# ---------------------------------------------------------------------------
+# numpy side
+# ---------------------------------------------------------------------------
+
+def regime_of(doc_ids: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_ids, dtype=np.int64)
+    return np.where(d % 131 == 13, 8, d % 8)
+
+
+def n_tok_of(doc_ids: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_ids, dtype=np.int64)
+    n = 1 + (d * 7919) % 997
+    n = np.where(d % 127 == 11, 8192, n)
+    n = np.where(d % 103 == 7, 1, n)
+    n = np.where(d % 101 == 0, 0, n)
+    return n
+
+
+def source_of(doc_ids: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_ids, dtype=np.int64)
+    return np.array(SOURCES, dtype=object)[(d * 131071) % len(SOURCES)]
+
+
+def tokens_flat(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Generate all tokens for ``doc_ids``.
+
+    Returns ``(lengths, values)`` where ``values`` is the int32 concatenation
+    of every doc's token array in doc order. Fully vectorized.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if d.size and (int(d.max()) > MAX_DOC_ID or int(d.min()) < 0):
+        raise ValueError(f"doc_id out of [0, {MAX_DOC_ID}]")
+    lengths = n_tok_of(d)
+    regimes = regime_of(d)
+    total = int(lengths.sum())
+    if total == 0:
+        return lengths, np.zeros(0, dtype=np.int32)
+    did = np.repeat(d, lengths)
+    reg = np.repeat(regimes, lengths)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    j = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
+
+    tok = np.zeros(total, dtype=np.int64)
+    m = reg == 0
+    tok[m] = did[m] % 100
+    m = reg == 1
+    tok[m] = ((did[m] * 31 + j[m] // 17) * 2654435761) % 100
+    m = reg == 2
+    tok[m] = (did[m] * 2654435761 + j[m] * 40503) % 64
+    m = reg == 3
+    tok[m] = (did[m] % 1000) + j[m] * 8 + ((did[m] * 31 + j[m]) * 2654435761) % 8
+    m = reg == 4
+    tok[m] = 10000 + (did[m] + j[m] * 7919) % 256
+    m = reg == 5
+    h = (did[m] * 48271 + j[m] * 16807) % 2147483647
+    tok[m] = np.where(h % 4 < 3, h % 16, h % 50257)
+    m = reg == 6
+    tok[m] = ((did[m] * 48271 + j[m] * 69621) * 16807) % 2147483647
+    m = reg == 7
+    tok[m] = (j[m] % 64) * (1 - 2 * (j[m] % 2)) * 17 + did[m] % 7
+    m = reg == 8
+    bound = np.array([2147483647, -2147483648, 0, -1, 1], dtype=np.int64)
+    tok[m] = bound[j[m] % 5]
+    return lengths, tok.astype(np.int32)
+
+
+def doc_checksums(doc_ids: np.ndarray, lengths: np.ndarray, values: np.ndarray):
+    """Per-doc order-sensitive checksums of a (possibly decoded) token stream.
+
+    Returns dict of numpy arrays aligned with ``doc_ids``:
+    ``tok_cks = pmod(sum(tok))``, ``tok_wcks = pmod(sum((j+1)*tok))``,
+    ``tok_min/tok_max`` (None encoded as the sentinel float NaN is avoided —
+    callers emit NULL for empty docs).
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    v = np.asarray(values, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    j = (
+        np.arange(v.size, dtype=np.int64) - np.repeat(starts, lengths)
+        if v.size
+        else np.zeros(0, dtype=np.int64)
+    )
+    nonempty = lengths > 0
+    tok_sum = np.zeros(d.size, dtype=np.int64)
+    tok_wsum = np.zeros(d.size, dtype=np.int64)
+    if v.size:
+        ne_starts = starts[nonempty]
+        tok_sum[nonempty] = np.add.reduceat(v, ne_starts)
+        tok_wsum[nonempty] = np.add.reduceat((j + 1) * v, ne_starts)
+    tok_min = np.zeros(d.size, dtype=np.int64)
+    tok_max = np.zeros(d.size, dtype=np.int64)
+    if v.size:
+        tok_min[nonempty] = np.minimum.reduceat(v, starts[nonempty])
+        tok_max[nonempty] = np.maximum.reduceat(v, starts[nonempty])
+    return {
+        "tok_cks": tok_sum % MOD,  # numpy floor-mod == pmod for MOD > 0
+        "tok_wcks": tok_wsum % MOD,
+        "tok_min": tok_min,
+        "tok_max": tok_max,
+        "nonempty": nonempty,
+    }
+
+
+# ---------------------------------------------------------------------------
+# SQL side (DuckDB oracle) — MUST mirror the numpy formulas above exactly
+# ---------------------------------------------------------------------------
+
+_TOKEN_CASE_SQL = """
+    CASE WHEN u.j IS NULL THEN NULL ELSE CASE p.regime
+      WHEN 0 THEN p.doc_id % 100
+      WHEN 1 THEN ((p.doc_id*31 + u.j//17) * 2654435761) % 100
+      WHEN 2 THEN (p.doc_id*2654435761 + u.j*40503) % 64
+      WHEN 3 THEN (p.doc_id % 1000) + u.j*8 + ((p.doc_id*31 + u.j) * 2654435761) % 8
+      WHEN 4 THEN 10000 + (p.doc_id + u.j*7919) % 256
+      WHEN 5 THEN CASE
+          WHEN ((p.doc_id*48271 + u.j*16807) % 2147483647) % 4 < 3
+          THEN ((p.doc_id*48271 + u.j*16807) % 2147483647) % 16
+          ELSE ((p.doc_id*48271 + u.j*16807) % 2147483647) % 50257 END
+      WHEN 6 THEN ((p.doc_id*48271 + u.j*69621) * 16807) % 2147483647
+      WHEN 7 THEN (u.j % 64) * (1 - 2*(u.j % 2)) * 17 + p.doc_id % 7
+      WHEN 8 THEN CASE u.j % 5
+          WHEN 0 THEN 2147483647 WHEN 1 THEN -2147483648
+          WHEN 2 THEN 0 WHEN 3 THEN -1 ELSE 1 END
+    END END
+"""
+
+
+def params_cte_sql(doc_source: str = "documents") -> str:
+    """CTE ``p(doc_id, regime, n_tok)`` over a doc-id source relation."""
+    return f"""
+  p AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 131 = 13 THEN 8 ELSE doc_id % 8 END AS regime,
+           CASE WHEN doc_id % 101 = 0 THEN 0
+                WHEN doc_id % 103 = 7 THEN 1
+                WHEN doc_id % 127 = 11 THEN 8192
+                ELSE 1 + (doc_id * 7919) % 997 END AS n_tok
+    FROM (SELECT doc_id FROM {doc_source})
+  )"""
+
+
+def tokens_cte_sql() -> str:
+    """CTE ``t(doc_id, regime, n_tok, j, tok)``; empty docs keep one row with
+    ``tok NULL`` via LEFT JOIN LATERAL so they survive aggregation."""
+    return f"""
+  t AS (
+    SELECT p.doc_id, p.regime, p.n_tok, u.j, {_TOKEN_CASE_SQL} AS tok
+    FROM p LEFT JOIN LATERAL unnest(range(p.n_tok)) u(j) ON true
+  )"""
+
+
+def per_doc_checksum_sql(doc_source: str = "documents") -> str:
+    """Full query: per-doc checksums straight from the generator formula."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT doc_id, regime, n_tok,
+       ((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS tok_cks,
+       ((COALESCE(SUM((j + 1) * tok), 0) % {MOD}) + {MOD}) % {MOD} AS tok_wcks,
+       MIN(tok) AS tok_min,
+       MAX(tok) AS tok_max
+FROM t
+GROUP BY doc_id, regime, n_tok
+ORDER BY doc_id
+"""
+
+
+def per_regime_checksum_sql(doc_source: str = "documents") -> str:
+    """Full query: per-regime rollup of the per-doc checksums."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  per_doc AS (
+    SELECT doc_id, regime, n_tok,
+           ((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS cks,
+           ((COALESCE(SUM((j + 1) * tok), 0) % {MOD}) + {MOD}) % {MOD} AS wcks,
+           MIN(tok) AS mn, MAX(tok) AS mx
+    FROM t GROUP BY doc_id, regime, n_tok
+  )
+SELECT regime,
+       COUNT(*) AS n_docs,
+       SUM(n_tok) AS sum_n_tok,
+       SUM(cks) AS sum_tok_cks,
+       SUM(wcks) AS sum_tok_wcks,
+       MIN(mn) AS tok_min,
+       MAX(mx) AS tok_max
+FROM per_doc
+GROUP BY regime
+ORDER BY regime
+"""
