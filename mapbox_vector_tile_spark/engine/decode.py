@@ -1,0 +1,78 @@
+"""Distributed decode job: blocks DataFrame -> tokens DataFrame.
+
+Inverse of :mod:`.encode`; dispatch is driven entirely by each block's stored
+codec id (the manifest), never by assumptions about the encoder's choice —
+the engine contract analog of the reference decoder accepting foreign
+encoders (/root/reference/mapbox_vector_tile/decoder.py:68-80, SURVEY §2.8).
+Round-trip bit-identity is the core contract, the analog of
+``assertRoundTrip`` (/root/reference/tests/test_encoder.py:20-50).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec import blocks as B
+
+TOKENS_OUT_SPARK_SCHEMA = "doc_id string, tokens array<int>, n_tok int"
+
+_OUT_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+    ]
+)
+
+
+def decode_block_row(
+    payload: bytes, lengths_blob: bytes, checksum: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one blocks-table row into ``(lengths, flat_values)``."""
+    if checksum is not None and zlib.crc32(payload) != checksum:
+        raise ValueError("payload checksum mismatch (corrupt block)")
+    lengths = B.decode_block(lengths_blob).astype(np.int64)
+    values = B.decode_block(payload)
+    if values.size != int(lengths.sum()):
+        raise ValueError(
+            f"decoded value count {values.size} != sum(lengths) {int(lengths.sum())}"
+        )
+    return lengths, values
+
+
+def decode_dataframe(blocks_df, verify_checksum: bool = True):
+    """blocks DataFrame -> ``(doc_id, tokens, n_tok)`` DataFrame."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            checksums = batch.column("checksum")
+            doc_ids_col = batch.column("doc_ids")
+            for i in range(batch.num_rows):
+                lengths, values = decode_block_row(
+                    payloads[i].as_py(),
+                    lengths_blobs[i].as_py(),
+                    checksums[i].as_py() if verify_checksum else None,
+                )
+                offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+                np.cumsum(lengths, out=offsets[1:])
+                tokens = pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+                ).cast(pa.list_(pa.int32()))
+                doc_ids = doc_ids_col[i].values
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids,
+                        tokens,
+                        pa.array(lengths.astype(np.int32), pa.int32()),
+                    ],
+                    schema=_OUT_ARROW_SCHEMA,
+                )
+
+    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+    return blocks_df.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)

@@ -1,0 +1,90 @@
+"""Round-trip verification and checksum expressions (JVM-side, no Python).
+
+- :func:`verify_roundtrip` — the join-shaped work SURVEY §2.7 predicts:
+  decoded-vs-original equi-join on ``doc_id`` + exact array equality.
+- :func:`with_doc_checksums` / :func:`regime_rollup` — Catalyst expressions
+  computing the same order-sensitive checksums as
+  :func:`mapbox_vector_tile_spark.corpus.doc_checksums`, so results can be
+  compared against the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import corpus as C
+
+_MOD = C.MOD
+
+
+def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> DataFrame:
+    """One summary row: total docs, matching docs, mismatching/missing docs.
+
+    Exact ``array<int32>`` equality per ``doc_id`` (BASELINE.json per-row
+    invariant; analog of assertRoundTrip,
+    /root/reference/tests/test_encoder.py:20-50).
+    """
+    o = original.select("doc_id", F.col("tokens").alias("tokens_orig"))
+    d = decoded.select("doc_id", F.col("tokens").alias("tokens_dec"))
+    j = o.join(d, "doc_id", "full_outer")
+    match = F.col("tokens_orig").eqNullSafe(F.col("tokens_dec"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(match.cast("long")).alias("n_match"),
+        F.sum((~match).cast("long")).alias("n_mismatch"),
+    )
+
+
+def doc_num_expr(doc_id_col: str = "doc_id"):
+    """Numeric id from the ``doc-%08d`` string form."""
+    return F.substring(F.col(doc_id_col), 5, 8).cast("long")
+
+
+def regime_expr(doc_num):
+    return F.when(doc_num % 131 == 13, F.lit(8)).otherwise(doc_num % 8)
+
+
+def with_doc_checksums(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Append ``tok_cks``, ``tok_wcks``, ``tok_min``, ``tok_max`` columns —
+    pure Catalyst ``aggregate`` over the array (whole-stage-codegen path)."""
+    t = F.col(tokens_col)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("w"),
+        F.lit(0).cast("long").alias("i"),
+    )
+    acc = F.aggregate(
+        t,
+        zero,
+        lambda a, x: F.struct(
+            (a["s"] + x.cast("long")).alias("s"),
+            (a["w"] + (a["i"] + F.lit(1)) * x.cast("long")).alias("w"),
+            (a["i"] + F.lit(1)).alias("i"),
+        ),
+    )
+    return (
+        df.withColumn("_acc", acc)
+        .withColumn("tok_cks", F.pmod(F.col("_acc.s"), F.lit(_MOD)))
+        .withColumn("tok_wcks", F.pmod(F.col("_acc.w"), F.lit(_MOD)))
+        .withColumn("tok_min", F.array_min(t).cast("long"))
+        .withColumn("tok_max", F.array_max(t).cast("long"))
+        .drop("_acc")
+    )
+
+
+def regime_rollup(df_with_checksums: DataFrame) -> DataFrame:
+    """Per-regime rollup matching :func:`corpus.per_regime_checksum_sql`."""
+    num = doc_num_expr()
+    return (
+        df_with_checksums.withColumn("regime", regime_expr(num))
+        .groupBy("regime")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_n_tok"),
+            F.sum("tok_cks").alias("sum_tok_cks"),
+            F.sum("tok_wcks").alias("sum_tok_wcks"),
+            F.min("tok_min").alias("tok_min"),
+            F.max("tok_max").alias("tok_max"),
+        )
+        .orderBy("regime")
+    )
