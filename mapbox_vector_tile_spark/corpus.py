@@ -203,15 +203,25 @@ def tokens_cte_sql() -> str:
   )"""
 
 
-def per_doc_checksum_sql(doc_source: str = "documents") -> str:
-    """Full query: per-doc checksums straight from the generator formula."""
+def per_doc_checksum_sql(
+    doc_source: str = "documents", string_doc_id: bool = False
+) -> str:
+    """Full query: per-doc checksums straight from the generator formula.
+
+    All numeric outputs cast to BIGINT (DuckDB SUM would return HUGEINT) so
+    the value-hash compare against Spark ``long`` columns is exact. With
+    ``string_doc_id`` the doc id is emitted in the engine's ``doc-%08d`` form.
+    """
+    did = "printf('doc-%08d', doc_id)" if string_doc_id else "doc_id"
     return f"""
 WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
-SELECT doc_id, regime, n_tok,
-       ((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS tok_cks,
-       ((COALESCE(SUM((j + 1) * tok), 0) % {MOD}) + {MOD}) % {MOD} AS tok_wcks,
-       MIN(tok) AS tok_min,
-       MAX(tok) AS tok_max
+SELECT {did} AS doc_id,
+       CAST(regime AS BIGINT) AS regime,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS BIGINT) AS tok_cks,
+       CAST(((COALESCE(SUM((j + 1) * tok), 0) % {MOD}) + {MOD}) % {MOD} AS BIGINT) AS tok_wcks,
+       CAST(MIN(tok) AS BIGINT) AS tok_min,
+       CAST(MAX(tok) AS BIGINT) AS tok_max
 FROM t
 GROUP BY doc_id, regime, n_tok
 ORDER BY doc_id
@@ -219,7 +229,8 @@ ORDER BY doc_id
 
 
 def per_regime_checksum_sql(doc_source: str = "documents") -> str:
-    """Full query: per-regime rollup of the per-doc checksums."""
+    """Full query: per-regime rollup of the per-doc checksums (BIGINT casts
+    as above)."""
     return f"""
 WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
   per_doc AS (
@@ -229,13 +240,13 @@ WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
            MIN(tok) AS mn, MAX(tok) AS mx
     FROM t GROUP BY doc_id, regime, n_tok
   )
-SELECT regime,
-       COUNT(*) AS n_docs,
-       SUM(n_tok) AS sum_n_tok,
-       SUM(cks) AS sum_tok_cks,
-       SUM(wcks) AS sum_tok_wcks,
-       MIN(mn) AS tok_min,
-       MAX(mx) AS tok_max
+SELECT CAST(regime AS BIGINT) AS regime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(SUM(cks) AS BIGINT) AS sum_tok_cks,
+       CAST(SUM(wcks) AS BIGINT) AS sum_tok_wcks,
+       CAST(MIN(mn) AS BIGINT) AS tok_min,
+       CAST(MAX(mx) AS BIGINT) AS tok_max
 FROM per_doc
 GROUP BY regime
 ORDER BY regime

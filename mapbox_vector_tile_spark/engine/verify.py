@@ -41,7 +41,7 @@ def doc_num_expr(doc_id_col: str = "doc_id"):
 
 
 def regime_expr(doc_num):
-    return F.when(doc_num % 131 == 13, F.lit(8)).otherwise(doc_num % 8)
+    return F.when(doc_num % 131 == 13, F.lit(8)).otherwise(doc_num % 8).cast("long")
 
 
 def with_doc_checksums(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
