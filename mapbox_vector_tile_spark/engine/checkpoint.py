@@ -1,0 +1,123 @@
+"""Checkpoint / resume at partition-bucket granularity (north rule).
+
+Spark restarts *stages*, not *jobs* — an interrupted 100 TB encode would
+otherwise start over. The job therefore:
+
+1. assigns every row a size-weighted bucket (:mod:`.partitioning`);
+2. anti-joins the bucket work-list against the checkpoint table to find
+   pending work (the join-shaped resume SURVEY §2.7 predicts);
+3. encodes pending buckets only, writing blocks with **dynamic partition
+   overwrite** on ``bucket`` so a rerun of a half-written bucket is
+   idempotent (overwrites its own directory, never duplicates);
+4. appends one lineage/metrics row per finished bucket (n_rows, n_values,
+   bytes in/out/ref, codec histogram, wall ms, run_id) — the explicit form
+   of the reference's implicit compressed-size accounting
+   (/root/reference/mapbox_vector_tile/__init__.py:98, SURVEY §2.5 A3).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from .encode import EncodeOptions, encode_dataframe
+from .partitioning import size_weighted_repartition
+
+CHECKPOINT_SCHEMA = (
+    "bucket int, run_id string, status string, n_rows long, n_values long, "
+    "bytes_raw long, bytes_enc long, bytes_ref long, n_chunks long, "
+    "codecs string, wall_ms long, finished_at double"
+)
+
+
+def read_checkpoint(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    try:
+        return spark.read.parquet(ckpt_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+
+
+def done_buckets(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    ck = read_checkpoint(spark, ckpt_dir)
+    return ck.filter(F.col("status") == "done").select("bucket").distinct()
+
+
+def pending_buckets(work: DataFrame, done: DataFrame) -> DataFrame:
+    """left-anti join: the resume primitive (SURVEY §2.7)."""
+    return work.join(done, "bucket", "left_anti")
+
+
+def encode_with_checkpoint(
+    spark: SparkSession,
+    tokens_df: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    num_partitions: int = 32,
+    options: EncodeOptions | None = None,
+    run_id: str | None = None,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Encode ``tokens_df`` into ``out_dir`` resumably.
+
+    ``fail_after_buckets`` processes only that many pending buckets then
+    returns (test hook simulating an interruption — the analog of the
+    kill-after-k-partitions resume test in SURVEY §5).
+
+    Returns a summary dict (buckets_total/pending/processed, run_id).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    bucketed = size_weighted_repartition(tokens_df, num_partitions)
+    work = bucketed.select("bucket").distinct()
+    done = done_buckets(spark, ckpt_dir)
+    pending = sorted(r.bucket for r in pending_buckets(work, done).collect())
+    total = work.count()
+    if fail_after_buckets is not None:
+        pending = pending[:fail_after_buckets]
+    if not pending:
+        return {
+            "run_id": run_id,
+            "buckets_total": total,
+            "buckets_pending": 0,
+            "buckets_processed": 0,
+        }
+
+    t0 = time.time()
+    todo = bucketed.filter(F.col("bucket").isin(pending))
+    blocks = encode_dataframe(todo, options, bucket_col="bucket")
+    (
+        blocks.write.partitionBy("bucket")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_dir)
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+
+    # lineage/metrics rows from the just-written blocks (source of truth)
+    written = spark.read.parquet(out_dir).filter(F.col("bucket").isin(pending))
+    ck_rows = (
+        written.groupBy("bucket")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("bytes_raw").alias("bytes_raw"),
+            F.sum("bytes_enc").alias("bytes_enc"),
+            F.sum("bytes_ref").alias("bytes_ref"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.concat_ws(",", F.sort_array(F.collect_set("codec"))).alias("codecs"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .withColumn("finished_at", F.lit(time.time()))
+        .select(*[c.strip().split(" ")[0] for c in CHECKPOINT_SCHEMA.split(",")])
+    )
+    ck_rows.write.mode("append").parquet(ckpt_dir)
+    return {
+        "run_id": run_id,
+        "buckets_total": total,
+        "buckets_pending": len(pending),
+        "buckets_processed": len(pending),
+    }

@@ -31,7 +31,7 @@ BLOCKS_SPARK_SCHEMA = (
     "doc_ids array<string>, lengths_blob binary, payload binary, "
     "codec_id int, codec string, lengths_codec string, "
     "bytes_raw long, bytes_enc long, bytes_ref long, checksum long, "
-    "min_doc_id string, max_doc_id string"
+    "min_doc_id string, max_doc_id string, bucket int"
 )
 
 _BLOCKS_ARROW_SCHEMA = pa.schema(
@@ -52,6 +52,7 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
         ("checksum", pa.int64()),
         ("min_doc_id", pa.string()),
         ("max_doc_id", pa.string()),
+        ("bucket", pa.int32()),
     ]
 )
 
@@ -91,6 +92,7 @@ def _encode_chunk(
     opts: EncodeOptions,
     part_id: int,
     seq: int,
+    bucket: int = 0,
 ) -> dict:
     payload, cid = S.encode_auto(values, codec=opts.codec, validate=opts.validate)
     lengths_blob, lcid = S.encode_auto(
@@ -121,11 +123,19 @@ def _encode_chunk(
         "checksum": zlib.crc32(payload),
         "min_doc_id": dmin,
         "max_doc_id": dmax,
+        "bucket": bucket,
     }
 
 
-def encode_dataframe(df, options: EncodeOptions | None = None):
-    """tokens DataFrame -> blocks DataFrame (one row per chunk)."""
+def encode_dataframe(
+    df, options: EncodeOptions | None = None, bucket_col: str | None = None
+):
+    """tokens DataFrame -> blocks DataFrame (one row per chunk).
+
+    ``bucket_col``: optional partition-bucket column (from
+    :func:`.partitioning.size_weighted_repartition`) carried into the
+    manifest for checkpoint/resume bookkeeping.
+    """
     opts = options or EncodeOptions()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -137,6 +147,13 @@ def encode_dataframe(df, options: EncodeOptions | None = None):
                 continue
             lengths, values = _flatten_tokens(batch)
             doc_ids = batch.column("doc_id")
+            if bucket_col is not None:
+                bcol = batch.column(bucket_col)
+                bucket = int(bcol[0].as_py())
+                if bcol[-1].as_py() != bucket:
+                    raise ValueError("bucket column not constant within batch")
+            else:
+                bucket = 0
             # split jumbo batches so kernels stay O(max_chunk_values) memory
             row_starts = [0]
             acc = 0
@@ -159,10 +176,12 @@ def encode_dataframe(df, options: EncodeOptions | None = None):
                         opts,
                         part_id,
                         seq,
+                        bucket,
                     )
                 )
                 seq += 1
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=_BLOCKS_ARROW_SCHEMA)
 
-    return df.select("doc_id", "tokens").mapInArrow(fn, BLOCKS_SPARK_SCHEMA)
+    cols = ["doc_id", "tokens"] + ([bucket_col] if bucket_col else [])
+    return df.select(*cols).mapInArrow(fn, BLOCKS_SPARK_SCHEMA)

@@ -1,0 +1,115 @@
+"""Size-weighted partitioning + checkpoint/resume tests (SURVEY §5 plan:
+kill after k partitions, rerun, assert only pending ran and result equals an
+uninterrupted run)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.engine.checkpoint import (
+    encode_with_checkpoint,
+    read_checkpoint,
+)
+from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+from mapbox_vector_tile_spark.engine.partitioning import (
+    bucket_of_value,
+    hash_perfect_labels,
+    size_weighted_repartition,
+    weighted_cuts,
+)
+from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+
+N_DOCS = 500
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = G.corpus_dataframe(spark, N_DOCS, num_partitions=4)
+    df.cache().count()
+    return df
+
+
+def test_hash_perfect_labels(spark):
+    labels = hash_perfect_labels(spark, N_BUCKETS)
+    got = (
+        spark.createDataFrame([(x,) for x in labels], "label int")
+        .select(F.pmod(F.hash("label"), F.lit(N_BUCKETS)).alias("p"))
+        .collect()
+    )
+    assert sorted(r.p for r in got) == list(range(N_BUCKETS))
+
+
+def test_size_weighted_balance(spark, tokens_df):
+    bucketed = size_weighted_repartition(tokens_df, N_BUCKETS, sample_fraction=1.0)
+    per_bucket = (
+        bucketed.groupBy(F.spark_partition_id().alias("pid"), "bucket")
+        .agg(F.sum("n_tok").alias("w"))
+        .collect()
+    )
+    # exactly one bucket per spark partition
+    assert len({r.pid for r in per_bucket}) == len(per_bucket)
+    weights = np.array([r.w for r in per_bucket], dtype=float)
+    assert weights.size == N_BUCKETS
+    # byte balance despite 8192-token outlier docs: max <= 2x mean
+    assert weights.max() <= 2.0 * weights.mean()
+
+
+def test_bucket_of_value_mirror(spark, tokens_df):
+    cuts = weighted_cuts(tokens_df, N_BUCKETS, "doc_id", "n_tok", sample_fraction=1.0)
+    bucketed = size_weighted_repartition(tokens_df, N_BUCKETS, sample_fraction=1.0)
+    for r in bucketed.select("doc_id", "bucket").limit(50).collect():
+        assert r.bucket == bucket_of_value(cuts, r.doc_id)
+
+
+def test_resume_equals_uninterrupted(spark, tokens_df, tmp_path):
+    out1 = str(tmp_path / "blocks_full")
+    ck1 = str(tmp_path / "ckpt_full")
+    s = encode_with_checkpoint(spark, tokens_df, out1, ck1, N_BUCKETS)
+    assert s["buckets_processed"] == s["buckets_total"]
+
+    out2 = str(tmp_path / "blocks_resumed")
+    ck2 = str(tmp_path / "ckpt_resumed")
+    # "crash" after 3 buckets
+    s1 = encode_with_checkpoint(
+        spark, tokens_df, out2, ck2, N_BUCKETS, fail_after_buckets=3
+    )
+    assert s1["buckets_processed"] == 3
+    # resume: only the pending buckets run
+    s2 = encode_with_checkpoint(spark, tokens_df, out2, ck2, N_BUCKETS)
+    assert s2["buckets_processed"] == s2["buckets_total"] - 3
+    # third call: nothing pending
+    s3 = encode_with_checkpoint(spark, tokens_df, out2, ck2, N_BUCKETS)
+    assert s3["buckets_processed"] == 0
+
+    full = spark.read.parquet(out1)
+    resumed = spark.read.parquet(out2)
+    # identical decoded contents
+    res = verify_roundtrip(tokens_df, decode_dataframe(resumed)).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+    # identical byte totals (same partitioning -> same chunks)
+    a = full.agg(F.sum("bytes_enc"), F.sum("n_values"), F.sum("n_rows")).first()
+    b = resumed.agg(F.sum("bytes_enc"), F.sum("n_values"), F.sum("n_rows")).first()
+    assert tuple(a) == tuple(b)
+
+    ck = read_checkpoint(spark, ck2)
+    assert ck.count() == s1["buckets_total"]  # one lineage row per bucket
+    assert {r.status for r in ck.select("status").distinct().collect()} == {"done"}
+
+
+def test_rerun_of_done_bucket_is_idempotent(spark, tokens_df, tmp_path):
+    out = str(tmp_path / "blocks_idem")
+    ck_a = str(tmp_path / "ckpt_a")
+    ck_b = str(tmp_path / "ckpt_b")
+    encode_with_checkpoint(spark, tokens_df, out, ck_a, N_BUCKETS)
+    n1 = spark.read.parquet(out).count()
+    # fresh checkpoint dir: every bucket reruns into the same out_dir;
+    # dynamic partition overwrite must not duplicate rows
+    encode_with_checkpoint(spark, tokens_df, out, ck_b, N_BUCKETS)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+    res = verify_roundtrip(
+        tokens_df, decode_dataframe(spark.read.parquet(out))
+    ).first()
+    assert res.n_mismatch == 0 and res.n_docs == N_DOCS
