@@ -1,0 +1,148 @@
+"""Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line (driver contract).
+
+Corpus scales with the sf dir (n_docs = documents_rows x SPARK_GRAFT_BENCH_MULT,
+default 40 -> ~110M tokens at sf0.1). Data moves between phases as parquet —
+the realistic shape (the north star stores token tables in Iceberg/parquet)
+and the fast one (vectorized columnar scan -> Arrow, no row-object boxing).
+
+Timed phases:
+  q_generate    distributed corpus synthesis -> tokens parquet
+  q_partition   size-weighted + regime-clustered repartition -> bucketed parquet
+  q_encode      parquet scan -> mapInArrow auto-codec encode -> blocks parquet
+  q_decode      blocks parquet -> mapInArrow decode -> token count agg
+  q_verify      decoded vs original full-outer join, exact array equality
+
+Headline value = total seconds; extra keys carry tokens/sec, GB/s, and
+compressed size vs raw and vs the reference MVT scheme (delta+zigzag+varint,
+/root/reference/mapbox_vector_tile/geom_encoder.py:47-76).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "40"))
+    num_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", str(4 * cpus)))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.encode import EncodeOptions, encode_dataframe
+    from mapbox_vector_tile_spark.engine.partitioning import size_weighted_repartition
+    from mapbox_vector_tile_spark.engine.session import get_spark
+    from mapbox_vector_tile_spark.engine.verify import (
+        doc_num_expr,
+        regime_expr,
+        verify_roundtrip,
+    )
+
+    spark = get_spark(app_name="mvt-spark-bench", cpus=cpus,
+                      shuffle_partitions=max(cpus, num_buckets))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyarrow.parquet as pq
+
+    n_base = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = n_base * mult
+
+    work = tempfile.mkdtemp(prefix="mvt_bench_")
+    tokens_pq = f"{work}/tokens"
+    bucketed_pq = f"{work}/bucketed"
+    blocks_pq = f"{work}/blocks"
+    queries: dict[str, float] = {}
+    t_all = time.time()
+    try:
+        t = time.time()
+        G.corpus_dataframe(spark, n_docs, num_partitions=4 * cpus) \
+            .write.mode("overwrite").parquet(tokens_pq)
+        queries["q_generate"] = round(time.time() - t, 3)
+
+        # cluster by content regime so chunks are distribution-homogeneous and
+        # the per-chunk selector can beat the one-size-fits-all reference
+        # scheme (the table-level analog of the reference's delta-minimizing
+        # reorder, /root/reference/mapbox_vector_tile/optimise.py:133-163)
+        t = time.time()
+        tokens = spark.read.parquet(tokens_pq)
+        clustered = tokens.withColumn(
+            "cluster_key",
+            F.format_string("%d|%s", regime_expr(doc_num_expr()), F.col("doc_id")),
+        )
+        size_weighted_repartition(clustered, num_buckets, sort_col="cluster_key") \
+            .drop("cluster_key") \
+            .write.mode("overwrite").parquet(bucketed_pq)
+        queries["q_partition"] = round(time.time() - t, 3)
+
+        t = time.time()
+        bucketed = spark.read.parquet(bucketed_pq)
+        encode_dataframe(bucketed, EncodeOptions(), bucket_col="bucket") \
+            .write.mode("overwrite").parquet(blocks_pq)
+        queries["q_encode"] = round(time.time() - t, 3)
+
+        written = spark.read.parquet(blocks_pq)
+        sizes = written.agg(
+            F.sum("bytes_raw").alias("raw"),
+            F.sum("bytes_enc").alias("enc"),
+            F.sum("bytes_ref").alias("ref"),
+            F.sum("n_values").alias("vals"),
+            F.sum("n_rows").alias("rows"),
+            F.count(F.lit(1)).alias("chunks"),
+        ).first()
+        total_tokens = int(sizes.vals)
+        assert sizes.rows == n_docs, (sizes.rows, n_docs)
+
+        t = time.time()
+        dec_tokens = decode_dataframe(written).agg(F.sum("n_tok")).first()[0]
+        queries["q_decode"] = round(time.time() - t, 3)
+        assert dec_tokens == total_tokens, (dec_tokens, total_tokens)
+
+        t = time.time()
+        res = verify_roundtrip(bucketed, decode_dataframe(written)).first()
+        queries["q_verify"] = round(time.time() - t, 3)
+        assert res.n_mismatch == 0 and res.n_docs == n_docs, res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(time.time() - t_all, 3)
+    enc_tps = total_tokens / queries["q_encode"]
+    dec_tps = total_tokens / queries["q_decode"]
+    result = {
+        "metric": "encode+decode+verify wall, synthetic token corpus",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "cpus": cpus,
+        "encode_tokens_per_sec": round(enc_tps),
+        "decode_tokens_per_sec": round(dec_tps),
+        "encode_gb_per_sec": round(4 * enc_tps / 1e9, 3),
+        "bytes_raw": int(sizes.raw),
+        "bytes_enc": int(sizes.enc),
+        "bytes_ref": int(sizes.ref),
+        "compression_ratio_vs_raw": round(sizes.raw / sizes.enc, 3),
+        "bytes_vs_reference_scheme": round(sizes.enc / sizes.ref, 4),
+        "n_chunks": int(sizes.chunks),
+        "roundtrip_match_rate": 1.0,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

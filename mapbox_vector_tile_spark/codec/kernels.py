@@ -127,8 +127,8 @@ def bitpack(u: np.ndarray, width: int) -> bytes:
         return b""
     if width > 32:
         raise ValueError(f"width {width} > 32")
-    be = u.astype(">u4").view(np.uint8).reshape(-1, 4)
-    bits = np.unpackbits(be, axis=1)[:, 32 - width :]
+    be = u.astype(">u4").view(np.uint8)
+    bits = np.unpackbits(be).reshape(-1, 32)[:, 32 - width :]
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -194,17 +194,14 @@ def varint_decode(buf: bytes | np.ndarray, n: int) -> np.ndarray:
     if ends.size < n:
         raise ValueError("truncated varint stream")
     ends = ends[:n]
-    used = int(ends[-1]) + 1
-    raw = raw[:used]
     starts = np.concatenate(([0], ends[:-1] + 1))
-    group = np.zeros(used, dtype=np.int64)
-    group[starts[1:]] = 1
-    group = np.cumsum(group)
-    byte_pos = np.arange(used, dtype=np.int64) - starts[group]
-    contrib = (raw.astype(np.uint64) & np.uint64(0x7F)) << (
-        np.uint64(7) * byte_pos.astype(np.uint64)
-    )
-    return np.add.reduceat(contrib, starts)
+    nbytes = ends - starts + 1
+    low = raw.astype(np.uint64) & np.uint64(0x7F)
+    out = low[starts].copy()
+    for j in range(1, int(nbytes.max()) if n else 0):
+        m = nbytes > j
+        out[m] |= low[starts[m] + j] << np.uint64(7 * j)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -148,16 +148,21 @@ def encode_dataframe(
             lengths, values = _flatten_tokens(batch)
             doc_ids = batch.column("doc_id")
             if bucket_col is not None:
-                bcol = batch.column(bucket_col)
-                bucket = int(bcol[0].as_py())
-                if bcol[-1].as_py() != bucket:
-                    raise ValueError("bucket column not constant within batch")
+                buckets = batch.column(bucket_col).to_numpy().astype(np.int64)
             else:
-                bucket = 0
-            # split jumbo batches so kernels stay O(max_chunk_values) memory
+                buckets = np.zeros(lengths.size, dtype=np.int64)
+            # chunk boundaries: (a) bucket changes — a scan task may pack
+            # several bucket files, and chunks must stay bucket-homogeneous;
+            # (b) jumbo splits so kernels stay O(max_chunk_values) memory
+            must_split = set(
+                (np.flatnonzero(np.diff(buckets) != 0) + 1).tolist()
+            )
             row_starts = [0]
             acc = 0
             for i, ln in enumerate(lengths):
+                if i in must_split and i > row_starts[-1]:
+                    row_starts.append(i)
+                    acc = 0
                 acc += int(ln)
                 if acc >= opts.max_chunk_values and i + 1 < lengths.size:
                     row_starts.append(i + 1)
@@ -176,7 +181,7 @@ def encode_dataframe(
                         opts,
                         part_id,
                         seq,
-                        bucket,
+                        int(buckets[a]),
                     )
                 )
                 seq += 1

@@ -28,9 +28,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _SAMPLE_TARGET = 100_000
 
 
+_LABEL_CACHE: dict[int, list[int]] = {}
+
+
 def hash_perfect_labels(spark: SparkSession, n: int) -> list[int]:
     """Find ints l_0..l_{n-1} with ``pmod(hash(l_i), n) == i`` (Spark's own
-    Murmur3 via F.hash so the mapping is exact for ``repartition(n, col)``)."""
+    Murmur3 via F.hash so the mapping is exact for ``repartition(n, col)``).
+    Data-independent, so memoized per ``n``."""
+    if n in _LABEL_CACHE:
+        return _LABEL_CACHE[n]
     labels: dict[int, int] = {}
     lo = 0
     while len(labels) < n:
@@ -47,7 +53,8 @@ def hash_perfect_labels(spark: SparkSession, n: int) -> list[int]:
         for r in cand:
             labels.setdefault(r.p, r.label)
         lo += max(20 * n, 1024)
-    return [labels[i] for i in range(n)]
+    _LABEL_CACHE[n] = [labels[i] for i in range(n)]
+    return _LABEL_CACHE[n]
 
 
 def weighted_cuts(
