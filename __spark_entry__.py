@@ -112,6 +112,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["compression_by_codec"] = compression_by_codec
+
+    # ---- training-data pipeline operators (functions/) ----
+    from mapbox_vector_tile_spark.functions import components as CP
+    from mapbox_vector_tile_spark.functions import similarity as SIM
+    from mapbox_vector_tile_spark.functions import text as T
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    q["dedup_exact"] = lambda s, d: T.dedup_exact(_docs(s, d))
+    q["minhash_signatures"] = lambda s, d: T.minhash_signatures(_docs(s, d))
+    q["lsh_candidate_pairs"] = lambda s, d: T.lsh_candidate_pairs(_docs(s, d))
+    q["near_dup_jaccard"] = lambda s, d: T.jaccard_within_lang(_docs(s, d))
+    q["simhash32"] = lambda s, d: T.simhash32(_docs(s, d))
+    q["lang_id"] = lambda s, d: T.lang_id(_docs(s, d))
+    q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d))
+    q["doc_fingerprint"] = lambda s, d: T.doc_fingerprint(_docs(s, d))
+    q["knn_cosine"] = lambda s, d: SIM.knn_bruteforce(_emb(s, d))
+    q["ann_lsh_buckets"] = lambda s, d: SIM.lsh_buckets(_emb(s, d))
+    q["ann_lsh_top1"] = lambda s, d: SIM.ann_lsh_top1(_emb(s, d))
+
+    # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
+    q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
+    q["dict_frequency_order"] = lambda s, d: CP.dict_frequency_order(
+        s.read.parquet(f"{d}/lineitem.parquet")
+    )
+    q["rle_run_count_events"] = lambda s, d: CP.rle_run_count_events(
+        s.read.parquet(f"{d}/events.parquet")
+    )
+    q["delta_width_histogram"] = lambda s, d: CP.delta_width_histogram(
+        s.read.parquet(f"{d}/orders.parquet")
+    )
+    q["size_weighted_buckets_plan"] = lambda s, d: CP.size_weighted_buckets_plan(
+        _docs(s, d)
+    )
+    q["resume_pending_anti_join"] = lambda s, d: CP.resume_pending_anti_join(
+        s.read.parquet(f"{d}/orders.parquet")
+    )
     return q
 
 
@@ -127,4 +168,26 @@ def oracle_sql() -> dict[str, str]:
         o[f"roundtrip_{codec}_by_regime"] = by_regime
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
+
+    from mapbox_vector_tile_spark.functions import components as CP
+    from mapbox_vector_tile_spark.functions import similarity as SIM
+    from mapbox_vector_tile_spark.functions import text as T
+
+    o["dedup_exact"] = T.DEDUP_EXACT_SQL
+    o["minhash_signatures"] = T.minhash_signatures_sql()
+    o["lsh_candidate_pairs"] = T.lsh_candidate_pairs_sql()
+    o["near_dup_jaccard"] = T.jaccard_within_lang_sql()
+    o["simhash32"] = T.simhash32_sql()
+    o["lang_id"] = T.lang_id_sql()
+    o["quality_scores"] = T.QUALITY_SQL
+    o["doc_fingerprint"] = T.doc_fingerprint_sql()
+    o["knn_cosine"] = SIM.knn_bruteforce_sql()
+    o["ann_lsh_buckets"] = SIM.lsh_buckets_sql()
+    o["ann_lsh_top1"] = SIM.ann_lsh_top1_sql()
+    o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
+    o["dict_frequency_order"] = CP.DICT_FREQ_SQL
+    o["rle_run_count_events"] = CP.RLE_RUNS_SQL
+    o["delta_width_histogram"] = CP.DELTA_WIDTH_SQL
+    o["size_weighted_buckets_plan"] = CP.size_weighted_buckets_sql()
+    o["resume_pending_anti_join"] = CP.RESUME_ANTI_SQL
     return o

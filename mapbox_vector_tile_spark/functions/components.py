@@ -1,0 +1,183 @@
+"""SQL-expressible analogs of the engine's internal computations, run over
+the driver's TPC-H-ish tables so the DuckDB oracle can gate them.
+
+Each maps to a SURVEY §2 operator:
+- stats_sampler_by_source    -> A1 usage counting / selector stats sampler
+- dict_frequency_order       -> O1 frequency-sorted dictionary (optimise.py:26-57)
+- rle_run_count_events       -> E3 command/run-length packing (runs per key)
+- delta_width_histogram      -> E1/E2 delta-width stats the selector consumes
+- size_weighted_buckets_plan -> O2 size-weighted range partition planning
+- resume_pending_anti_join   -> §2.7 checkpoint resume primitive
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def stats_sampler_by_source(docs: DataFrame) -> DataFrame:
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+STATS_SAMPLER_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def dict_frequency_order(lineitem: DataFrame) -> DataFrame:
+    """Hot values get the smallest dictionary indices (optimise.py:26-57)."""
+    counts = (
+        lineitem.select(
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("value")
+        )
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return counts.withColumn(
+        "dict_index", (F.row_number().over(w) - 1).cast("long")
+    ).orderBy("dict_index")
+
+
+DICT_FREQ_SQL = """
+WITH c AS (
+  SELECT l_returnflag || '|' || l_linestatus AS value,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT value, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) - 1 AS BIGINT)
+         AS dict_index
+FROM c ORDER BY dict_index
+"""
+
+
+def rle_run_count_events(events: DataFrame) -> DataFrame:
+    """Runs of equal event_type per user in time order — how RLE-able each
+    user's stream is (one header per run, geom_encoder.py:13-15)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = events.withColumn("prev", F.lag("event_type").over(w)).withColumn(
+        "is_new_run",
+        (F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))).cast("long"),
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_new_run").alias("n_runs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+RLE_RUNS_SQL = """
+WITH r AS (
+  SELECT user_id,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new_run
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_new_run) AS BIGINT) AS n_runs
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+def delta_width_histogram(orders: DataFrame) -> DataFrame:
+    """Histogram of bit-widths of key deltas in sort order — the exact stat
+    the codec selector uses to size DELTA_ZZ_BITPACK (north rule)."""
+    w = Window.orderBy("o_orderkey")
+    deltas = orders.select("o_orderkey").withColumn(
+        "delta", F.col("o_orderkey") - F.lag("o_orderkey").over(w)
+    ).filter(F.col("delta").isNotNull())
+    width = F.length(F.bin(F.col("delta"))).cast("long")
+    return (
+        deltas.select(width.alias("delta_bit_width"))
+        .groupBy("delta_bit_width")
+        .agg(F.count(F.lit(1)).alias("n_deltas"))
+        .orderBy("delta_bit_width")
+    )
+
+
+DELTA_WIDTH_SQL = """
+WITH d AS (
+  SELECT o_orderkey - LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS delta
+  FROM orders)
+SELECT CAST(length(bin(delta)) AS BIGINT) AS delta_bit_width,
+       CAST(COUNT(*) AS BIGINT) AS n_deltas
+FROM d WHERE delta IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def size_weighted_buckets_plan(docs: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Driver-side partition planning as a query: cumulative weight over the
+    sort key -> equal-weight bucket ids -> per-bucket totals."""
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    cum = docs.select("doc_id", "n_chars").withColumn(
+        "cum", F.sum("n_chars").over(w)
+    )
+    bucket = ((F.col("cum") - 1) * n_buckets / F.lit(int(total))).cast("long")
+    return (
+        cum.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bucket_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def size_weighted_buckets_sql(n_buckets: int = 8) -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT SUM(n_chars) FROM documents) AS total
+  FROM documents)
+SELECT CAST((cum - 1) * {n_buckets} // total AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS bucket_chars
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def resume_pending_anti_join(orders: DataFrame) -> DataFrame:
+    """Work-list minus checkpointed-done (o_orderkey % 7 < 2 plays 'done')."""
+    done = orders.filter(F.col("o_orderkey") % 7 < 2).select("o_orderkey")
+    pending = orders.join(done, "o_orderkey", "left_anti")
+    return (
+        pending.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pending"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RESUME_ANTI_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_pending,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 < 2)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -1,0 +1,202 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`knn_bruteforce` — exact top-k cosine neighbors (the baseline).
+- :func:`ann_lsh` — random-hyperplane LSH buckets; search within bucket only
+  (the scale path: the cross product shrinks from O(n²) to O(n²/2^bits)).
+
+Cross-engine determinism: dot products are computed in **fixed point** —
+``sum(floor(x*2^20) * floor(y*2^20))`` over int64 — which is exact, order-
+independent, and bit-identical in Spark and DuckDB (float sums would drift
+with summation order). Embeddings are unit-normalized in the test data, so
+fixed-point dot order == cosine order.
+
+At 100 TB scale the brute-force variant broadcast-joins the (small) query set
+against the corpus — no shuffle of the corpus side; the LSH variant
+hash-partitions by bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SCALE = 1 << 20  # fixed-point scale for exact cross-engine dot products
+N_PLANES = 8
+_LCG_A, _LCG_C = 1103515245, 12345
+
+
+def plane_sign(k: int, d: int) -> int:
+    """Deterministic ±1 hyperplane component (closed form, SQL-replicable)."""
+    return 1 if ((_LCG_A * (k * 64 + d) + _LCG_C) // 65536) % 2 == 0 else -1
+
+
+def _fixed(col):
+    return F.floor(col.cast("double") * SCALE).cast("long")
+
+
+def _dot_fixed(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _fixed(x) * _fixed(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Broadcast the small query side; corpus side streams (no shuffle of the
+    big table until the final per-query top-k, which is a tiny sort).
+    """
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot_fixed(F.col("qv"), F.col("cv")).alias("dot_fixed"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fixed").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "dot_fixed",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_bruteforce_sql(n_queries: int = 10, k: int = 3) -> str:
+    dot = (
+        "CAST((SELECT SUM(CAST(floor(CAST(q.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT)"
+        " * CAST(floor(CAST(c.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT))"
+        " FROM unnest(range(len(q.embedding))) u(i)) AS BIGINT)"
+    ).format(s=SCALE)
+    return f"""
+WITH scored AS (
+  SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+         CAST(c.vec_id AS BIGINT) AS neighbor_id,
+         {dot} AS dot_fixed
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT query_id, neighbor_id, dot_fixed,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot_fixed DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot_fixed
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket): sign pattern under N_PLANES fixed hyperplanes."""
+    bucket = None
+    for kp in range(N_PLANES):
+        signs = F.array(
+            *[F.lit(plane_sign(kp, d)).cast("long") for d in range(64)]
+        )
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), signs, lambda x, s: _fixed(x) * s
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(proj >= 0, F.lit(2**kp).cast("long")).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), bucket.alias("bucket")
+    ).orderBy("vec_id")
+
+
+def _bucket_sql(alias: str) -> str:
+    terms = []
+    for kp in range(N_PLANES):
+        prods = " + ".join(
+            f"CAST(floor(CAST({alias}.embedding[{d+1}] AS DOUBLE) * {SCALE}) AS BIGINT)"
+            f" * {plane_sign(kp, d)}"
+            for d in range(64)
+        )
+        terms.append(f"CASE WHEN ({prods}) >= 0 THEN CAST({2**kp} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+def lsh_buckets_sql() -> str:
+    return f"""
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, ({_bucket_sql('e')}) AS bucket
+FROM embeddings e ORDER BY vec_id
+"""
+
+
+def ann_lsh_top1(emb: DataFrame, n_queries: int = 10) -> DataFrame:
+    """Approximate nearest neighbor: best same-bucket match per query
+    (NULL neighbor when the query is alone in its bucket)."""
+    b = lsh_buckets(emb)
+    withb = emb.join(b, emb.vec_id == b.vec_id).select(
+        b.vec_id.alias("vid"), "bucket", "embedding"
+    )
+    q = withb.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("bucket"), F.col("embedding").alias("qv")
+    )
+    c = withb.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("bucket").alias("cbucket"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("neighbor_id") != F.col("query_id")), "left")
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            F.when(
+                F.col("neighbor_id").isNotNull(), _dot_fixed(F.col("qv"), F.col("cv"))
+            ).alias("dot_fixed"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fixed").desc_nulls_last(), F.col("neighbor_id").asc_nulls_last()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "bucket", "neighbor_id", "dot_fixed")
+        .orderBy("query_id")
+    )
+
+
+def ann_lsh_top1_sql(n_queries: int = 10) -> str:
+    dot = (
+        "CAST((SELECT SUM(CAST(floor(CAST(q.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT)"
+        " * CAST(floor(CAST(c.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT))"
+        " FROM unnest(range(len(q.embedding))) u(i)) AS BIGINT)"
+    ).format(s=SCALE)
+    return f"""
+WITH b AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, ({_bucket_sql('e')}) AS bucket, e.embedding
+  FROM embeddings e),
+scored AS (
+  SELECT q.vec_id AS query_id, q.bucket,
+         c.vec_id AS neighbor_id,
+         CASE WHEN c.vec_id IS NULL THEN NULL ELSE {dot} END AS dot_fixed
+  FROM b q LEFT JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot_fixed DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rn
+  FROM scored)
+SELECT query_id, bucket, neighbor_id, dot_fixed FROM ranked
+WHERE rn = 1 ORDER BY query_id
+"""

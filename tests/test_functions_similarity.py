@@ -1,0 +1,46 @@
+"""Cross-engine parity for similarity search (fixed-point exactness)."""
+
+import duckdb
+import pytest
+
+from mapbox_vector_tile_spark.functions import similarity as SIM
+from tests.test_functions_text import assert_parity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    return c
+
+
+def test_knn_bruteforce(emb, con):
+    assert_parity(SIM.knn_bruteforce(emb), con, SIM.knn_bruteforce_sql())
+
+
+def test_lsh_buckets(emb, con):
+    assert_parity(SIM.lsh_buckets(emb), con, SIM.lsh_buckets_sql())
+
+
+def test_ann_lsh_top1(emb, con):
+    assert_parity(SIM.ann_lsh_top1(emb), con, SIM.ann_lsh_top1_sql())
+
+
+def test_ann_agrees_with_exact_when_in_bucket(emb, con):
+    """ANN's answer must be the exact-NN whenever the true NN shares the
+    query's bucket (sanity of the approximation, not parity)."""
+    exact = {r.query_id: r.neighbor_id for r in SIM.knn_bruteforce(emb, k=1).collect()}
+    buckets = {r.vec_id: r.bucket for r in SIM.lsh_buckets(emb).collect()}
+    ann = {r.query_id: r.neighbor_id for r in SIM.ann_lsh_top1(emb).collect()}
+    for qid, nn in exact.items():
+        if buckets[nn] == buckets[qid]:
+            assert ann[qid] == nn, (qid, nn, ann[qid])

@@ -1,0 +1,90 @@
+"""Cross-engine parity tests for text/dedup operators: the Spark DataFrame
+result must equal the DuckDB oracle SQL result exactly (integer/fixed-point
+math + deterministic tie-breaks make this possible)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mapbox_vector_tile_spark.functions import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return c
+
+
+def assert_parity(spark_df, con, sql):
+    got = spark_df.toPandas()
+    want = con.sql(sql).df()
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    assert list(got.columns) == list(want.columns)
+    got = got.sort_values(by=list(got.columns), ignore_index=True)
+    want = want.sort_values(by=list(want.columns), ignore_index=True)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a = got[c]
+        b = want[c]
+        if a.dtype != b.dtype:
+            a = a.astype("object")
+            b = b.astype("object")
+        pd.testing.assert_series_equal(a, b, check_names=False, check_dtype=False)
+
+
+def test_h48_parity(spark, con):
+    from pyspark.sql import functions as F
+
+    words = ["abc", "hello world", "", "ünïcode", "a b c d"]
+    got = {
+        r.w: r.h
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", T.h48(F.col("w")).alias("h"))
+        .collect()
+    }
+    for w in words:
+        want = con.sql(f"SELECT {T.h48_sql(repr(w))}").fetchone()[0]
+        assert got[w] == want, w
+
+
+def test_dedup_exact(docs, con):
+    assert_parity(T.dedup_exact(docs), con, T.DEDUP_EXACT_SQL)
+
+
+def test_minhash_signatures(docs, con):
+    assert_parity(T.minhash_signatures(docs), con, T.minhash_signatures_sql())
+
+
+def test_lsh_candidate_pairs(docs, con):
+    assert_parity(T.lsh_candidate_pairs(docs), con, T.lsh_candidate_pairs_sql())
+
+
+def test_jaccard_within_lang(docs, con):
+    assert_parity(T.jaccard_within_lang(docs), con, T.jaccard_within_lang_sql())
+
+
+def test_simhash32(docs, con):
+    assert_parity(T.simhash32(docs), con, T.simhash32_sql())
+
+
+def test_lang_id(docs, con):
+    assert_parity(T.lang_id(docs), con, T.lang_id_sql())
+
+
+def test_quality_scores(docs, con):
+    assert_parity(T.quality_scores(docs), con, T.QUALITY_SQL)
+
+
+def test_doc_fingerprint(docs, con):
+    assert_parity(T.doc_fingerprint(docs), con, T.doc_fingerprint_sql())

@@ -1,0 +1,60 @@
+"""Plumbing tests: multimodal feature extraction + streaming encode parity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+from mapbox_vector_tile_spark.functions import multimodal as MM
+
+
+def test_extract_features_schema_and_determinism(spark):
+    assets = MM.synthetic_assets(spark, 60)
+    feats = MM.extract_features(assets)
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 60
+    r = rows["asset-000003"]
+    assert r.kind == "image" and len(r.feat) == MM.FEAT_DIM
+    assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+    # deterministic across runs
+    rows2 = {r.asset_id: r for r in MM.extract_features(assets).collect()}
+    assert rows2["asset-000003"].crc32 == r.crc32
+    assert rows2["asset-000003"].feat == r.feat
+    # audio/video rows carry no spatial dims
+    audio = rows["asset-000001"]
+    assert audio.kind == "audio" and audio.width == -1
+
+
+def test_frame_sample_plan(spark):
+    assets = MM.synthetic_assets(spark, 30)
+    plan = MM.frame_sample_plan(assets, every_n=7)
+    for r in plan.collect():
+        idx = r.frame_indices
+        assert idx[0] == 0
+        assert all(b - a == 7 for a, b in zip(idx, idx[1:]))
+        assert idx[-1] < r.n_frames
+
+
+def test_streaming_encode_matches_batch(spark, tmp_path):
+    from mapbox_vector_tile_spark.streaming.encode_stream import start_encode_stream
+
+    n = 200
+    tokens_pq = str(tmp_path / "tokens")
+    G.corpus_dataframe(spark, n, num_partitions=2).write.parquet(tokens_pq)
+    static = spark.read.parquet(tokens_pq)
+
+    stream = spark.readStream.schema(static.schema).parquet(tokens_pq)
+    out_dir = str(tmp_path / "blocks_stream")
+    q = start_encode_stream(
+        stream, out_dir, str(tmp_path / "stream_ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    blocks = spark.read.parquet(out_dir)
+    res = verify_roundtrip(static, decode_dataframe(blocks)).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (n, n, 0)
+    # stream output compresses identically to batch (same chunks modulo batching)
+    assert blocks.agg(F.sum("n_values")).first()[0] == static.agg(
+        F.sum("n_tok")
+    ).first()[0]
