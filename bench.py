@@ -50,9 +50,25 @@ def main() -> int:
         verify_roundtrip,
     )
 
-    spark = get_spark(app_name="mvt-spark-bench", cpus=cpus,
-                      shuffle_partitions=max(cpus, num_buckets))
+    spark = get_spark(
+        app_name="mvt-spark-bench",
+        cpus=cpus,
+        shuffle_partitions=max(cpus, num_buckets),
+        extra_conf={
+            # bench inputs are many small files; size splits so the scan
+            # fans out to every core (at 100 TB the default 128m is right)
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm Python workers (imports + first-touch page faults) before timing:
+    # a real cluster runs warm executors; this measures steady state.
+    G.corpus_dataframe(spark, 64 * cpus, num_partitions=2 * cpus).count()
+    encode_dataframe(
+        G.corpus_dataframe(spark, 64 * cpus, num_partitions=2 * cpus)
+    ).count()
 
     import pyarrow.parquet as pq
 

@@ -1,0 +1,118 @@
+"""Per-chunk analysis cache: each derived array (zigzag form, deltas, runs,
+MVT stream) is computed at most once per chunk and shared between the codec
+selector's size estimates and the winning codec's encoder. Memory bandwidth —
+not compute — is the binding constraint at full parallelism, so eliminating
+redundant full-array passes is the main scale lever.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels as K
+
+_CARD_SAMPLE = 65536
+
+
+class ChunkAnalysis:
+    """Lazily-cached derived views of one int32 chunk."""
+
+    __slots__ = (
+        "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
+        "_vmin", "_vmax", "_card_sample",
+    )
+
+    def __init__(self, a: np.ndarray):
+        self.a = np.ascontiguousarray(a, dtype=np.int32)
+        self._zz = None
+        self._first = None
+        self._deltas = None
+        self._zzd = None
+        self._mvt = None
+        self._runs = None
+        self._vmin = None
+        self._vmax = None
+        self._card_sample = None
+
+    @property
+    def n(self) -> int:
+        return self.a.size
+
+    @property
+    def vmin(self) -> int:
+        if self._vmin is None:
+            self._vmin = int(self.a.min()) if self.n else 0
+        return self._vmin
+
+    @property
+    def vmax(self) -> int:
+        if self._vmax is None:
+            self._vmax = int(self.a.max()) if self.n else 0
+        return self._vmax
+
+    @property
+    def zz(self) -> np.ndarray:
+        if self._zz is None:
+            self._zz = K.zigzag_encode(self.a)
+        return self._zz
+
+    @property
+    def first(self) -> int:
+        if self._first is None:
+            self._first, self._deltas = K.delta_encode(self.a)
+        return self._first
+
+    @property
+    def deltas(self) -> np.ndarray:
+        if self._deltas is None:
+            self._first, self._deltas = K.delta_encode(self.a)
+        return self._deltas
+
+    @property
+    def zzd(self) -> np.ndarray:
+        if self._zzd is None:
+            d = self.deltas
+            self._zzd = (
+                K.zigzag_encode(d) if d.size else np.zeros(0, dtype=np.uint32)
+            )
+        return self._zzd
+
+    @property
+    def mvt_zz(self) -> np.ndarray:
+        """zigzag(delta-from-0): the reference MVT stream (first value is a
+        delta from the implicit origin, geom_encoder.py:40-44)."""
+        if self._mvt is None:
+            u = self.a.view(np.uint32)
+            d = np.empty_like(u)
+            d[0:1] = u[0:1]
+            np.subtract(u[1:], u[:-1], out=d[1:])
+            self._mvt = K.zigzag_encode(d.view(np.int32))
+        return self._mvt
+
+    @property
+    def runs(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._runs is None:
+            self._runs = K.rle_runs(self.a)
+        return self._runs
+
+    @property
+    def card_sample(self) -> int:
+        """Cardinality of a strided sample (cheap DICT-viability screen)."""
+        if self._card_sample is None:
+            n = self.n
+            sample = self.a if n <= _CARD_SAMPLE else self.a[:: max(1, n // _CARD_SAMPLE)]
+            self._card_sample = int(np.unique(sample).size)
+        return self._card_sample
+
+    # widths -------------------------------------------------------------
+    @property
+    def width_zz(self) -> int:
+        return K.bit_width(self.zz)
+
+    @property
+    def width_range(self) -> int:
+        return (self.vmax - self.vmin).bit_length()
+
+    @property
+    def width_delta_zz(self) -> int:
+        return K.bit_width(self.zzd)

@@ -11,7 +11,9 @@ assumptions about what the encoder "would have" picked — the engine contract
 analog of the reference decoder tolerating foreign encoders
 (/root/reference/mapbox_vector_tile/decoder.py:68-80, SURVEY.md §2.8).
 
-Codec ids are stable on-disk identifiers; never renumber.
+Encoders take a :class:`~.analysis.ChunkAnalysis` so derived arrays computed
+during codec selection are reused, never recomputed (bandwidth is the scale
+constraint). Codec ids are stable on-disk identifiers; never renumber.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import kernels as K
+from .analysis import ChunkAnalysis
 
 MAGIC = b"SGB1"
 VERSION = 1
@@ -53,22 +56,19 @@ def _nbytes(n: int, width: int) -> int:
     return (n * width + 7) // 8
 
 
-def _mvt_stream(a: np.ndarray) -> np.ndarray:
-    """zigzag(delta-from-0) — first value is itself a delta from the implicit
-    (0,0) cursor, exactly like the MVT MoveTo (geom_encoder.py:40-44)."""
-    u = a.view(np.uint32) if a.dtype == np.int32 else a.astype(np.int32).view(np.uint32)
-    d = np.empty_like(u)
-    d[0:1] = u[0:1]
-    np.subtract(u[1:], u[:-1], out=d[1:])
-    return K.zigzag_encode(d.view(np.int32))
+def _rel_u32(a: np.ndarray, lo: int) -> np.ndarray:
+    """(a - lo) as uint32 via wraparound (no int64 temp; exact because the
+    range of an int32 array always fits in uint32)."""
+    return a.view(np.uint32) - np.uint32(lo & 0xFFFFFFFF)
 
 
 # ---------------------------------------------------------------------------
-# per-codec encode/decode of the params+payload section
+# per-codec encode of the params+payload section (from ChunkAnalysis)
+# and decode (from the raw buffer)
 # ---------------------------------------------------------------------------
 
-def _enc_raw(a: np.ndarray) -> bytes:
-    return a.astype("<i4", copy=False).tobytes()
+def _enc_raw(an: ChunkAnalysis) -> bytes:
+    return an.a.astype("<i4", copy=False).tobytes()
 
 
 def _dec_raw(buf: memoryview, n: int) -> np.ndarray:
@@ -78,8 +78,10 @@ def _dec_raw(buf: memoryview, n: int) -> np.ndarray:
 _CONST = struct.Struct("<i")
 
 
-def _enc_constant(a: np.ndarray) -> bytes:
-    return _CONST.pack(int(a[0]))
+def _enc_constant(an: ChunkAnalysis) -> bytes:
+    if an.vmin != an.vmax:
+        raise ValueError("CONSTANT codec requires a constant array")
+    return _CONST.pack(int(an.a[0]))
 
 
 def _dec_constant(buf: memoryview, n: int) -> np.ndarray:
@@ -90,10 +92,9 @@ def _dec_constant(buf: memoryview, n: int) -> np.ndarray:
 _BPZZ = struct.Struct("<B")
 
 
-def _enc_bitpack_zz(a: np.ndarray) -> bytes:
-    zz = K.zigzag_encode(a)
-    w = K.bit_width(zz)
-    return _BPZZ.pack(w) + K.bitpack(zz, w)
+def _enc_bitpack_zz(an: ChunkAnalysis) -> bytes:
+    w = an.width_zz
+    return _BPZZ.pack(w) + K.bitpack(an.zz, w)
 
 
 def _dec_bitpack_zz(buf: memoryview, n: int) -> np.ndarray:
@@ -104,27 +105,25 @@ def _dec_bitpack_zz(buf: memoryview, n: int) -> np.ndarray:
 _FOR = struct.Struct("<qB")
 
 
-def _enc_for_bitpack(a: np.ndarray) -> bytes:
-    lo = int(a.min())
-    rel = (a.astype(np.int64) - lo).astype(np.uint32)
-    w = K.bit_width(rel)
+def _enc_for_bitpack(an: ChunkAnalysis) -> bytes:
+    lo = an.vmin
+    rel = _rel_u32(an.a, lo)
+    w = an.width_range
     return _FOR.pack(lo, w) + K.bitpack(rel, w)
 
 
 def _dec_for_bitpack(buf: memoryview, n: int) -> np.ndarray:
     lo, w = _FOR.unpack_from(buf)
     rel = K.bitunpack(buf[_FOR.size :], w, n)
-    return (rel.astype(np.int64) + lo).astype(np.int32)
+    return (rel + np.uint32(lo & 0xFFFFFFFF)).view(np.int32)
 
 
 _DZB = struct.Struct("<iB")
 
 
-def _enc_delta_zz_bitpack(a: np.ndarray) -> bytes:
-    first, d = K.delta_encode(a)
-    zz = K.zigzag_encode(d)
-    w = K.bit_width(zz)
-    return _DZB.pack(first, w) + K.bitpack(zz, w)
+def _enc_delta_zz_bitpack(an: ChunkAnalysis) -> bytes:
+    w = an.width_delta_zz
+    return _DZB.pack(an.first, w) + K.bitpack(an.zzd, w)
 
 
 def _dec_delta_zz_bitpack(buf: memoryview, n: int) -> np.ndarray:
@@ -133,8 +132,8 @@ def _dec_delta_zz_bitpack(buf: memoryview, n: int) -> np.ndarray:
     return K.delta_decode(first, K.zigzag_decode(zz))
 
 
-def _enc_delta_zz_varint(a: np.ndarray) -> bytes:
-    return K.varint_encode(_mvt_stream(a).astype(np.uint64))
+def _enc_delta_zz_varint(an: ChunkAnalysis) -> bytes:
+    return K.varint_encode(an.mvt_zz.astype(np.uint64))
 
 
 def _dec_delta_zz_varint(buf: memoryview, n: int) -> np.ndarray:
@@ -146,13 +145,13 @@ def _dec_delta_zz_varint(buf: memoryview, n: int) -> np.ndarray:
 _RLE = struct.Struct("<qBqB")  # n_runs, len_width, val_min, val_width
 
 
-def _enc_rle(a: np.ndarray) -> bytes:
-    vals, lens = K.rle_runs(a)
+def _enc_rle(an: ChunkAnalysis) -> bytes:
+    vals, lens = an.runs
     r = vals.size
     lens_rel = (lens - 1).astype(np.uint32)  # run length >= 1
     lw = K.bit_width(lens_rel)
     vmin = int(vals.min())
-    vrel = (vals.astype(np.int64) - vmin).astype(np.uint32)
+    vrel = _rel_u32(np.ascontiguousarray(vals, dtype=np.int32), vmin)
     vw = K.bit_width(vrel)
     return _RLE.pack(r, lw, vmin, vw) + K.bitpack(lens_rel, lw) + K.bitpack(vrel, vw)
 
@@ -162,18 +161,18 @@ def _dec_rle(buf: memoryview, n: int) -> np.ndarray:
     off = _RLE.size
     lens = K.bitunpack(buf[off : off + _nbytes(r, lw)], lw, r).astype(np.int64) + 1
     off += _nbytes(r, lw)
-    vals = (K.bitunpack(buf[off:], vw, r).astype(np.int64) + vmin).astype(np.int32)
+    vals = (K.bitunpack(buf[off:], vw, r) + np.uint32(vmin & 0xFFFFFFFF)).view(np.int32)
     return K.rle_inflate(vals, lens)
 
 
 _DICT = struct.Struct("<qqBB")  # cardinality, table_min, table_width, idx_width
 
 
-def _enc_dict_bitpack(a: np.ndarray) -> bytes:
-    table, idx = K.dict_encode(a)
+def _enc_dict_bitpack(an: ChunkAnalysis) -> bytes:
+    table, idx = K.dict_encode(an.a)
     c = table.size
     tmin = int(table.min())
-    trel = (table.astype(np.int64) - tmin).astype(np.uint32)
+    trel = _rel_u32(np.ascontiguousarray(table, dtype=np.int32), tmin)
     tw = K.bit_width(trel)
     iw = K.bit_width(max(c - 1, 0))
     return (
@@ -186,7 +185,10 @@ def _enc_dict_bitpack(a: np.ndarray) -> bytes:
 def _dec_dict_bitpack(buf: memoryview, n: int) -> np.ndarray:
     c, tmin, tw, iw = _DICT.unpack_from(buf)
     off = _DICT.size
-    table = (K.bitunpack(buf[off : off + _nbytes(c, tw)], tw, c).astype(np.int64) + tmin).astype(np.int32)
+    table = (
+        K.bitunpack(buf[off : off + _nbytes(c, tw)], tw, c)
+        + np.uint32(tmin & 0xFFFFFFFF)
+    ).view(np.int32)
     idx = K.bitunpack(buf[off + _nbytes(c, tw) :], iw, n)
     return K.dict_decode(table, idx)
 
@@ -221,15 +223,15 @@ class BlockInfo:
     n_bytes: int
 
 
-def encode_block(a: np.ndarray, codec_id: int) -> bytes:
+def encode_block(
+    a: np.ndarray, codec_id: int, analysis: ChunkAnalysis | None = None
+) -> bytes:
     """Frame ``a`` (int32 array) as a self-describing block."""
-    a = np.ascontiguousarray(a, dtype=np.int32)
-    if a.size == 0:
+    an = analysis or ChunkAnalysis(a)
+    if an.n == 0:
         return _HDR.pack(MAGIC, VERSION, RAW, 0)
-    if codec_id == CONSTANT and (a.size == 0 or a[0] != a[-1] or not (a == a[0]).all()):
-        raise ValueError("CONSTANT codec requires a constant array")
-    body = _ENCODERS[codec_id](a)
-    return _HDR.pack(MAGIC, VERSION, codec_id, a.size) + body
+    body = _ENCODERS[codec_id](an)
+    return _HDR.pack(MAGIC, VERSION, codec_id, an.n) + body
 
 
 def decode_block(buf: bytes | memoryview) -> np.ndarray:
@@ -253,3 +255,8 @@ def block_info(buf: bytes | memoryview) -> BlockInfo:
 
 def header_size() -> int:
     return _HDR.size
+
+
+def _mvt_stream(a: np.ndarray) -> np.ndarray:
+    """Back-compat alias: zigzag(delta-from-0) of an array."""
+    return ChunkAnalysis(a).mvt_zz

@@ -114,21 +114,32 @@ def bit_width(u: np.ndarray | int) -> int:
     if isinstance(u, (int, np.integer)):
         m = int(u)
     else:
-        if np.asarray(u).size == 0:
+        u = np.asarray(u)
+        if u.size == 0:
             return 0
-        m = int(np.asarray(u, dtype=np.uint64).max())
+        m = int(u.max())
     return m.bit_length()
 
 
 def bitpack(u: np.ndarray, width: int) -> bytes:
-    """Pack uint32 values at ``width`` bits each (MSB-first within a value)."""
+    """Pack uint32 values at ``width`` bits each (MSB-first within a value).
+
+    Memory traffic is O(n*width) bits, not O(n*32): the bit matrix is built
+    at exactly ``width`` columns via a shift broadcast.
+    """
     u = np.ascontiguousarray(u, dtype=np.uint32)
     if width == 0 or u.size == 0:
         return b""
     if width > 32:
         raise ValueError(f"width {width} > 32")
-    be = u.astype(">u4").view(np.uint8)
-    bits = np.unpackbits(be).reshape(-1, 32)[:, 32 - width :]
+    if width == 8:
+        return u.astype(np.uint8).tobytes()
+    if width == 16:
+        return u.astype(">u2").tobytes()
+    if width == 32:
+        return u.astype(">u4").tobytes()
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    bits = ((u[:, None] >> shifts) & np.uint32(1)).astype(np.uint8)
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -137,11 +148,19 @@ def bitunpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint32)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if width == 8:
+        return raw[:n].astype(np.uint32)
+    if width == 16:
+        return raw[: 2 * n].view(">u2").astype(np.uint32)
+    if width == 32:
+        return raw[: 4 * n].view(">u4").astype(np.uint32)
     bits = np.unpackbits(raw, count=n * width).reshape(n, width)
-    full = np.zeros((n, 32), dtype=np.uint8)
-    full[:, 32 - width :] = bits
-    packed = np.packbits(full, axis=1)
-    return np.ascontiguousarray(packed).view(">u4").ravel().astype(np.uint32)
+    # fold columns MSB-first: out = sum(bit_j << (width-1-j))
+    out = np.zeros(n, dtype=np.uint32)
+    for j in range(width):
+        out <<= np.uint32(1)
+        out |= bits[:, j]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -159,11 +178,20 @@ def _varint_nbytes(u: np.ndarray) -> np.ndarray:
 
 
 def varint_size(u: np.ndarray) -> int:
-    """Total encoded size in bytes (used by the codec selector)."""
-    u = np.ascontiguousarray(u, dtype=np.uint64)
+    """Total encoded size in bytes (used by the codec selector).
+
+    Computed as n + sum of threshold exceedances — no per-value byte-count
+    array is materialized (bandwidth matters: this runs on every chunk)."""
+    u = np.asarray(u)
     if u.size == 0:
         return 0
-    return int(_varint_nbytes(u).sum())
+    total = u.size
+    hi = int(u.max())
+    for b in _VARINT_BOUNDS:
+        if hi < int(b):
+            break
+        total += int(np.count_nonzero(u >= u.dtype.type(b)))
+    return total
 
 
 def varint_encode(u: np.ndarray) -> bytes:

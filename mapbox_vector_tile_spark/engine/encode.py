@@ -94,16 +94,31 @@ def _encode_chunk(
     seq: int,
     bucket: int = 0,
 ) -> dict:
-    payload, cid = S.encode_auto(values, codec=opts.codec, validate=opts.validate)
+    from ..codec.analysis import ChunkAnalysis
+    from ..codec import kernels as K
+
+    an = ChunkAnalysis(values)
+    if opts.codec is None:
+        cid = S.choose_codec(an.a, an)
+    else:
+        cid = B.CODEC_IDS[opts.codec]
+    try:
+        payload = B.encode_block(an.a, cid, an)
+        if opts.validate and not np.array_equal(B.decode_block(payload), an.a):
+            raise ValueError("round-trip mismatch")
+    except Exception:
+        if cid == B.RAW:
+            raise
+        payload, cid = B.encode_block(an.a, B.RAW, an), B.RAW
     lengths_blob, lcid = S.encode_auto(
         lengths.astype(np.int32), validate=opts.validate
     )
-    bytes_ref = (
-        B.header_size()
-        + S.candidate_sizes(values).get(B.DELTA_ZZ_VARINT, 4 * values.size)
-        if opts.compute_ref_size and values.size
-        else (B.header_size() if opts.compute_ref_size else -1)
-    )
+    if opts.compute_ref_size:
+        bytes_ref = B.header_size() + (
+            K.varint_size(an.mvt_zz) if values.size else 0
+        )
+    else:
+        bytes_ref = -1
     dmin = doc_ids[0].as_py() if len(doc_ids) else None
     dmax = doc_ids[-1].as_py() if len(doc_ids) else None
     return {

@@ -6,6 +6,17 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc malloc tuning for the numpy codec kernels: every chunk allocates
+# multi-MB temp arrays; with default malloc they are mmap'd and munmapped per
+# chunk, so every pass re-faults its pages (measured ~30 MB/s fault throughput
+# on this VM — a 25x penalty at full parallelism). Keeping large blocks on the
+# reusable heap makes kernel throughput scale linearly with cores.
+MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "268435456",
+    "MALLOC_TRIM_THRESHOLD_": "268435456",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
 
 def get_spark(
     app_name: str = "mvt-spark",
@@ -22,6 +33,8 @@ def get_spark(
     the reference's blockwise batching, /root/reference/mapbox_vector_tile/
     polygon.py:48-67).
     """
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(env) if env else None
@@ -40,6 +53,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
