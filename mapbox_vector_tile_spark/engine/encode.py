@@ -121,12 +121,13 @@ def _encode_chunk(
         bytes_ref = -1
     dmin = doc_ids[0].as_py() if len(doc_ids) else None
     dmax = doc_ids[-1].as_py() if len(doc_ids) else None
+    # doc_ids intentionally absent: the caller assembles the list column
+    # zero-copy from the input batch (no Python-object round trip)
     return {
         "chunk_id": (part_id << 40) | seq,
         "part_id": part_id,
         "n_rows": len(doc_ids),
         "n_values": int(values.size),
-        "doc_ids": doc_ids.to_pylist(),
         "lengths_blob": lengths_blob,
         "payload": payload,
         "codec_id": cid,
@@ -185,6 +186,7 @@ def encode_dataframe(
             row_starts.append(lengths.size)
             val_offsets = np.concatenate(([0], np.cumsum(lengths)))
             rows = []
+            chunk_bounds = []
             for a, b in zip(row_starts[:-1], row_starts[1:]):
                 if a == b:
                     continue
@@ -199,9 +201,25 @@ def encode_dataframe(
                         int(buckets[a]),
                     )
                 )
+                chunk_bounds.append(a)
                 seq += 1
             if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=_BLOCKS_ARROW_SCHEMA)
+                # columnar assembly; doc_ids column = zero-copy list view
+                # over the input batch's doc_id array
+                chunk_bounds.append(row_starts[-1])
+                doc_id_lists = pa.ListArray.from_arrays(
+                    pa.array(chunk_bounds, pa.int32()),
+                    doc_ids.combine_chunks() if hasattr(doc_ids, "combine_chunks") else doc_ids,
+                )
+                cols = []
+                for field in _BLOCKS_ARROW_SCHEMA:
+                    if field.name == "doc_ids":
+                        cols.append(doc_id_lists)
+                    else:
+                        cols.append(
+                            pa.array([r[field.name] for r in rows], field.type)
+                        )
+                yield pa.RecordBatch.from_arrays(cols, schema=_BLOCKS_ARROW_SCHEMA)
 
     cols = ["doc_id", "tokens"] + ([bucket_col] if bucket_col else [])
     return df.select(*cols).mapInArrow(fn, BLOCKS_SPARK_SCHEMA)
