@@ -1,0 +1,181 @@
+"""Native columnar scan path: pyarrow reads parquet inside the worker.
+
+Spark's ``mapInArrow`` input conversion materializes ``array<int>`` rows
+element-by-element in the JVM before shipping them to Python — measured ~20s
+for a 440 MB token table that pyarrow scans columnar in ~2s. This module is
+the engine's "vectorized native reader" (SURVEY §2.1 S1/S3): Spark still
+owns distribution — file splits become task rows, with scheduling, retries
+and locality — but bytes go parquet -> Arrow -> numpy with no JVM row trip.
+This mirrors how production DSv2 connectors (Iceberg's vectorized reader)
+bypass row materialization.
+
+Works for any parquet/Iceberg-data-files layout; at 100 TB the file list
+comes from the table's manifest instead of a directory listing.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.encode import (
+    _BLOCKS_ARROW_SCHEMA,
+    BLOCKS_SPARK_SCHEMA,
+    EncodeOptions,
+)
+
+
+def list_parquet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def file_task_dataframe(spark: SparkSession, files: list[str]) -> DataFrame:
+    """One task row per file; Spark schedules/retries, pyarrow reads."""
+    return spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "task_id int, path string"
+    ).repartition(len(files), "task_id")
+
+
+def encode_parquet_direct(
+    spark: SparkSession,
+    in_path: str,
+    options: EncodeOptions | None = None,
+    batch_rows: int = 4096,
+    bucket_from_dir: bool = False,
+) -> DataFrame:
+    """Encode a tokens parquet dataset via worker-side columnar scans.
+
+    Returns the blocks DataFrame (same schema as
+    :func:`..engine.encode.encode_dataframe`). ``bucket_from_dir`` parses
+    ``bucket=N`` path segments (hive-partitioned layout) into the manifest.
+    """
+    from ..engine import encode as E
+
+    opts = options or EncodeOptions()
+    files = list_parquet_files(in_path)
+    if not files:
+        raise ValueError(f"no parquet files under {in_path}")
+    tasks = file_task_dataframe(spark, files)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else 0
+        seq = 0
+        for tb in batches:
+            for path in tb.column("path").to_pylist():
+                bucket = 0
+                if bucket_from_dir:
+                    for seg in path.split(os.sep):
+                        if seg.startswith("bucket="):
+                            bucket = int(seg.split("=", 1)[1])
+                pf = pq.ParquetFile(path)
+                for batch in pf.iter_batches(
+                    batch_size=batch_rows, columns=["doc_id", "tokens"]
+                ):
+                    if batch.num_rows == 0:
+                        continue
+                    lengths, values = E._flatten_tokens(batch)
+                    import numpy as np
+
+                    val_offsets = np.concatenate(([0], np.cumsum(lengths)))
+                    row_starts = [0]
+                    acc = 0
+                    for i, ln in enumerate(lengths):
+                        acc += int(ln)
+                        if acc >= opts.max_chunk_values and i + 1 < lengths.size:
+                            row_starts.append(i + 1)
+                            acc = 0
+                    row_starts.append(lengths.size)
+                    doc_ids = batch.column("doc_id")
+                    if isinstance(doc_ids, pa.ChunkedArray):
+                        doc_ids = doc_ids.combine_chunks()
+                    rows, bounds = [], []
+                    for a, b in zip(row_starts[:-1], row_starts[1:]):
+                        if a == b:
+                            continue
+                        rows.append(
+                            E._encode_chunk(
+                                doc_ids.slice(a, b - a),
+                                lengths[a:b],
+                                values[val_offsets[a] : val_offsets[b]],
+                                opts,
+                                part_id,
+                                seq,
+                                bucket,
+                            )
+                        )
+                        bounds.append(a)
+                        seq += 1
+                    if not rows:
+                        continue
+                    bounds.append(row_starts[-1])
+                    doc_id_lists = pa.ListArray.from_arrays(
+                        pa.array(bounds, pa.int32()), doc_ids
+                    )
+                    cols = [
+                        doc_id_lists
+                        if f.name == "doc_ids"
+                        else pa.array([r[f.name] for r in rows], f.type)
+                        for f in _BLOCKS_ARROW_SCHEMA
+                    ]
+                    yield pa.RecordBatch.from_arrays(cols, schema=_BLOCKS_ARROW_SCHEMA)
+
+    return tasks.mapInArrow(fn, BLOCKS_SPARK_SCHEMA)
+
+
+def decode_blocks_direct(
+    spark: SparkSession, blocks_path: str, verify_checksum: bool = True
+) -> DataFrame:
+    """Worker-side columnar scan of a blocks parquet dataset -> tokens DF."""
+    from ..engine import decode as D
+
+    files = list_parquet_files(blocks_path)
+    if not files:
+        raise ValueError(f"no parquet files under {blocks_path}")
+    tasks = file_task_dataframe(spark, files)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for tb in batches:
+            for path in tb.column("path").to_pylist():
+                pf = pq.ParquetFile(path)
+                cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+                for batch in pf.iter_batches(batch_size=64, columns=cols):
+                    payloads = batch.column("payload")
+                    lb = batch.column("lengths_blob")
+                    cks = batch.column("checksum")
+                    dids = batch.column("doc_ids")
+                    for i in range(batch.num_rows):
+                        lengths, values = D.decode_block_row(
+                            payloads[i].as_py(),
+                            lb[i].as_py(),
+                            cks[i].as_py() if verify_checksum else None,
+                        )
+                        offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+                        np.cumsum(lengths, out=offsets[1:])
+                        tokens = pa.LargeListArray.from_arrays(
+                            pa.array(offsets, pa.int64()),
+                            pa.array(values, pa.int32()),
+                        ).cast(pa.list_(pa.int32()))
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                dids[i].values,
+                                tokens,
+                                pa.array(lengths.astype(np.int32), pa.int32()),
+                            ],
+                            schema=D._OUT_ARROW_SCHEMA,
+                        )
+
+    return tasks.mapInArrow(fn, D.TOKENS_OUT_SPARK_SCHEMA)

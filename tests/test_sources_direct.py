@@ -1,0 +1,55 @@
+"""Native columnar scan path == DataFrame path, bit for bit."""
+
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+from mapbox_vector_tile_spark.engine.encode import EncodeOptions, encode_dataframe
+from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+from mapbox_vector_tile_spark.sources.parquet_direct import (
+    decode_blocks_direct,
+    encode_parquet_direct,
+)
+
+
+def test_direct_encode_decode_roundtrip(spark, tmp_path):
+    n = 400
+    tokens_pq = str(tmp_path / "tokens")
+    G.corpus_dataframe(spark, n, num_partitions=4).write.parquet(tokens_pq)
+    static = spark.read.parquet(tokens_pq)
+
+    blocks = encode_parquet_direct(spark, tokens_pq)
+    blocks_pq = str(tmp_path / "blocks")
+    blocks.write.parquet(blocks_pq)
+
+    # same totals as the DataFrame-API encode
+    df_blocks = encode_dataframe(static, EncodeOptions())
+    a = spark.read.parquet(blocks_pq).agg(
+        F.sum("n_values"), F.sum("n_rows"), F.sum("bytes_enc")
+    ).first()
+    b = df_blocks.agg(F.sum("n_values"), F.sum("n_rows"), F.sum("bytes_enc")).first()
+    assert tuple(a) == tuple(b)
+
+    # decode via both paths -> bit-identical to the original
+    for decoded in (
+        decode_blocks_direct(spark, blocks_pq),
+        decode_dataframe(spark.read.parquet(blocks_pq)),
+    ):
+        res = verify_roundtrip(static, decoded).first()
+        assert (res.n_docs, res.n_match, res.n_mismatch) == (n, n, 0)
+
+
+def test_direct_encode_bucket_from_dir(spark, tmp_path):
+    n = 300
+    from mapbox_vector_tile_spark.engine.partitioning import size_weighted_repartition
+
+    tokens = G.corpus_dataframe(spark, n, num_partitions=2)
+    bucketed = size_weighted_repartition(tokens, 4, sample_fraction=1.0)
+    p = str(tmp_path / "bucketed")
+    bucketed.write.partitionBy("bucket").parquet(p)
+
+    blocks = encode_parquet_direct(spark, p, bucket_from_dir=True)
+    got = {r.bucket for r in blocks.select("bucket").distinct().collect()}
+    assert got == {0, 1, 2, 3}
+    res = verify_roundtrip(tokens, decode_dataframe(blocks)).first()
+    assert res.n_mismatch == 0 and res.n_docs == n
