@@ -1,0 +1,65 @@
+"""String-column chunks: frequency-ordered dictionary + FSST-compressed blob.
+
+The per-chunk structure mirrors the reference's per-layer string table
+(/root/reference/mapbox_vector_tile/encoder.py:241-266, frequency-ordered per
+optimise.py:26-57): distinct values stored once, rows store bit-packed
+indices. The dictionary blob itself is FSST-compressed — the one codec the
+reference has no precedent for (SURVEY §7 "what's hard").
+
+Layout: ``magic | n_rows | card | idx_width | blob_len |
+fsst_blob(dict: len-prefixed utf-8 strings) | bitpacked indices``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import fsst
+from . import kernels as K
+
+MAGIC = b"SGS1"
+_HDR = struct.Struct("<4sqqBq")  # magic, n_rows, card, idx_width, blob_len
+
+
+def encode_string_chunk(values: list[str] | np.ndarray) -> bytes:
+    arr = np.asarray(values, dtype=object)
+    n = arr.size
+    if n == 0:
+        return _HDR.pack(MAGIC, 0, 0, 0, 0)
+    uniq, inverse, counts = np.unique(arr, return_inverse=True, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    table = uniq[order]
+    rank = np.empty(uniq.size, dtype=np.int64)
+    rank[order] = np.arange(uniq.size)
+    idx = rank[inverse]
+    iw = K.bit_width(max(int(uniq.size) - 1, 0))
+    raw_blob = b"".join(
+        struct.pack("<I", len(s.encode())) + s.encode() for s in table.tolist()
+    )
+    blob = fsst.compress(raw_blob)
+    packed = K.bitpack(idx.astype(np.uint32), iw)
+    return (
+        _HDR.pack(MAGIC, n, int(uniq.size), iw, len(blob)) + blob + packed
+    )
+
+
+def decode_string_chunk(buf: bytes | memoryview) -> list[str]:
+    mv = memoryview(buf)
+    magic, n, card, iw, blob_len = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError("bad string-chunk magic")
+    if n == 0:
+        return []
+    off = _HDR.size
+    raw_blob = fsst.decompress(mv[off : off + blob_len])
+    table: list[str] = []
+    p = 0
+    for _ in range(card):
+        (ln,) = struct.unpack_from("<I", raw_blob, p)
+        p += 4
+        table.append(raw_blob[p : p + ln].decode())
+        p += ln
+    idx = K.bitunpack(mv[off + blob_len :], iw, n)
+    return [table[i] for i in idx]

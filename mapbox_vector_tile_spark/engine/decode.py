@@ -19,12 +19,24 @@ import pyarrow as pa
 from ..codec import blocks as B
 
 TOKENS_OUT_SPARK_SCHEMA = "doc_id string, tokens array<int>, n_tok int"
+TOKENS_SRC_OUT_SPARK_SCHEMA = (
+    "doc_id string, tokens array<int>, n_tok int, source string"
+)
 
 _OUT_ARROW_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("tokens", pa.list_(pa.int32())),
         ("n_tok", pa.int32()),
+    ]
+)
+
+_SRC_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
     ]
 )
 
@@ -44,15 +56,23 @@ def decode_block_row(
     return lengths, values
 
 
-def decode_dataframe(blocks_df, verify_checksum: bool = True):
-    """blocks DataFrame -> ``(doc_id, tokens, n_tok)`` DataFrame."""
+def decode_dataframe(blocks_df, verify_checksum: bool = True, with_source: bool = False):
+    """blocks DataFrame -> ``(doc_id, tokens, n_tok[, source])`` DataFrame.
+
+    ``with_source`` additionally decodes the per-chunk DICT+FSST string blob
+    (requires blocks encoded with ``string_col``)."""
+
+    out_schema = _SRC_ARROW_SCHEMA if with_source else _OUT_ARROW_SCHEMA
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..codec.strings import decode_string_chunk
+
         for batch in batches:
             payloads = batch.column("payload")
             lengths_blobs = batch.column("lengths_blob")
             checksums = batch.column("checksum")
             doc_ids_col = batch.column("doc_ids")
+            src_col = batch.column("source_blob") if with_source else None
             for i in range(batch.num_rows):
                 lengths, values = decode_block_row(
                     payloads[i].as_py(),
@@ -65,14 +85,24 @@ def decode_dataframe(blocks_df, verify_checksum: bool = True):
                     pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
                 ).cast(pa.list_(pa.int32()))
                 doc_ids = doc_ids_col[i].values
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        doc_ids,
-                        tokens,
-                        pa.array(lengths.astype(np.int32), pa.int32()),
-                    ],
-                    schema=_OUT_ARROW_SCHEMA,
-                )
+                arrays = [
+                    doc_ids,
+                    tokens,
+                    pa.array(lengths.astype(np.int32), pa.int32()),
+                ]
+                if with_source:
+                    blob = src_col[i].as_py()
+                    if blob is None:
+                        raise ValueError(
+                            "blocks were encoded without string_col"
+                        )
+                    arrays.append(
+                        pa.array(decode_string_chunk(blob), pa.string())
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
-    return blocks_df.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
+    cols = ["doc_ids", "lengths_blob", "payload", "checksum"] + (
+        ["source_blob"] if with_source else []
+    )
+    schema_str = TOKENS_SRC_OUT_SPARK_SCHEMA if with_source else TOKENS_OUT_SPARK_SCHEMA
+    return blocks_df.select(*cols).mapInArrow(fn, schema_str)

@@ -31,7 +31,7 @@ BLOCKS_SPARK_SCHEMA = (
     "doc_ids array<string>, lengths_blob binary, payload binary, "
     "codec_id int, codec string, lengths_codec string, "
     "bytes_raw long, bytes_enc long, bytes_ref long, checksum long, "
-    "min_doc_id string, max_doc_id string, bucket int"
+    "min_doc_id string, max_doc_id string, bucket int, source_blob binary"
 )
 
 _BLOCKS_ARROW_SCHEMA = pa.schema(
@@ -53,6 +53,7 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
         ("min_doc_id", pa.string()),
         ("max_doc_id", pa.string()),
         ("bucket", pa.int32()),
+        ("source_blob", pa.binary()),
     ]
 )
 
@@ -93,6 +94,7 @@ def _encode_chunk(
     part_id: int,
     seq: int,
     bucket: int = 0,
+    source_vals: list | None = None,
 ) -> dict:
     from ..codec.analysis import ChunkAnalysis
     from ..codec import kernels as K
@@ -121,6 +123,12 @@ def _encode_chunk(
         bytes_ref = -1
     dmin = doc_ids[0].as_py() if len(doc_ids) else None
     dmax = doc_ids[-1].as_py() if len(doc_ids) else None
+    if source_vals is not None:
+        from ..codec.strings import encode_string_chunk
+
+        source_blob = encode_string_chunk(source_vals)
+    else:
+        source_blob = None
     # doc_ids intentionally absent: the caller assembles the list column
     # zero-copy from the input batch (no Python-object round trip)
     return {
@@ -140,17 +148,24 @@ def _encode_chunk(
         "min_doc_id": dmin,
         "max_doc_id": dmax,
         "bucket": bucket,
+        "source_blob": source_blob,
     }
 
 
 def encode_dataframe(
-    df, options: EncodeOptions | None = None, bucket_col: str | None = None
+    df,
+    options: EncodeOptions | None = None,
+    bucket_col: str | None = None,
+    string_col: str | None = None,
 ):
     """tokens DataFrame -> blocks DataFrame (one row per chunk).
 
     ``bucket_col``: optional partition-bucket column (from
     :func:`.partitioning.size_weighted_repartition`) carried into the
     manifest for checkpoint/resume bookkeeping.
+    ``string_col``: optional string column (e.g. ``source``) stored per chunk
+    as a DICT+FSST blob (``codec/strings.py``), so the full input_hint schema
+    round-trips, not just the token arrays.
     """
     opts = options or EncodeOptions()
 
@@ -167,6 +182,9 @@ def encode_dataframe(
                 buckets = batch.column(bucket_col).to_numpy().astype(np.int64)
             else:
                 buckets = np.zeros(lengths.size, dtype=np.int64)
+            source_all = (
+                batch.column(string_col).to_pylist() if string_col else None
+            )
             # chunk boundaries: (a) bucket changes — a scan task may pack
             # several bucket files, and chunks must stay bucket-homogeneous;
             # (b) jumbo splits so kernels stay O(max_chunk_values) memory
@@ -199,6 +217,7 @@ def encode_dataframe(
                         part_id,
                         seq,
                         int(buckets[a]),
+                        source_all[a:b] if source_all is not None else None,
                     )
                 )
                 chunk_bounds.append(a)
@@ -221,5 +240,7 @@ def encode_dataframe(
                         )
                 yield pa.RecordBatch.from_arrays(cols, schema=_BLOCKS_ARROW_SCHEMA)
 
-    cols = ["doc_id", "tokens"] + ([bucket_col] if bucket_col else [])
+    cols = ["doc_id", "tokens"] + ([bucket_col] if bucket_col else []) + (
+        [string_col] if string_col else []
+    )
     return df.select(*cols).mapInArrow(fn, BLOCKS_SPARK_SCHEMA)
