@@ -113,6 +113,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["compression_by_codec"] = compression_by_codec
 
+    # source string column round trip (DICT+FSST chunk blobs): checksums of
+    # decoded tokens grouped by the DECODED source column
+    def roundtrip_source_rollup(spark, sf_dir):
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions(), string_col="source")
+        decoded = decode_dataframe(blocks, with_source=True)
+        out = with_doc_checksums(decoded)
+        return (
+            out.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("sum_n_tok"),
+                F.sum("tok_cks").alias("sum_tok_cks"),
+            )
+            .orderBy("source")
+        )
+
+    q["roundtrip_source_rollup"] = roundtrip_source_rollup
+
+    # optimise_tile analog: forced-raw blocks re-optimized, then decoded —
+    # values must still match the oracle (lossless rewrite)
+    def reoptimized_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.reoptimize import reoptimize_blocks
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions(codec="raw"))
+        decoded = decode_dataframe(reoptimize_blocks(blocks))
+        return regime_rollup(with_doc_checksums(decoded))
+
+    q["reoptimized_roundtrip"] = reoptimized_roundtrip
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -166,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
     }
     for codec in _CODECS:
         o[f"roundtrip_{codec}_by_regime"] = by_regime
+    o["roundtrip_source_rollup"] = C.per_source_checksum_sql("documents")
+    o["reoptimized_roundtrip"] = by_regime
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 

@@ -228,6 +228,34 @@ ORDER BY doc_id
 """
 
 
+def source_case_sql(col: str = "doc_id") -> str:
+    """SQL mirror of :func:`source_of`."""
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(SOURCES[:-1])
+    )
+    return f"CASE ({col} * 131071) % {len(SOURCES)} {cases} ELSE '{SOURCES[-1]}' END"
+
+
+def per_source_checksum_sql(doc_source: str = "documents") -> str:
+    """Rollup keyed by the (decoded) ``source`` column — gates the string
+    codec round trip alongside the token checksums."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  per_doc AS (
+    SELECT doc_id, n_tok,
+           ((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS cks
+    FROM t GROUP BY doc_id, n_tok
+  )
+SELECT {source_case_sql('per_doc.doc_id')} AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(SUM(cks) AS BIGINT) AS sum_tok_cks
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def per_regime_checksum_sql(doc_source: str = "documents") -> str:
     """Full query: per-regime rollup of the per-doc checksums (BIGINT casts
     as above)."""
