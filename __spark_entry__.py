@@ -144,6 +144,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reoptimized_roundtrip"] = reoptimized_roundtrip
 
+    # custom transformer hook (T3): affine vocab remap before encode;
+    # checksums of the decoded *remapped* tokens vs the formula oracle
+    def transformed_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.verify import transform_tokens
+
+        tokens = transform_tokens(_corpus(spark, sf_dir), 3, 7, 50263)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return regime_rollup(with_doc_checksums(decode_dataframe(blocks)))
+
+    q["transformed_roundtrip"] = transformed_roundtrip
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -199,6 +210,9 @@ def oracle_sql() -> dict[str, str]:
         o[f"roundtrip_{codec}_by_regime"] = by_regime
     o["roundtrip_source_rollup"] = C.per_source_checksum_sql("documents")
     o["reoptimized_roundtrip"] = by_regime
+    o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
+        3, 7, 50263, "documents"
+    )
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 

@@ -256,6 +256,24 @@ ORDER BY 1
 """
 
 
+def per_regime_checksum_transformed_sql(
+    a: int, b: int, m: int, doc_source: str = "documents"
+) -> str:
+    """Per-regime rollup after the affine token remap ``t -> (a*t+b) mod m``
+    (oracle for the custom-transformer hook, encoder.py:186-189 analog)."""
+    base = per_regime_checksum_sql(doc_source)
+    return base.replace(
+        "SUM(tok)", f"SUM((((tok*{a}+{b}) % {m}) + {m}) % {m})"
+    ).replace(
+        "SUM((j + 1) * tok)",
+        f"SUM((j + 1) * ((((tok*{a}+{b}) % {m}) + {m}) % {m}))",
+    ).replace(
+        "MIN(tok)", f"MIN((((tok*{a}+{b}) % {m}) + {m}) % {m})"
+    ).replace(
+        "MAX(tok)", f"MAX((((tok*{a}+{b}) % {m}) + {m}) % {m})"
+    )
+
+
 def per_regime_checksum_sql(doc_source: str = "documents") -> str:
     """Full query: per-regime rollup of the per-doc checksums (BIGINT casts
     as above)."""

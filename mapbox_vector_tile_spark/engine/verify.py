@@ -35,6 +35,37 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> DataFrame:
     )
 
 
+def assert_unique_doc_ids(df: DataFrame) -> None:
+    """Fail fast on duplicate ``doc_id`` — the engine contract analog of the
+    reference raising on duplicate layer names
+    (/root/reference/mapbox_vector_tile/encoder.py:44-48, SURVEY §2.8)."""
+    dup = (
+        df.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        ids = ", ".join(sorted(r.doc_id for r in dup))
+        raise ValueError(f"duplicate doc_id values (first few): {ids}")
+
+
+def transform_tokens(df: DataFrame, a: int, b: int, m: int) -> DataFrame:
+    """Pluggable per-token affine remap ``t -> (a*t + b) mod m`` — the analog
+    of the reference's custom coordinate transformer hook
+    (/root/reference/mapbox_vector_tile/encoder.py:186-189,
+    decoder.py:146-149), e.g. vocabulary remapping before encode. Pure
+    Catalyst ``transform`` — stays in whole-stage codegen, no Python."""
+    return df.withColumn(
+        "tokens",
+        F.transform(
+            F.col("tokens"),
+            lambda t: F.pmod(t.cast("long") * F.lit(a) + F.lit(b), F.lit(m)).cast("int"),
+        ),
+    ).withColumn("n_tok", F.size("tokens"))
+
+
 def doc_num_expr(doc_id_col: str = "doc_id"):
     """Numeric id from the ``doc-%08d`` string form."""
     return F.substring(F.col(doc_id_col), 5, 8).cast("long")
