@@ -59,6 +59,8 @@ def encode_with_checkpoint(
     options: EncodeOptions | None = None,
     run_id: str | None = None,
     fail_after_buckets: int | None = None,
+    sort_col: str = "doc_id",
+    string_col: str | None = None,
 ) -> dict:
     """Encode ``tokens_df`` into ``out_dir`` resumably.
 
@@ -66,10 +68,17 @@ def encode_with_checkpoint(
     returns (test hook simulating an interruption — the analog of the
     kill-after-k-partitions resume test in SURVEY §5).
 
+    ``sort_col``: clustering key for the size-weighted buckets — pass a
+    content key (e.g. a regime/source-derived column) so chunks are
+    distribution-homogeneous and the codec selector can beat the
+    one-size-fits-all scheme (see bench.py's cluster_key).
+
     Returns a summary dict (buckets_total/pending/processed, run_id).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    bucketed = size_weighted_repartition(tokens_df, num_partitions)
+    bucketed = size_weighted_repartition(
+        tokens_df, num_partitions, sort_col=sort_col
+    )
     work = bucketed.select("bucket").distinct()
     done = done_buckets(spark, ckpt_dir)
     pending = sorted(r.bucket for r in pending_buckets(work, done).collect())
@@ -86,7 +95,9 @@ def encode_with_checkpoint(
 
     t0 = time.time()
     todo = bucketed.filter(F.col("bucket").isin(pending))
-    blocks = encode_dataframe(todo, options, bucket_col="bucket")
+    blocks = encode_dataframe(
+        todo, options, bucket_col="bucket", string_col=string_col
+    )
     (
         blocks.write.partitionBy("bucket")
         .mode("overwrite")
