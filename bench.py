@@ -137,11 +137,15 @@ def main() -> int:
         total_tokens = int(sizes.vals)
         assert sizes.rows == n_docs, (sizes.rows, n_docs)
 
+        from mapbox_vector_tile_spark.sources.parquet_direct import (
+            decode_stats_direct,
+        )
+
         best = None
         for _ in range(2):
             t = time.time()
-            dec_tokens = decode_blocks_direct(spark, blocks_pq).agg(
-                F.sum("n_tok")
+            dec_tokens = decode_stats_direct(spark, blocks_pq).agg(
+                F.sum("n_values")
             ).first()[0]
             dt = round(time.time() - t, 3)
             best = dt if best is None else min(best, dt)

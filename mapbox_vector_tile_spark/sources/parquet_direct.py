@@ -134,6 +134,55 @@ def encode_parquet_direct(
     return tasks.mapInArrow(fn, BLOCKS_SPARK_SCHEMA)
 
 
+def decode_stats_direct(
+    spark: SparkSession, blocks_path: str, verify_checksum: bool = True
+) -> DataFrame:
+    """Decode every block but emit only per-block stats (n_rows, n_values,
+    pmod token checksum) — measures pure decode throughput without shipping
+    the decoded arrays back to the JVM. The checksum still proves the decode
+    actually ran over every value."""
+    from ..engine import decode as D
+
+    files = list_parquet_files(blocks_path)
+    tasks = file_task_dataframe(spark, files)
+    MOD = 1_000_000_007
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for tb in batches:
+            for path in tb.column("path").to_pylist():
+                pf = pq.ParquetFile(path)
+                cols = ["lengths_blob", "payload", "checksum"]
+                n_rows = n_values = cks = 0
+                for batch in pf.iter_batches(batch_size=64, columns=cols):
+                    payloads = batch.column("payload")
+                    lb = batch.column("lengths_blob")
+                    ck = batch.column("checksum")
+                    for i in range(batch.num_rows):
+                        lengths, values = D.decode_block_row(
+                            payloads[i].as_py(),
+                            lb[i].as_py(),
+                            ck[i].as_py() if verify_checksum else None,
+                        )
+                        n_rows += int(lengths.size)
+                        n_values += int(values.size)
+                        cks = (cks + int(values.astype(np.int64).sum() % MOD)) % MOD
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "n_rows": [n_rows],
+                        "n_values": [n_values],
+                        "tok_cks": [cks],
+                    },
+                    schema=pa.schema(
+                        [("n_rows", pa.int64()), ("n_values", pa.int64()),
+                         ("tok_cks", pa.int64())]
+                    ),
+                )
+
+    return tasks.mapInArrow(fn, "n_rows long, n_values long, tok_cks long")
+
+
 def decode_blocks_direct(
     spark: SparkSession, blocks_path: str, verify_checksum: bool = True
 ) -> DataFrame:
