@@ -155,6 +155,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transformed_roundtrip"] = transformed_roundtrip
 
+    # grouped stats sampler (applyInPandas surface)
+    def token_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.token_stats import (
+            token_stats_by_source,
+        )
+
+        return token_stats_by_source(_corpus(spark, sf_dir))
+
+    q["token_stats_by_source"] = token_stats
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -213,6 +223,11 @@ def oracle_sql() -> dict[str, str]:
     o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
         3, 7, 50263, "documents"
     )
+    from mapbox_vector_tile_spark.functions.token_stats import (
+        token_stats_by_source_sql,
+    )
+
+    o["token_stats_by_source"] = token_stats_by_source_sql("documents")
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 
