@@ -158,12 +158,13 @@ def main() -> int:
         queries["q_decode"] = best
         assert dec_tokens == total_tokens, (dec_tokens, total_tokens)
 
-        t = time.time()
-        res = verify_roundtrip(
-            bucketed, decode_blocks_direct(spark, blocks_pq)
-        ).first()
-        queries["q_verify"] = round(time.time() - t, 3)
-        assert res.n_mismatch == 0 and res.n_docs == n_docs, res
+        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_VERIFY") != "1":
+            t = time.time()
+            res = verify_roundtrip(
+                bucketed, decode_blocks_direct(spark, blocks_pq)
+            ).first()
+            queries["q_verify"] = round(time.time() - t, 3)
+            assert res.n_mismatch == 0 and res.n_docs == n_docs, res
     finally:
         if cache:
             shutil.rmtree(blocks_pq, ignore_errors=True)

@@ -30,6 +30,9 @@ def run_bench(cpus: int, sf_dir: str, mult: int) -> dict:
         SPARK_GRAFT_BENCH_BUCKETS="128",
         SPARK_GRAFT_BENCH_CACHE=CACHE,
         SPARK_DRIVER_MEMORY="12g",
+        # correctness is gated by the full bench + selfcheck runs; scaling
+        # reps skip the (heavy) verify join so more alternating samples fit
+        SPARK_GRAFT_BENCH_SKIP_VERIFY="1",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
