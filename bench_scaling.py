@@ -52,7 +52,8 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    lo, hi = 8, 32
+    lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    hi = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * lo
 
     run_bench(hi, sf_dir, mult)  # discarded machine-warm pass (also fills cache)
     runs = {lo: [], hi: []}
