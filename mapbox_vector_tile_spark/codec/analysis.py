@@ -19,7 +19,7 @@ class ChunkAnalysis:
 
     __slots__ = (
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
-        "_vmin", "_vmax", "_card_sample",
+        "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
     )
 
     def __init__(self, a: np.ndarray):
@@ -32,6 +32,9 @@ class ChunkAnalysis:
         self._runs = None
         self._vmin = None
         self._vmax = None
+        self._dmin = None
+        self._dmax = None
+        self._n_runs = None
         self._card_sample = None
 
     @property
@@ -96,6 +99,55 @@ class ChunkAnalysis:
         return self._runs
 
     @property
+    def dmin(self) -> int:
+        if self._dmin is None:
+            d = self.deltas
+            self._dmin = int(d.min()) if d.size else 0
+            self._dmax = int(d.max()) if d.size else 0
+        return self._dmin
+
+    @property
+    def dmax(self) -> int:
+        self.dmin  # populate both
+        return self._dmax
+
+    @property
+    def n_runs(self) -> int:
+        """Run count from one boolean reduction (no starts/values arrays)."""
+        if self._n_runs is None:
+            if self._runs is not None:
+                self._n_runs = int(self._runs[0].size)
+            elif self.n == 0:
+                self._n_runs = 0
+            else:
+                self._n_runs = 1 + int(
+                    np.count_nonzero(self.a[1:] != self.a[:-1])
+                )
+        return self._n_runs
+
+    def varint_size_mvt(self) -> int:
+        """Exact byte size of the reference delta+zigzag+varint stream,
+        computed from threshold reductions over the deltas — the zigzag/MVT
+        arrays are never materialized. zz(d) >= 2^k iff d >= 2^(k-1) or
+        d <= -2^(k-1)-1."""
+        n = self.n
+        if n == 0:
+            return 0
+        d = self.deltas
+        total = n
+        # first value is its own delta-from-0
+        first_zz = (self.first << 1) ^ (self.first >> 31)
+        for k in (7, 14, 21, 28):
+            t = 1 << (k - 1)
+            extra = int(np.count_nonzero((d >= t) | (d <= -t - 1))) if d.size else 0
+            if first_zz >= (1 << k):
+                extra += 1
+            total += extra
+            if extra == 0:
+                break
+        return total
+
+    @property
     def card_sample(self) -> int:
         """Cardinality of a strided sample (cheap DICT-viability screen)."""
         if self._card_sample is None:
@@ -104,10 +156,22 @@ class ChunkAnalysis:
             self._card_sample = int(np.unique(sample).size)
         return self._card_sample
 
-    # widths -------------------------------------------------------------
+    # widths — from min/max reductions only; the zigzag arrays themselves
+    # are materialized lazily and only when the winning encoder needs them
+    @staticmethod
+    def _zz_width_from_range(lo: int, hi: int) -> int:
+        m = 0
+        if hi > 0:
+            m = 2 * hi
+        if lo < 0:
+            m = max(m, -2 * lo - 1)
+        return m.bit_length()
+
     @property
     def width_zz(self) -> int:
-        return K.bit_width(self.zz)
+        if self.n == 0:
+            return 0
+        return self._zz_width_from_range(self.vmin, self.vmax)
 
     @property
     def width_range(self) -> int:
@@ -115,4 +179,6 @@ class ChunkAnalysis:
 
     @property
     def width_delta_zz(self) -> int:
-        return K.bit_width(self.zzd)
+        if self.n <= 1:
+            return 0
+        return self._zz_width_from_range(self.dmin, self.dmax)

@@ -81,11 +81,16 @@ def candidate_sizes(
     sizes[B.BITPACK_ZZ] = 1 + _nbits_bytes(n, an.width_zz)
     sizes[B.FOR_BITPACK] = 9 + _nbits_bytes(n, an.width_range)
     sizes[B.DELTA_ZZ_BITPACK] = 5 + _nbits_bytes(n - 1, an.width_delta_zz)
-    sizes[B.DELTA_ZZ_VARINT] = K.varint_size(an.mvt_zz)
-    vals, lens = an.runs
-    lw = K.bit_width(int(lens.max()) - 1)
-    vw = (int(vals.max()) - int(vals.min())).bit_length()
-    sizes[B.RLE] = 18 + _nbits_bytes(vals.size, lw) + _nbits_bytes(vals.size, vw)
+    sizes[B.DELTA_ZZ_VARINT] = an.varint_size_mvt()
+    best_so_far = min(sizes.values())
+    # RLE: run count is one boolean reduction; only build the run arrays if
+    # the 2-bit/run lower bound could beat the best candidate so far
+    r = an.n_runs
+    if 18 + (2 * r + 7) // 8 <= best_so_far:
+        vals, lens = an.runs
+        lw = K.bit_width(int(lens.max()) - 1)
+        vw = (int(vals.max()) - int(vals.min())).bit_length()
+        sizes[B.RLE] = 18 + _nbits_bytes(r, lw) + _nbits_bytes(r, vw)
     # DICT: only evaluate when sampled cardinality is plausibly winning
     if an.card_sample <= _CARD_SKIP_THRESHOLD:
         table = np.unique(an.a)
