@@ -165,6 +165,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_stats_by_source"] = token_stats
 
+    # event-time windowed aggregation (streaming-capable plan, batch form)
+    def windowed_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.streaming.windowed import (
+            windowed_event_counts,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+    q["windowed_event_counts"] = windowed_events
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -228,6 +239,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["token_stats_by_source"] = token_stats_by_source_sql("documents")
+    from mapbox_vector_tile_spark.streaming.windowed import (
+        WINDOWED_EVENT_COUNTS_SQL,
+    )
+
+    o["windowed_event_counts"] = WINDOWED_EVENT_COUNTS_SQL
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 
