@@ -35,6 +35,7 @@ _CODECS = [
     "delta_zz_varint",
     "rle",
     "dict_bitpack",
+    "dict_escape",
 ]
 
 

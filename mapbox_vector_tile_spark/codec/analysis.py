@@ -20,6 +20,7 @@ class ChunkAnalysis:
     __slots__ = (
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
         "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
+        "_sample_uc", "_heavy",
     )
 
     def __init__(self, a: np.ndarray):
@@ -36,6 +37,8 @@ class ChunkAnalysis:
         self._dmax = None
         self._n_runs = None
         self._card_sample = None
+        self._sample_uc = None
+        self._heavy = None
 
     @property
     def n(self) -> int:
@@ -148,13 +151,44 @@ class ChunkAnalysis:
         return total
 
     @property
+    def sample_uc(self) -> tuple[np.ndarray, np.ndarray]:
+        """(values, counts) of a strided sample, for cardinality and
+        heavy-hitter screening."""
+        if self._sample_uc is None:
+            n = self.n
+            sample = self.a if n <= _CARD_SAMPLE else self.a[:: max(1, n // _CARD_SAMPLE)]
+            self._sample_uc = np.unique(sample, return_counts=True)
+        return self._sample_uc
+
+    @property
     def card_sample(self) -> int:
         """Cardinality of a strided sample (cheap DICT-viability screen)."""
         if self._card_sample is None:
-            n = self.n
-            sample = self.a if n <= _CARD_SAMPLE else self.a[:: max(1, n // _CARD_SAMPLE)]
-            self._card_sample = int(np.unique(sample).size)
+            self._card_sample = int(self.sample_uc[0].size)
         return self._card_sample
+
+    def heavy(self, max_head: int = 255):
+        """Heavy-hitter decomposition for DICT_ESCAPE: head values chosen by
+        sampled frequency (deterministic: count desc, value asc), exact
+        membership mask over the full chunk. Cached.
+
+        Returns ``(head_values, codes_valid_mask, codes, n_escapes)`` where
+        ``codes[i]`` is the head index for matched positions."""
+        if self._heavy is None:
+            vals, counts = self.sample_uc
+            order = np.argsort(-counts, kind="stable")[:max_head]
+            head = vals[order]  # frequency order
+            c = head.size
+            sort_idx = np.argsort(head, kind="stable")
+            sh = head[sort_idx]
+            pos = np.searchsorted(sh, self.a)
+            posc = np.minimum(pos, max(c - 1, 0))
+            valid = (sh[posc] == self.a) if c else np.zeros(self.n, bool)
+            codes = np.zeros(self.n, dtype=np.uint32)
+            if c:
+                codes[valid] = sort_idx[posc[valid]].astype(np.uint32)
+            self._heavy = (head, valid, codes, int(self.n - np.count_nonzero(valid)))
+        return self._heavy
 
     # widths — from min/max reductions only; the zigzag arrays themselves
     # are materialized lazily and only when the winning encoder needs them

@@ -38,6 +38,7 @@ DELTA_ZZ_BITPACK = 4
 DELTA_ZZ_VARINT = 5  # the reference MVT scheme (compression baseline)
 RLE = 6
 DICT_BITPACK = 7
+DICT_ESCAPE = 8  # heavy-hitter head codes + escaped tail (zipf-shaped data)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -48,6 +49,7 @@ CODEC_NAMES = {
     DELTA_ZZ_VARINT: "delta_zz_varint",
     RLE: "rle",
     DICT_BITPACK: "dict_bitpack",
+    DICT_ESCAPE: "dict_escape",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -193,6 +195,77 @@ def _dec_dict_bitpack(buf: memoryview, n: int) -> np.ndarray:
     return K.dict_decode(table, idx)
 
 
+# k, head_card, n_escapes, head_min, head_width, esc_min, esc_width
+_DESC = struct.Struct("<BHqqBqB")
+
+
+def dict_escape_sizes(n: int, c: int, hw: int, k: int, n_esc: int, ew: int) -> int:
+    """Exact params+payload size for DICT_ESCAPE (shared with the selector)."""
+    return (
+        _DESC.size + _nbytes(c, hw) + _nbytes(n, k) + _nbytes(n_esc, ew)
+    )
+
+
+def dict_escape_params(an: ChunkAnalysis) -> tuple[int, int, int, int, int]:
+    """(k, head_card, head_width, n_escapes, esc_width) — shared between the
+    encoder and the selector's exact size computation."""
+    head, valid, _, n_esc = an.heavy()
+    c = head.size
+    if c == 0:
+        raise ValueError("DICT_ESCAPE requires a nonempty head")
+    k = max(1, int(c).bit_length())  # 2^k > c, escape code = 2^k - 1
+    hw = (int(head.max()) - int(head.min())).bit_length()
+    if n_esc:
+        esc_vals = an.a[~valid]
+        ew = (int(esc_vals.max()) - int(esc_vals.min())).bit_length()
+    else:
+        ew = 0
+    return k, c, hw, n_esc, ew
+
+
+def _enc_dict_escape(an: ChunkAnalysis) -> bytes:
+    head, valid, codes, n_esc = an.heavy()
+    k, c, hw, n_esc, ew = dict_escape_params(an)
+    escape = np.uint32((1 << k) - 1)
+    codes = codes.copy()
+    codes[~valid] = escape
+    hmin = int(head.min())
+    hrel = _rel_u32(np.ascontiguousarray(head, dtype=np.int32), hmin)
+    esc_vals = an.a[~valid]
+    if esc_vals.size:
+        emin = int(esc_vals.min())
+        erel = _rel_u32(np.ascontiguousarray(esc_vals, dtype=np.int32), emin)
+    else:
+        emin, erel = 0, np.zeros(0, dtype=np.uint32)
+    return (
+        _DESC.pack(k, c, n_esc, hmin, hw, emin, ew)
+        + K.bitpack(hrel, hw)
+        + K.bitpack(codes, k)
+        + K.bitpack(erel, ew)
+    )
+
+
+def _dec_dict_escape(buf: memoryview, n: int) -> np.ndarray:
+    k, c, n_esc, hmin, hw, emin, ew = _DESC.unpack_from(buf)
+    off = _DESC.size
+    head = (
+        K.bitunpack(buf[off : off + _nbytes(c, hw)], hw, c)
+        + np.uint32(hmin & 0xFFFFFFFF)
+    ).view(np.int32)
+    off += _nbytes(c, hw)
+    codes = K.bitunpack(buf[off : off + _nbytes(n, k)], k, n)
+    off += _nbytes(n, k)
+    esc_vals = (
+        K.bitunpack(buf[off:], ew, n_esc) + np.uint32(emin & 0xFFFFFFFF)
+    ).view(np.int32)
+    escape = np.uint32((1 << k) - 1)
+    mask = codes == escape
+    out = np.empty(n, dtype=np.int32)
+    out[~mask] = np.take(head, codes[~mask].astype(np.int64))
+    out[mask] = esc_vals
+    return out
+
+
 _ENCODERS = {
     RAW: _enc_raw,
     CONSTANT: _enc_constant,
@@ -202,6 +275,7 @@ _ENCODERS = {
     DELTA_ZZ_VARINT: _enc_delta_zz_varint,
     RLE: _enc_rle,
     DICT_BITPACK: _enc_dict_bitpack,
+    DICT_ESCAPE: _enc_dict_escape,
 }
 _DECODERS = {
     RAW: _dec_raw,
@@ -212,6 +286,7 @@ _DECODERS = {
     DELTA_ZZ_VARINT: _dec_delta_zz_varint,
     RLE: _dec_rle,
     DICT_BITPACK: _dec_dict_bitpack,
+    DICT_ESCAPE: _dec_dict_escape,
 }
 
 

@@ -98,6 +98,14 @@ def candidate_sizes(
         tw = (int(table[-1]) - int(table[0])).bit_length()
         iw = K.bit_width(max(c - 1, 0))
         sizes[B.DICT_BITPACK] = 18 + _nbits_bytes(c, tw) + _nbits_bytes(n, iw)
+    # DICT_ESCAPE: high cardinality but concentrated mass (zipf-shaped) —
+    # screen on the sampled top-255 mass before paying the exact passes
+    elif n >= 256:
+        vals, counts = an.sample_uc
+        top = np.sort(counts)[-255:]
+        if top.sum() * 10 >= counts.sum() * 3:  # >= 30% sampled head mass
+            k, c, hw, n_esc, ew = B.dict_escape_params(an)
+            sizes[B.DICT_ESCAPE] = B.dict_escape_sizes(n, c, hw, k, n_esc, ew)
     return sizes
 
 
@@ -110,6 +118,7 @@ _TIE_ORDER = [
     B.DELTA_ZZ_BITPACK,
     B.RLE,
     B.DICT_BITPACK,
+    B.DICT_ESCAPE,
     B.DELTA_ZZ_VARINT,
 ]
 _TIE_RANK = {c: i for i, c in enumerate(_TIE_ORDER)}

@@ -24,6 +24,11 @@ CORPORA = {
     "uniform": rng.integers(-(2**31), 2**31, 5000, dtype=np.int64).astype(I32),
     "sawtooth": (np.arange(5000) % 64 * np.where(np.arange(5000) % 2 == 0, 1, -1)).astype(I32),
     "boundaries": np.tile(np.array([2**31 - 1, -(2**31), 0, -1, 1], dtype=I32), 100),
+    "zipf_ish": np.where(
+        rng.integers(0, 4, 20000) < 3,
+        rng.integers(0, 16, 20000),
+        rng.integers(0, 50257, 20000),
+    ).astype(I32),
     "single": np.array([123456], dtype=I32),
     "single_neg": np.array([-(2**31)], dtype=I32),
     "empty": np.array([], dtype=I32),
@@ -81,6 +86,7 @@ def test_candidate_sizes_are_exact():
         ("sorted_ids", {B.DELTA_ZZ_BITPACK}),
         ("clustered", {B.FOR_BITPACK, B.DICT_BITPACK}),
         ("uniform", {B.RAW, B.BITPACK_ZZ}),
+        ("zipf_ish", {B.DICT_ESCAPE}),
     ],
 )
 def test_selector_expected_pick(name, expected):
