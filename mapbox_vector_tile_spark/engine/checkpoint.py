@@ -17,6 +17,8 @@ otherwise start over. The job therefore:
 
 from __future__ import annotations
 
+import json
+import os
 import time
 import uuid
 
@@ -24,13 +26,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.utils import AnalysisException
 
 from .encode import EncodeOptions, encode_dataframe
-from .partitioning import size_weighted_repartition
+from .partitioning import size_weighted_repartition, weighted_cuts
 
 CHECKPOINT_SCHEMA = (
     "bucket int, run_id string, status string, n_rows long, n_values long, "
     "bytes_raw long, bytes_enc long, bytes_ref long, n_chunks long, "
     "codecs string, wall_ms long, finished_at double"
 )
+
+# Bucket-plan sidecar: leading "_" so parquet readers ignore it (like
+# _SUCCESS). The cut boundaries MUST be identical across runs — sampling
+# depends on the physical partition layout (executor count, file splits), so
+# a resume on a different cluster config would otherwise re-derive different
+# cuts and the 'done' markers would describe different row sets.
+_PLAN_FILE = "_bucket_plan.json"
+
+
+def _read_plan(ckpt_dir: str) -> dict | None:
+    path = os.path.join(ckpt_dir, _PLAN_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_plan(ckpt_dir: str, plan: dict) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = os.path.join(ckpt_dir, _PLAN_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.replace(tmp, os.path.join(ckpt_dir, _PLAN_FILE))
 
 
 def read_checkpoint(spark: SparkSession, ckpt_dir: str) -> DataFrame:
@@ -76,8 +101,29 @@ def encode_with_checkpoint(
     Returns a summary dict (buckets_total/pending/processed, run_id).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    plan = _read_plan(ckpt_dir)
+    if plan is None:
+        cuts = weighted_cuts(tokens_df, num_partitions, sort_col, "n_tok")
+        _write_plan(
+            ckpt_dir,
+            {
+                "cuts": cuts,
+                "num_partitions": num_partitions,
+                "sort_col": sort_col,
+            },
+        )
+    else:
+        if plan["num_partitions"] != num_partitions or plan["sort_col"] != sort_col:
+            raise ValueError(
+                "checkpoint bucket plan mismatch: recorded "
+                f"(num_partitions={plan['num_partitions']}, "
+                f"sort_col={plan['sort_col']!r}) but caller supplied "
+                f"(num_partitions={num_partitions}, sort_col={sort_col!r}); "
+                "resume must reuse the original bucketing"
+            )
+        cuts = plan["cuts"]
     bucketed = size_weighted_repartition(
-        tokens_df, num_partitions, sort_col=sort_col
+        tokens_df, num_partitions, sort_col=sort_col, cuts=cuts
     )
     work = bucketed.select("bucket").distinct()
     done = done_buckets(spark, ckpt_dir)

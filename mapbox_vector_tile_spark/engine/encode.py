@@ -75,6 +75,45 @@ class EncodeOptions:
             )
 
 
+def chunk_row_starts(
+    lengths: np.ndarray,
+    max_chunk_values: int,
+    forced: np.ndarray | None = None,
+) -> list[int]:
+    """Chunk-cut row indices: ``forced`` boundaries (e.g. bucket changes)
+    plus greedy value-budget cuts — vectorized with ``searchsorted`` on the
+    cumulative token count, so the loop runs once per *cut*, not per row.
+
+    Returns ``[0, ...cuts..., n]``; every forced boundary is a cut, and
+    within each forced segment a cut is placed after the first row that
+    brings the running value total to ``max_chunk_values`` (never after the
+    final row of the table).
+    """
+    n = int(lengths.size)
+    if n == 0:
+        return [0, 0]
+    cw = np.cumsum(lengths, dtype=np.int64)  # cw[i] = sum lengths[0..i]
+    seg_bounds = [0]
+    if forced is not None and len(forced):
+        seg_bounds.extend(int(x) for x in forced if 0 < int(x) < n)
+    seg_bounds.append(n)
+    starts = [0]
+    for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+        if s >= e:
+            continue
+        if s > 0 and s != starts[-1]:
+            starts.append(s)
+        base = int(cw[s - 1]) if s > 0 else 0
+        while True:
+            i = int(np.searchsorted(cw, base + max_chunk_values, side="left"))
+            if i >= e - 1 or i + 1 >= n:
+                break
+            starts.append(i + 1)
+            base = int(cw[i])
+    starts.append(n)
+    return starts
+
+
 def _flatten_tokens(batch: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray]:
     col = batch.column("tokens")
     if col.null_count:
@@ -121,8 +160,15 @@ def _encode_chunk(
         )
     else:
         bytes_ref = -1
-    dmin = doc_ids[0].as_py() if len(doc_ids) else None
-    dmax = doc_ids[-1].as_py() if len(doc_ids) else None
+    # true min/max (not first/last): chunks may be clustered by a
+    # non-doc_id sort key, and zone-map pruning on these must stay correct
+    if len(doc_ids):
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(doc_ids).as_py()
+        dmin, dmax = mm["min"], mm["max"]
+    else:
+        dmin = dmax = None
     if source_vals is not None:
         from ..codec.strings import encode_string_chunk
 
@@ -188,20 +234,8 @@ def encode_dataframe(
             # chunk boundaries: (a) bucket changes — a scan task may pack
             # several bucket files, and chunks must stay bucket-homogeneous;
             # (b) jumbo splits so kernels stay O(max_chunk_values) memory
-            must_split = set(
-                (np.flatnonzero(np.diff(buckets) != 0) + 1).tolist()
-            )
-            row_starts = [0]
-            acc = 0
-            for i, ln in enumerate(lengths):
-                if i in must_split and i > row_starts[-1]:
-                    row_starts.append(i)
-                    acc = 0
-                acc += int(ln)
-                if acc >= opts.max_chunk_values and i + 1 < lengths.size:
-                    row_starts.append(i + 1)
-                    acc = 0
-            row_starts.append(lengths.size)
+            forced = np.flatnonzero(np.diff(buckets) != 0) + 1
+            row_starts = chunk_row_starts(lengths, opts.max_chunk_values, forced)
             val_offsets = np.concatenate(([0], np.cumsum(lengths)))
             rows = []
             chunk_bounds = []

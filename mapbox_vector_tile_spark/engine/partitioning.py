@@ -101,11 +101,18 @@ def size_weighted_repartition(
     weight_col: str = "n_tok",
     sample_fraction: float | None = None,
     bucket_col: str = "bucket",
+    cuts: list | None = None,
 ) -> DataFrame:
     """Repartition so every partition holds ≈ equal total ``weight_col``,
-    exactly one bucket per partition, rows sorted by ``sort_col`` within."""
+    exactly one bucket per partition, rows sorted by ``sort_col`` within.
+
+    ``cuts``: precomputed boundary keys (e.g. persisted by a checkpointed
+    run) — sampling depends on the physical partition layout, so resumable
+    jobs must reuse the first run's cuts verbatim (see engine/checkpoint.py).
+    """
     spark = df.sparkSession
-    cuts = weighted_cuts(df, num_partitions, sort_col, weight_col, sample_fraction)
+    if cuts is None:
+        cuts = weighted_cuts(df, num_partitions, sort_col, weight_col, sample_fraction)
     n = len(cuts) + 1
     labels = hash_perfect_labels(spark, n)
     label_of = F.array(*[F.lit(x) for x in labels])

@@ -27,10 +27,15 @@ def reoptimize_blocks(blocks_df, validate: bool = False):
     """blocks DataFrame -> blocks DataFrame with minimal-size codecs.
 
     Keeps every manifest column; rewrites payload/codec/bytes_enc/checksum
-    only where auto-selection beats the stored encoding.
+    only where auto-selection beats the stored encoding. ``validate``
+    round-trips every rewritten payload before swapping it in (decode-after-
+    encode, the analog of the reference's post-optimise assert) and keeps the
+    original on any mismatch.
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         for batch in batches:
             cols = {name: batch.column(name).to_pylist() for name in
                     batch.schema.names if name != "doc_ids"}
@@ -42,6 +47,10 @@ def reoptimize_blocks(blocks_df, validate: bool = False):
                 an = ChunkAnalysis(values)
                 cid = S.choose_codec(an.a, an)
                 payload = B.encode_block(an.a, cid, an)
+                if validate and not np.array_equal(
+                    B.decode_block(payload), an.a
+                ):
+                    continue  # keep the original payload on mismatch
                 if len(payload) < len(cols["payload"][i]):
                     cols["payload"][i] = payload
                     cols["codec_id"][i] = cid

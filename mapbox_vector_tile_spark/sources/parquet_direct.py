@@ -89,14 +89,7 @@ def encode_parquet_direct(
                     import numpy as np
 
                     val_offsets = np.concatenate(([0], np.cumsum(lengths)))
-                    row_starts = [0]
-                    acc = 0
-                    for i, ln in enumerate(lengths):
-                        acc += int(ln)
-                        if acc >= opts.max_chunk_values and i + 1 < lengths.size:
-                            row_starts.append(i + 1)
-                            acc = 0
-                    row_starts.append(lengths.size)
+                    row_starts = E.chunk_row_starts(lengths, opts.max_chunk_values)
                     doc_ids = batch.column("doc_id")
                     if isinstance(doc_ids, pa.ChunkedArray):
                         doc_ids = doc_ids.combine_chunks()

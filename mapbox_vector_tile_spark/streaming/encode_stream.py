@@ -11,7 +11,7 @@ the exact batch code path — one engine, two drivers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..engine.encode import EncodeOptions, encode_dataframe
 
@@ -27,11 +27,24 @@ def start_encode_stream(
 
     Returns the StreamingQuery. ``trigger_once`` processes all available
     input then stops (the batch-parity mode used in tests).
+
+    ``foreachBatch`` is at-least-once: a batch whose write committed but
+    whose stream-checkpoint record didn't is replayed on restart. Each
+    micro-batch therefore writes to its own ``batch_id=`` partition with
+    dynamic partition overwrite (mirroring ``engine/checkpoint.py``), so a
+    replay overwrites its own output instead of appending duplicates.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        blocks = encode_dataframe(batch_df, options)
-        blocks.write.mode("append").parquet(out_dir)
+        blocks = encode_dataframe(batch_df, options).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            blocks.write.partitionBy("batch_id")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
 
     writer = (
         tokens_stream.writeStream.foreachBatch(process)

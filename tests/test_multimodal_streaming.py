@@ -58,3 +58,30 @@ def test_streaming_encode_matches_batch(spark, tmp_path):
     assert blocks.agg(F.sum("n_values")).first()[0] == static.agg(
         F.sum("n_tok")
     ).first()[0]
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a replay (lost stream
+    checkpoint, intact output) and assert the batch overwrites its own
+    batch_id partition instead of appending duplicates."""
+    import shutil
+
+    from mapbox_vector_tile_spark.streaming.encode_stream import start_encode_stream
+
+    n = 100
+    tokens_pq = str(tmp_path / "tokens")
+    G.corpus_dataframe(spark, n, num_partitions=2).write.parquet(tokens_pq)
+    static = spark.read.parquet(tokens_pq)
+    out_dir = str(tmp_path / "blocks_stream")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    for _ in range(2):  # second run replays batch 0 into the same out_dir
+        stream = spark.readStream.schema(static.schema).parquet(tokens_pq)
+        q = start_encode_stream(stream, out_dir, ckpt, trigger_once=True)
+        q.awaitTermination(120)
+        shutil.rmtree(ckpt)  # lose the stream checkpoint -> forced replay
+
+    blocks = spark.read.parquet(out_dir)
+    assert blocks.select("batch_id").distinct().count() == 1
+    res = verify_roundtrip(static, decode_dataframe(blocks)).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (n, n, 0)
