@@ -156,6 +156,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transformed_roundtrip"] = transformed_roundtrip
 
+    # decode-side transformer hook (T3 decode direction, decoder.py:146-149):
+    # forward remap before encode, inverse hook on decode — the oracle
+    # applies the same composition (folds each token to t mod m)
+    def transformed_roundtrip_inverse(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.verify import (
+            inverse_transform_tokens,
+            transform_tokens,
+        )
+
+        tokens = transform_tokens(_corpus(spark, sf_dir), 3, 7, 50263)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        decoded = decode_dataframe(
+            blocks,
+            transform=lambda df: inverse_transform_tokens(df, 3, 7, 50263),
+        )
+        return regime_rollup(with_doc_checksums(decoded))
+
+    q["transformed_roundtrip_inverse"] = transformed_roundtrip_inverse
+
+    # per-column option cascade (S4): force a codec for the LENGTHS stream
+    # only — tokens stay auto-selected; round trip must still be exact
+    def roundtrip_lengths_rle(spark, sf_dir):
+        opts = EncodeOptions(per_column={"lengths": {"codec": "rle"}})
+        tokens = _corpus(spark, sf_dir)
+        decoded = decode_dataframe(encode_dataframe(tokens, opts))
+        return regime_rollup(with_doc_checksums(decoded))
+
+    q["roundtrip_lengths_rle_by_regime"] = roundtrip_lengths_rle
+
     # grouped stats sampler (applyInPandas surface)
     def token_stats(spark, sf_dir):
         from mapbox_vector_tile_spark.functions.token_stats import (
@@ -191,7 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: T.dedup_exact(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: T.minhash_signatures(_docs(s, d))
     q["lsh_candidate_pairs"] = lambda s, d: T.lsh_candidate_pairs(_docs(s, d))
-    q["near_dup_jaccard"] = lambda s, d: T.jaccard_within_lang(_docs(s, d))
+    q["near_dup_jaccard"] = lambda s, d: T.near_dup_jaccard(_docs(s, d))
     q["simhash32"] = lambda s, d: T.simhash32(_docs(s, d))
     q["lang_id"] = lambda s, d: T.lang_id(_docs(s, d))
     q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d))
@@ -235,6 +264,10 @@ def oracle_sql() -> dict[str, str]:
     o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
         3, 7, 50263, "documents"
     )
+    o["transformed_roundtrip_inverse"] = (
+        C.per_regime_checksum_roundtrip_transformed_sql(3, 7, 50263, "documents")
+    )
+    o["roundtrip_lengths_rle_by_regime"] = by_regime
     from mapbox_vector_tile_spark.functions.token_stats import (
         token_stats_by_source_sql,
     )
@@ -255,7 +288,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = T.DEDUP_EXACT_SQL
     o["minhash_signatures"] = T.minhash_signatures_sql()
     o["lsh_candidate_pairs"] = T.lsh_candidate_pairs_sql()
-    o["near_dup_jaccard"] = T.jaccard_within_lang_sql()
+    o["near_dup_jaccard"] = T.near_dup_jaccard_sql()
     o["simhash32"] = T.simhash32_sql()
     o["lang_id"] = T.lang_id_sql()
     o["quality_scores"] = T.QUALITY_SQL

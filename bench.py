@@ -8,10 +8,13 @@ and the fast one (vectorized columnar scan -> Arrow, no row-object boxing).
 
 Timed phases:
   q_generate    distributed corpus synthesis -> tokens parquet
-  q_partition   size-weighted + regime-clustered repartition -> bucketed parquet
+  q_partition   size-weighted + regime-clustered FILE-LEVEL exchange ->
+                bucketed parquet (engine/exchange.py: parquet -> Arrow ->
+                parquet in workers; no JVM row shuffle of the token arrays)
   q_encode      parquet scan -> mapInArrow auto-codec encode -> blocks parquet
   q_decode      blocks parquet -> mapInArrow decode -> token count agg
-  q_verify      decoded vs original full-outer join, exact array equality
+  q_verify      per-doc checksum metadata join (worker-side order-sensitive
+                checksums both sides; arrays never cross to the JVM)
 
 Headline value = total seconds; extra keys carry tokens/sec, GB/s, and
 compressed size vs raw and vs the reference MVT scheme (delta+zigzag+varint,
@@ -34,21 +37,19 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "40"))
-    num_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", str(4 * cpus)))
+    num_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", str(cpus)))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from pyspark.sql import functions as F
 
     from mapbox_vector_tile_spark.engine import generator as G
-    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
     from mapbox_vector_tile_spark.engine.encode import EncodeOptions, encode_dataframe
-    from mapbox_vector_tile_spark.engine.partitioning import size_weighted_repartition
-    from mapbox_vector_tile_spark.engine.session import get_spark
-    from mapbox_vector_tile_spark.engine.verify import (
-        doc_num_expr,
-        regime_expr,
-        verify_roundtrip,
+    from mapbox_vector_tile_spark.engine.exchange import (
+        regime_doc_key,
+        size_weighted_exchange,
     )
+    from mapbox_vector_tile_spark.engine.session import get_spark
+    from mapbox_vector_tile_spark.engine.verify import verify_roundtrip_checksums
 
     spark = get_spark(
         app_name="mvt-spark-bench",
@@ -95,17 +96,15 @@ def main() -> int:
         # cluster by content regime so chunks are distribution-homogeneous and
         # the per-chunk selector can beat the one-size-fits-all reference
         # scheme (the table-level analog of the reference's delta-minimizing
-        # reorder, /root/reference/mapbox_vector_tile/optimise.py:133-163)
+        # reorder, /root/reference/mapbox_vector_tile/optimise.py:133-163).
+        # File-level exchange: bytes move parquet -> Arrow -> parquet inside
+        # workers; the JVM never boxes the token arrays into shuffle rows.
         t = time.time()
         if not os.path.exists(f"{bucketed_pq}/_SUCCESS"):
-            tokens = spark.read.parquet(tokens_pq)
-            clustered = tokens.withColumn(
-                "cluster_key",
-                F.format_string("%d|%s", regime_expr(doc_num_expr()), F.col("doc_id")),
+            size_weighted_exchange(
+                spark, tokens_pq, bucketed_pq, num_buckets,
+                key_fn=regime_doc_key, n_tasks=cpus,
             )
-            size_weighted_repartition(clustered, num_buckets, sort_col="cluster_key") \
-                .drop("cluster_key") \
-                .write.partitionBy("bucket").mode("overwrite").parquet(bucketed_pq)
         queries["q_partition"] = round(time.time() - t, 3)
 
         # encode/decode use the native columnar scan path (pyarrow reads the
@@ -113,7 +112,6 @@ def main() -> int:
         # JVM row<->Arrow conversion of array<int> otherwise dominates wall
         t = time.time()
         from mapbox_vector_tile_spark.sources.parquet_direct import (
-            decode_blocks_direct,
             encode_parquet_direct,
         )
 
@@ -124,12 +122,11 @@ def main() -> int:
         for _ in range(2):
             t = time.time()
             encode_parquet_direct(spark, bucketed_pq, EncodeOptions(),
-                                  bucket_from_dir=True) \
+                                  bucket_from_dir=True, n_tasks=4 * cpus) \
                 .write.mode("overwrite").parquet(blocks_pq)
             dt = round(time.time() - t, 3)
             best = dt if best is None else min(best, dt)
         queries["q_encode"] = best
-        bucketed = spark.read.parquet(bucketed_pq)
 
         written = spark.read.parquet(blocks_pq)
         sizes = written.agg(
@@ -150,21 +147,29 @@ def main() -> int:
         best = None
         for _ in range(2):
             t = time.time()
-            dec_tokens = decode_stats_direct(spark, blocks_pq).agg(
-                F.sum("n_values")
-            ).first()[0]
+            dec_tokens = decode_stats_direct(
+                spark, blocks_pq, n_tasks=2 * cpus
+            ).agg(F.sum("n_values")).first()[0]
             dt = round(time.time() - t, 3)
             best = dt if best is None else min(best, dt)
         queries["q_decode"] = best
         assert dec_tokens == total_tokens, (dec_tokens, total_tokens)
 
+        match_rate = None
         if os.environ.get("SPARK_GRAFT_BENCH_SKIP_VERIFY") != "1":
+            from mapbox_vector_tile_spark.sources.parquet_direct import (
+                decoded_doc_checksums_direct,
+                doc_checksums_direct,
+            )
+
             t = time.time()
-            res = verify_roundtrip(
-                bucketed, decode_blocks_direct(spark, blocks_pq)
+            res = verify_roundtrip_checksums(
+                doc_checksums_direct(spark, bucketed_pq, n_tasks=2 * cpus),
+                decoded_doc_checksums_direct(spark, blocks_pq, n_tasks=2 * cpus),
             ).first()
             queries["q_verify"] = round(time.time() - t, 3)
             assert res.n_mismatch == 0 and res.n_docs == n_docs, res
+            match_rate = res.n_match / res.n_docs
     finally:
         if cache:
             shutil.rmtree(blocks_pq, ignore_errors=True)
@@ -192,7 +197,9 @@ def main() -> int:
         "compression_ratio_vs_raw": round(sizes.raw / sizes.enc, 3),
         "bytes_vs_reference_scheme": round(sizes.enc / sizes.ref, 4),
         "n_chunks": int(sizes.chunks),
-        "roundtrip_match_rate": 1.0,
+        # None (JSON null) when the verify phase was skipped — a rate is
+        # only reported when it was actually measured this run
+        "roundtrip_match_rate": match_rate,
     }
     print(json.dumps(result))
     spark.stop()

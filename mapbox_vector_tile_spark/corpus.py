@@ -256,21 +256,54 @@ ORDER BY 1
 """
 
 
+def affine_tok_sql(a: int, b: int, m: int, inner: str = "tok") -> str:
+    """SQL for the affine remap ``t -> (a*t+b) mod m`` (pmod semantics)."""
+    return f"((({inner})*{a}+{b}) % {m} + {m}) % {m}"
+
+
+def inverse_affine_tok_sql(a: int, b: int, m: int, inner: str) -> str:
+    """SQL for the inverse remap ``x -> a^-1 * (x - b) mod m``."""
+    a_inv = pow(a, -1, m)
+    return f"((({inner}) - {b}) * {a_inv} % {m} + {m}) % {m}"
+
+
+def per_regime_checksum_mapped_sql(
+    tok_expr: str, doc_source: str = "documents"
+) -> str:
+    """Per-regime rollup with every ``tok`` reference replaced by an
+    arbitrary mapping expression (must contain ``tok``)."""
+    base = per_regime_checksum_sql(doc_source)
+    return base.replace(
+        "SUM(tok)", f"SUM({tok_expr})"
+    ).replace(
+        "SUM((j + 1) * tok)", f"SUM((j + 1) * ({tok_expr}))"
+    ).replace(
+        "MIN(tok)", f"MIN({tok_expr})"
+    ).replace(
+        "MAX(tok)", f"MAX({tok_expr})"
+    )
+
+
 def per_regime_checksum_transformed_sql(
     a: int, b: int, m: int, doc_source: str = "documents"
 ) -> str:
     """Per-regime rollup after the affine token remap ``t -> (a*t+b) mod m``
     (oracle for the custom-transformer hook, encoder.py:186-189 analog)."""
-    base = per_regime_checksum_sql(doc_source)
-    return base.replace(
-        "SUM(tok)", f"SUM((((tok*{a}+{b}) % {m}) + {m}) % {m})"
-    ).replace(
-        "SUM((j + 1) * tok)",
-        f"SUM((j + 1) * ((((tok*{a}+{b}) % {m}) + {m}) % {m}))",
-    ).replace(
-        "MIN(tok)", f"MIN((((tok*{a}+{b}) % {m}) + {m}) % {m})"
-    ).replace(
-        "MAX(tok)", f"MAX((((tok*{a}+{b}) % {m}) + {m}) % {m})"
+    return per_regime_checksum_mapped_sql(
+        f"({affine_tok_sql(a, b, m)})", doc_source
+    )
+
+
+def per_regime_checksum_roundtrip_transformed_sql(
+    a: int, b: int, m: int, doc_source: str = "documents"
+) -> str:
+    """Oracle for the DECODE-side inverse transformer hook
+    (decoder.py:146-149 analog): forward remap before encode, inverse remap
+    after decode — the composition folds each token to ``t mod m``, which
+    the SQL applies directly."""
+    fwd = affine_tok_sql(a, b, m)
+    return per_regime_checksum_mapped_sql(
+        f"({inverse_affine_tok_sql(a, b, m, f'({fwd})')})", doc_source
     )
 
 

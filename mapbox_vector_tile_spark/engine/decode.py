@@ -56,11 +56,23 @@ def decode_block_row(
     return lengths, values
 
 
-def decode_dataframe(blocks_df, verify_checksum: bool = True, with_source: bool = False):
+def decode_dataframe(
+    blocks_df,
+    verify_checksum: bool = True,
+    with_source: bool = False,
+    transform=None,
+):
     """blocks DataFrame -> ``(doc_id, tokens, n_tok[, source])`` DataFrame.
 
     ``with_source`` additionally decodes the per-chunk DICT+FSST string blob
-    (requires blocks encoded with ``string_col``)."""
+    (requires blocks encoded with ``string_col``).
+
+    ``transform``: optional post-decode hook ``DataFrame -> DataFrame`` —
+    the decode-side custom transformer (the reference applies its
+    transformer on decode too, /root/reference/mapbox_vector_tile/
+    decoder.py:146-149); e.g. ``verify.inverse_transform_tokens`` to map a
+    remapped vocabulary back to the original. Applied as a Catalyst
+    expression over the decoded frame, so it stays JVM-side."""
 
     out_schema = _SRC_ARROW_SCHEMA if with_source else _OUT_ARROW_SCHEMA
 
@@ -105,4 +117,5 @@ def decode_dataframe(blocks_df, verify_checksum: bool = True, with_source: bool 
         ["source_blob"] if with_source else []
     )
     schema_str = TOKENS_SRC_OUT_SPARK_SCHEMA if with_source else TOKENS_OUT_SPARK_SCHEMA
-    return blocks_df.select(*cols).mapInArrow(fn, schema_str)
+    out = blocks_df.select(*cols).mapInArrow(fn, schema_str)
+    return transform(out) if transform is not None else out

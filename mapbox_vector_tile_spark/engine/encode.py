@@ -58,21 +58,67 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
 )
 
 
+# Streams an encode produces; each can carry its own codec/validate override.
+COLUMN_STREAMS = ("tokens", "lengths")
+_PER_COLUMN_KEYS = ("codec", "validate")
+
+
 @dataclass(frozen=True)
 class EncodeOptions:
-    """Engine config (the analog of the reference's validated option cascade,
-    /root/reference/mapbox_vector_tile/utils.py:52-121)."""
+    """Engine config: global defaults + validated per-column overrides — the
+    analog of the reference's per-layer option cascade
+    (/root/reference/mapbox_vector_tile/utils.py:52-143, exercised by
+    tests/test_encoder.py:1145-1157). ``per_column`` maps a stream name
+    (``tokens`` — the value stream; ``lengths`` — the per-doc length stream)
+    to ``{"codec": ..., "validate": ...}``; anything not overridden falls
+    back to the global value. Unknown columns/keys/codecs fail fast with a
+    deterministic message, mirroring the reference's cascade validation."""
 
     codec: str | None = None  # None = auto-select per chunk
     validate: bool = False  # decode-after-encode check inside the kernel
     compute_ref_size: bool = True  # also size the reference MVT scheme
     max_chunk_values: int = 1 << 22  # split jumbo batches (memory bound)
+    per_column: dict | None = None  # {"lengths": {"codec": "rle"}, ...}
 
     def __post_init__(self):
         if self.codec is not None and self.codec not in B.CODEC_IDS:
             raise ValueError(
                 f"unknown codec {self.codec!r}; valid: {sorted(B.CODEC_IDS)}"
             )
+        for col, kv in (self.per_column or {}).items():
+            if col not in COLUMN_STREAMS:
+                raise ValueError(
+                    f"per_column: unknown column {col!r}; "
+                    f"valid: {sorted(COLUMN_STREAMS)}"
+                )
+            for k in kv:
+                if k not in _PER_COLUMN_KEYS:
+                    raise ValueError(
+                        f"per_column[{col!r}]: unknown option {k!r}; "
+                        f"valid: {sorted(_PER_COLUMN_KEYS)}"
+                    )
+            c = kv.get("codec")
+            if c is not None and c not in B.CODEC_IDS:
+                raise ValueError(
+                    f"per_column[{col!r}]: unknown codec {c!r}; "
+                    f"valid: {sorted(B.CODEC_IDS)}"
+                )
+            v = kv.get("validate")
+            if v is not None and not isinstance(v, bool):
+                raise ValueError(
+                    f"per_column[{col!r}]: validate must be a bool, got {v!r}"
+                )
+
+    def column_codec(self, column: str) -> str | None:
+        """Resolved codec for a stream (override > global-for-tokens > auto)."""
+        ov = (self.per_column or {}).get(column, {})
+        if "codec" in ov:
+            return ov["codec"]
+        return self.codec if column == "tokens" else None
+
+    def column_validate(self, column: str) -> bool:
+        ov = (self.per_column or {}).get(column, {})
+        return ov.get("validate", self.validate)
 
 
 def chunk_row_starts(
@@ -139,20 +185,24 @@ def _encode_chunk(
     from ..codec import kernels as K
 
     an = ChunkAnalysis(values)
-    if opts.codec is None:
+    tok_codec = opts.column_codec("tokens")
+    tok_validate = opts.column_validate("tokens")
+    if tok_codec is None:
         cid = S.choose_codec(an.a, an)
     else:
-        cid = B.CODEC_IDS[opts.codec]
+        cid = B.CODEC_IDS[tok_codec]
     try:
         payload = B.encode_block(an.a, cid, an)
-        if opts.validate and not np.array_equal(B.decode_block(payload), an.a):
+        if tok_validate and not np.array_equal(B.decode_block(payload), an.a):
             raise ValueError("round-trip mismatch")
     except Exception:
         if cid == B.RAW:
             raise
         payload, cid = B.encode_block(an.a, B.RAW, an), B.RAW
     lengths_blob, lcid = S.encode_auto(
-        lengths.astype(np.int32), validate=opts.validate
+        lengths.astype(np.int32),
+        codec=opts.column_codec("lengths"),
+        validate=opts.column_validate("lengths"),
     )
     if opts.compute_ref_size:
         bytes_ref = B.header_size() + (

@@ -35,6 +35,41 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame) -> DataFrame:
     )
 
 
+def verify_roundtrip_checksums(
+    original_cks: DataFrame, decoded_cks: DataFrame
+) -> DataFrame:
+    """Metadata-join round-trip verify: both sides are per-doc checksum rows
+    (``doc_id, n_tok, tok_cks, tok_wcks`` — see
+    ``sources.parquet_direct.doc_checksums_direct``). The token arrays never
+    leave the workers; the join moves four longs per doc. Two independent
+    order-sensitive sums mod 1e9+7 make a silent collision vanishingly
+    unlikely while keeping the verify O(rows), not O(tokens), at the
+    exchange."""
+    o = original_cks.select(
+        "doc_id",
+        F.col("n_tok").alias("o_n"),
+        F.col("tok_cks").alias("o_c"),
+        F.col("tok_wcks").alias("o_w"),
+    )
+    d = decoded_cks.select(
+        "doc_id",
+        F.col("n_tok").alias("d_n"),
+        F.col("tok_cks").alias("d_c"),
+        F.col("tok_wcks").alias("d_w"),
+    )
+    j = o.join(d, "doc_id", "full_outer")
+    match = (
+        F.col("o_n").eqNullSafe(F.col("d_n"))
+        & F.col("o_c").eqNullSafe(F.col("d_c"))
+        & F.col("o_w").eqNullSafe(F.col("d_w"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(match.cast("long")).alias("n_match"),
+        F.sum((~match).cast("long")).alias("n_mismatch"),
+    )
+
+
 def assert_unique_doc_ids(df: DataFrame) -> None:
     """Fail fast on duplicate ``doc_id`` — the engine contract analog of the
     reference raising on duplicate layer names
@@ -62,6 +97,24 @@ def transform_tokens(df: DataFrame, a: int, b: int, m: int) -> DataFrame:
         F.transform(
             F.col("tokens"),
             lambda t: F.pmod(t.cast("long") * F.lit(a) + F.lit(b), F.lit(m)).cast("int"),
+        ),
+    ).withColumn("n_tok", F.size("tokens"))
+
+
+def inverse_transform_tokens(df: DataFrame, a: int, b: int, m: int) -> DataFrame:
+    """Inverse of :func:`transform_tokens`: ``x -> a^-1 (x - b) mod m`` —
+    the decode-side transformer hook (the reference applies its custom
+    transformer in BOTH directions, encoder.py:186-189 AND
+    decoder.py:146-149; pass this via ``decode_dataframe(transform=...)``
+    to read a remapped table back in the original vocabulary)."""
+    a_inv = pow(a, -1, m)
+    return df.withColumn(
+        "tokens",
+        F.transform(
+            F.col("tokens"),
+            lambda t: F.pmod(
+                (t.cast("long") - F.lit(b)) * F.lit(a_inv), F.lit(m)
+            ).cast("int"),
         ),
     ).withColumn("n_tok", F.size("tokens"))
 

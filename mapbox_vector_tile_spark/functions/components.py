@@ -96,16 +96,41 @@ FROM r GROUP BY user_id ORDER BY user_id
 """
 
 
-def delta_width_histogram(orders: DataFrame) -> DataFrame:
+def delta_width_histogram(orders: DataFrame, bucket_width: int = 4096) -> DataFrame:
     """Histogram of bit-widths of key deltas in sort order — the exact stat
-    the codec selector uses to size DELTA_ZZ_BITPACK (north rule)."""
-    w = Window.orderBy("o_orderkey")
-    deltas = orders.select("o_orderkey").withColumn(
-        "delta", F.col("o_orderkey") - F.lag("o_orderkey").over(w)
-    ).filter(F.col("delta").isNotNull())
+    the codec selector uses to size DELTA_ZZ_BITPACK (north rule).
+
+    Distributed two-level plan (no single-partition window over the table):
+    intra-bucket deltas via a window PARTITIONED by fixed key range, plus
+    boundary deltas from per-bucket (min, max) aggregates — the aggregate
+    table is ~1/bucket_width the size of the input, so its tiny ordering
+    window is the classic two-pass prefix trick, not a serialization point.
+    """
+    keyed = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_orderkey") / F.lit(bucket_width)).alias("kb"),
+    )
+    w = Window.partitionBy("kb").orderBy("o_orderkey")
+    intra = (
+        keyed.withColumn(
+            "delta", F.col("o_orderkey") - F.lag("o_orderkey").over(w)
+        )
+        .filter(F.col("delta").isNotNull())
+        .select("delta")
+    )
+    agg = keyed.groupBy("kb").agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    wb = Window.orderBy("kb")  # over bucket aggregates only (small)
+    boundary = (
+        agg.withColumn("prev_mx", F.lag("mx").over(wb))
+        .filter(F.col("prev_mx").isNotNull())
+        .select((F.col("mn") - F.col("prev_mx")).alias("delta"))
+    )
     width = F.length(F.bin(F.col("delta"))).cast("long")
     return (
-        deltas.select(width.alias("delta_bit_width"))
+        intra.unionAll(boundary)
+        .select(width.alias("delta_bit_width"))
         .groupBy("delta_bit_width")
         .agg(F.count(F.lit(1)).alias("n_deltas"))
         .orderBy("delta_bit_width")
@@ -123,15 +148,46 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def size_weighted_buckets_plan(docs: DataFrame, n_buckets: int = 8) -> DataFrame:
-    """Driver-side partition planning as a query: cumulative weight over the
-    sort key -> equal-weight bucket ids -> per-bucket totals."""
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    total = docs.agg(F.sum("n_chars")).first()[0]
-    cum = docs.select("doc_id", "n_chars").withColumn(
-        "cum", F.sum("n_chars").over(w)
+def size_weighted_buckets_plan(
+    docs: DataFrame, n_buckets: int = 8, part_width: int = 64
+) -> DataFrame:
+    """Partition planning as a query: cumulative weight over the sort key ->
+    equal-weight bucket ids -> per-bucket totals.
+
+    Distributed two-pass cumsum: per-partition local prefix sums (window
+    PARTITIONED by fixed doc_id ranges — range blocks are contiguous in the
+    numeric sort order, so the decomposition is exact) + per-partition
+    offsets and the grand total from a tiny aggregate table — no
+    single-partition window over the data and no driver-side ``first()``
+    round trip for the total.
+    """
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.col("doc_id") / F.lit(part_width)).alias("pt"),
     )
-    bucket = ((F.col("cum") - 1) * n_buckets / F.lit(int(total))).cast("long")
+    w_local = (
+        Window.partitionBy("pt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn("local_cum", F.sum("n_chars").over(w_local))
+    parts = keyed.groupBy("pt").agg(F.sum("n_chars").alias("part_sum"))
+    w_off = Window.orderBy("pt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # over the small per-part aggregate only
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = parts.select(
+        "pt",
+        F.coalesce(F.sum("part_sum").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("part_sum").over(w_tot).alias("total"),
+    )
+    cum = local.join(F.broadcast(offsets), "pt").withColumn(
+        "cum", F.col("offset") + F.col("local_cum")
+    )
+    bucket = ((F.col("cum") - 1) * n_buckets / F.col("total")).cast("long")
     return (
         cum.withColumn("bucket", bucket)
         .groupBy("bucket")

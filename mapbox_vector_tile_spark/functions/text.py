@@ -192,52 +192,62 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup (exact, integer num/den)
+# n-gram Jaccard near-dup (exact, integer num/den), over LSH candidates
 # ---------------------------------------------------------------------------
 
-def jaccard_within_lang(docs: DataFrame, min_pct: int = 60) -> DataFrame:
-    """Word-set Jaccard over same-language pairs; integer percent threshold.
+def near_dup_jaccard(docs: DataFrame, min_pct: int = 0) -> DataFrame:
+    """Exact word-set Jaccard computed ONLY over the LSH candidate pairs.
 
-    Broadcast-friendly at sf scale; at 100 TB the LSH candidates above bound
-    the pair space instead of the lang blocking used here.
+    The pair space is bounded by the banded minhash buckets (O(n²/2^bits)
+    per band, not O(n²)): every join in the plan carries a band/bucket key
+    or a doc-id key — no all-pairs blocking anywhere, which is the property
+    that survives a 100 TB corpus. ``min_pct=0`` keeps every candidate with
+    its exact score (the verify-then-threshold shape of production dedup);
+    raise it to emit only confirmed near-dups.
     """
+    cands = lsh_candidate_pairs(docs)
     sets = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        "lang",
         F.array_sort(F.array_distinct(_words())).alias("ws"),
     )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("long")
-    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    j = (
+        cands.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")),
+            "doc_a",
+        ).join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b"))).cast("long")
+    union = F.size(F.array_union(F.col("ws_a"), F.col("ws_b"))).cast("long")
     return (
-        a.join(b, "lang")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            "lang",
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        j.select(
+            "doc_a",
+            "doc_b",
             inter.alias("jac_num"),
             union.alias("jac_den"),
         )
         .filter(F.col("jac_num") * 100 >= F.lit(min_pct) * F.col("jac_den"))
-        .orderBy("lang", "doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
 
 
-def jaccard_within_lang_sql(min_pct: int = 60) -> str:
+def near_dup_jaccard_sql(min_pct: int = 0) -> str:
+    cands = lsh_candidate_pairs_sql().replace("ORDER BY doc_a, doc_b", "")
     return f"""
-WITH s AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+WITH cand AS ({cands}),
+s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_sort(list_distinct(string_split(text,' '))) AS ws
   FROM documents)
-SELECT a.lang,
-       a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS jac_num,
        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS jac_den
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM cand c JOIN s a ON c.doc_a = a.doc_id JOIN s b ON c.doc_b = b.doc_id
 WHERE len(list_intersect(a.ws, b.ws)) * 100
       >= {min_pct} * len(list_distinct(list_concat(a.ws, b.ws)))
-ORDER BY a.lang, doc_a, doc_b
+ORDER BY doc_a, doc_b
 """
 
 

@@ -38,11 +38,36 @@ def list_parquet_files(path: str) -> list[str]:
     )
 
 
-def file_task_dataframe(spark: SparkSession, files: list[str]) -> DataFrame:
-    """One task row per file; Spark schedules/retries, pyarrow reads."""
+def group_files_by_size(files: list[str], n_tasks: int) -> list[list[str]]:
+    """Greedy size-balanced grouping (largest-first into lightest group) —
+    the fan-in that keeps per-task work even when fragment sizes skew."""
+    n_tasks = max(1, min(n_tasks, len(files)))
+    sized = sorted(((os.path.getsize(f), f) for f in files), key=lambda t: -t[0])
+    groups: list[list[str]] = [[] for _ in range(n_tasks)]
+    loads = [0] * n_tasks
+    for sz, f in sized:
+        i = loads.index(min(loads))
+        groups[i].append(f)
+        loads[i] += sz
+    return [sorted(g) for g in groups if g]
+
+
+def file_task_dataframe(
+    spark: SparkSession, files: list[str], n_tasks: int | None = None
+) -> DataFrame:
+    """One task row per file group; Spark schedules/retries, pyarrow reads.
+
+    ``n_tasks=None`` keeps one file per task; passing a target groups small
+    fragments together (decode fan-in — many small blocks files otherwise
+    pay a fixed Arrow/scheduling overhead each)."""
+    groups = (
+        [[f] for f in files] if n_tasks is None
+        else group_files_by_size(files, n_tasks)
+    )
     return spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "task_id int, path string"
-    ).repartition(len(files), "task_id")
+        [(i, g) for i, g in enumerate(groups)],
+        "task_id int, paths array<string>",
+    ).repartition(len(groups), "task_id")
 
 
 def encode_parquet_direct(
@@ -51,12 +76,14 @@ def encode_parquet_direct(
     options: EncodeOptions | None = None,
     batch_rows: int = 4096,
     bucket_from_dir: bool = False,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """Encode a tokens parquet dataset via worker-side columnar scans.
 
     Returns the blocks DataFrame (same schema as
     :func:`..engine.encode.encode_dataframe`). ``bucket_from_dir`` parses
     ``bucket=N`` path segments (hive-partitioned layout) into the manifest.
+    ``n_tasks`` groups many small files into size-balanced tasks.
     """
     from ..engine import encode as E
 
@@ -64,7 +91,7 @@ def encode_parquet_direct(
     files = list_parquet_files(in_path)
     if not files:
         raise ValueError(f"no parquet files under {in_path}")
-    tasks = file_task_dataframe(spark, files)
+    tasks = file_task_dataframe(spark, files, n_tasks)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -73,7 +100,9 @@ def encode_parquet_direct(
         part_id = ctx.partitionId() if ctx else 0
         seq = 0
         for tb in batches:
-            for path in tb.column("path").to_pylist():
+            for path in (
+                p for ps in tb.column("paths").to_pylist() for p in ps
+            ):
                 bucket = 0
                 if bucket_from_dir:
                     for seg in path.split(os.sep):
@@ -128,39 +157,45 @@ def encode_parquet_direct(
 
 
 def decode_stats_direct(
-    spark: SparkSession, blocks_path: str, verify_checksum: bool = True
+    spark: SparkSession,
+    blocks_path: str,
+    verify_checksum: bool = True,
+    n_tasks: int | None = None,
 ) -> DataFrame:
-    """Decode every block but emit only per-block stats (n_rows, n_values,
+    """Decode every block but emit only per-task stats (n_rows, n_values,
     pmod token checksum) — measures pure decode throughput without shipping
     the decoded arrays back to the JVM. The checksum still proves the decode
-    actually ran over every value."""
+    actually ran over every value. ``n_tasks`` coalesces small block files
+    per task (fan-in: fixed Arrow/scheduling overhead per file otherwise
+    caps decode scaling)."""
     from ..engine import decode as D
 
     files = list_parquet_files(blocks_path)
-    tasks = file_task_dataframe(spark, files)
+    tasks = file_task_dataframe(spark, files, n_tasks)
     MOD = 1_000_000_007
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
         for tb in batches:
-            for path in tb.column("path").to_pylist():
-                pf = pq.ParquetFile(path)
-                cols = ["lengths_blob", "payload", "checksum"]
+            for paths in tb.column("paths").to_pylist():
                 n_rows = n_values = cks = 0
-                for batch in pf.iter_batches(batch_size=64, columns=cols):
-                    payloads = batch.column("payload")
-                    lb = batch.column("lengths_blob")
-                    ck = batch.column("checksum")
-                    for i in range(batch.num_rows):
-                        lengths, values = D.decode_block_row(
-                            payloads[i].as_py(),
-                            lb[i].as_py(),
-                            ck[i].as_py() if verify_checksum else None,
-                        )
-                        n_rows += int(lengths.size)
-                        n_values += int(values.size)
-                        cks = (cks + int(values.astype(np.int64).sum() % MOD)) % MOD
+                for path in paths:
+                    pf = pq.ParquetFile(path)
+                    cols = ["lengths_blob", "payload", "checksum"]
+                    for batch in pf.iter_batches(batch_size=64, columns=cols):
+                        payloads = batch.column("payload")
+                        lb = batch.column("lengths_blob")
+                        ck = batch.column("checksum")
+                        for i in range(batch.num_rows):
+                            lengths, values = D.decode_block_row(
+                                payloads[i].as_py(),
+                                lb[i].as_py(),
+                                ck[i].as_py() if verify_checksum else None,
+                            )
+                            n_rows += int(lengths.size)
+                            n_values += int(values.size)
+                            cks = (cks + int(values.astype(np.int64).sum() % MOD)) % MOD
                 yield pa.RecordBatch.from_pydict(
                     {
                         "n_rows": [n_rows],
@@ -176,22 +211,170 @@ def decode_stats_direct(
     return tasks.mapInArrow(fn, "n_rows long, n_values long, tok_cks long")
 
 
-def decode_blocks_direct(
-    spark: SparkSession, blocks_path: str, verify_checksum: bool = True
+_CKS_SCHEMA = "doc_id string, n_tok long, tok_cks long, tok_wcks long"
+_CKS_ARROW = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("n_tok", pa.int64()),
+        ("tok_cks", pa.int64()),
+        ("tok_wcks", pa.int64()),
+    ]
+)
+
+
+def _doc_cks_batch(doc_ids: pa.Array, lengths, values) -> pa.RecordBatch:
+    """Per-doc order-sensitive checksums (same formulas as
+    ``corpus.doc_checksums``: sum(tok) % MOD, sum((j+1)*tok) % MOD)."""
+    import numpy as np
+
+    from .. import corpus as C
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    cks = C.doc_checksums(np.zeros(lengths.size, np.int64), lengths, values)
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_ids,
+            pa.array(lengths, pa.int64()),
+            pa.array(cks["tok_cks"], pa.int64()),
+            pa.array(cks["tok_wcks"], pa.int64()),
+        ],
+        schema=_CKS_ARROW,
+    )
+
+
+def doc_checksums_direct(
+    spark: SparkSession,
+    tokens_path: str,
+    n_tasks: int | None = None,
+    batch_rows: int = 4096,
 ) -> DataFrame:
-    """Worker-side columnar scan of a blocks parquet dataset -> tokens DF."""
+    """Worker-side columnar scan of a tokens parquet dataset -> per-doc
+    checksum rows. The arrays never reach the JVM — only (doc_id, n_tok,
+    cks, wcks) metadata rows do, which makes the round-trip verify a
+    metadata join instead of a full-array exchange."""
+    from ..engine import encode as E
+
+    files = list_parquet_files(tokens_path)
+    if not files:
+        raise ValueError(f"no parquet files under {tokens_path}")
+    tasks = file_task_dataframe(spark, files, n_tasks)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for tb in batches:
+            for path in (
+                p for ps in tb.column("paths").to_pylist() for p in ps
+            ):
+                pf = pq.ParquetFile(path)
+                for batch in pf.iter_batches(
+                    batch_size=batch_rows, columns=["doc_id", "tokens"]
+                ):
+                    if batch.num_rows == 0:
+                        continue
+                    lengths, values = E._flatten_tokens(batch)
+                    doc_ids = batch.column("doc_id")
+                    if isinstance(doc_ids, pa.ChunkedArray):
+                        doc_ids = doc_ids.combine_chunks()
+                    yield _doc_cks_batch(doc_ids, lengths, values)
+
+    return tasks.mapInArrow(fn, _CKS_SCHEMA)
+
+
+def decoded_doc_checksums_direct(
+    spark: SparkSession,
+    blocks_path: str,
+    verify_checksum: bool = True,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """Decode every block worker-side and emit per-doc checksum rows (same
+    schema as :func:`doc_checksums_direct`) — the decoded arrays stay in the
+    worker; only checksum metadata crosses to the JVM."""
     from ..engine import decode as D
 
     files = list_parquet_files(blocks_path)
     if not files:
         raise ValueError(f"no parquet files under {blocks_path}")
-    tasks = file_task_dataframe(spark, files)
+    tasks = file_task_dataframe(spark, files, n_tasks)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for tb in batches:
+            for path in (
+                p for ps in tb.column("paths").to_pylist() for p in ps
+            ):
+                pf = pq.ParquetFile(path)
+                cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+                for batch in pf.iter_batches(batch_size=64, columns=cols):
+                    payloads = batch.column("payload")
+                    lb = batch.column("lengths_blob")
+                    cks_col = batch.column("checksum")
+                    dids = batch.column("doc_ids")
+                    for i in range(batch.num_rows):
+                        lengths, values = D.decode_block_row(
+                            payloads[i].as_py(),
+                            lb[i].as_py(),
+                            cks_col[i].as_py() if verify_checksum else None,
+                        )
+                        yield _doc_cks_batch(dids[i].values, lengths, values)
+
+    return tasks.mapInArrow(fn, _CKS_SCHEMA)
+
+
+def decode_blocks_direct(
+    spark: SparkSession,
+    blocks_path: str,
+    verify_checksum: bool = True,
+    n_tasks: int | None = None,
+    flush_values: int = 1 << 22,
+) -> DataFrame:
+    """Worker-side columnar scan of a blocks parquet dataset -> tokens DF.
+
+    Decoded blocks are coalesced into ~``flush_values``-token output
+    RecordBatches (fan-in): emitting one Arrow batch per block makes small
+    blocks pay a fixed per-batch transfer cost that caps decode scaling.
+    """
+    from ..engine import decode as D
+
+    files = list_parquet_files(blocks_path)
+    if not files:
+        raise ValueError(f"no parquet files under {blocks_path}")
+    tasks = file_task_dataframe(spark, files, n_tasks)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
+        acc_docs: list[pa.Array] = []
+        acc_lengths: list[np.ndarray] = []
+        acc_values: list[np.ndarray] = []
+        acc_nvals = 0
+
+        def flush() -> Iterator[pa.RecordBatch]:
+            nonlocal acc_docs, acc_lengths, acc_values, acc_nvals
+            if not acc_docs:
+                return
+            lengths = np.concatenate(acc_lengths)
+            values = (
+                np.concatenate(acc_values) if acc_values
+                else np.zeros(0, dtype=np.int32)
+            )
+            offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            tokens = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+            ).cast(pa.list_(pa.int32()))
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays(acc_docs),
+                    tokens,
+                    pa.array(lengths.astype(np.int32), pa.int32()),
+                ],
+                schema=D._OUT_ARROW_SCHEMA,
+            )
+            acc_docs, acc_lengths, acc_values, acc_nvals = [], [], [], 0
+            yield out
+
         for tb in batches:
-            for path in tb.column("path").to_pylist():
+            for path in (
+                p for ps in tb.column("paths").to_pylist() for p in ps
+            ):
                 pf = pq.ParquetFile(path)
                 cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
                 for batch in pf.iter_batches(batch_size=64, columns=cols):
@@ -205,19 +388,12 @@ def decode_blocks_direct(
                             lb[i].as_py(),
                             cks[i].as_py() if verify_checksum else None,
                         )
-                        offsets = np.zeros(lengths.size + 1, dtype=np.int64)
-                        np.cumsum(lengths, out=offsets[1:])
-                        tokens = pa.LargeListArray.from_arrays(
-                            pa.array(offsets, pa.int64()),
-                            pa.array(values, pa.int32()),
-                        ).cast(pa.list_(pa.int32()))
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                dids[i].values,
-                                tokens,
-                                pa.array(lengths.astype(np.int32), pa.int32()),
-                            ],
-                            schema=D._OUT_ARROW_SCHEMA,
-                        )
+                        acc_docs.append(dids[i].values)
+                        acc_lengths.append(lengths)
+                        acc_values.append(values)
+                        acc_nvals += int(values.size)
+                        if acc_nvals >= flush_values:
+                            yield from flush()
+        yield from flush()
 
     return tasks.mapInArrow(fn, D.TOKENS_OUT_SPARK_SCHEMA)

@@ -113,10 +113,6 @@ def test_bucket_plan_persisted_and_reused(spark, tokens_df, tmp_path):
         plan = json.load(f)
     assert plan["num_partitions"] == N_BUCKETS
     assert len(plan["cuts"]) == N_BUCKETS - 1
-    # tamper: resume must consume the RECORDED cuts, not re-sample — prove it
-    # by rewriting the plan with different (coarser) cuts and checking the
-    # resumed buckets follow the tampered plan
-    # (cuts are doc_id strings; shifting one boundary changes membership)
     # resume with a different bucketing must fail fast
     with pytest.raises(ValueError, match="bucket plan mismatch"):
         encode_with_checkpoint(spark, tokens_df, out, ck, N_BUCKETS * 2)

@@ -1,0 +1,162 @@
+"""File-level size-weighted exchange: must produce the same bucket
+membership contract as the Catalyst repartition operator, with sorted
+fragments, balanced buckets, and a lossless end-to-end round trip."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.engine.exchange import (
+    doc_id_key,
+    plan_weighted_cuts,
+    regime_doc_key,
+    size_weighted_exchange,
+)
+from mapbox_vector_tile_spark.engine.partitioning import bucket_of_value
+from mapbox_vector_tile_spark.engine.verify import (
+    doc_num_expr,
+    regime_expr,
+    verify_roundtrip,
+)
+from mapbox_vector_tile_spark.sources.parquet_direct import list_parquet_files
+
+N_DOCS = 500
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def tokens_pq(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("xchg") / "tokens")
+    G.corpus_dataframe(spark, N_DOCS, num_partitions=4).write.parquet(path)
+    return path
+
+
+def test_plan_cuts_deterministic(spark, tokens_pq):
+    files = list_parquet_files(tokens_pq)
+    c1 = plan_weighted_cuts(spark, files, N_BUCKETS)
+    c2 = plan_weighted_cuts(spark, files, N_BUCKETS)
+    assert c1 == c2
+    assert len(c1) == N_BUCKETS - 1
+    assert c1 == sorted(c1)
+
+
+def test_exchange_membership_balance_sortedness(spark, tokens_pq, tmp_path):
+    out = str(tmp_path / "bucketed")
+    summary = size_weighted_exchange(
+        spark, tokens_pq, out, N_BUCKETS, key_fn=doc_id_key
+    )
+    assert summary["n_rows"] == N_DOCS
+    assert summary["n_buckets"] == N_BUCKETS
+    cuts = summary["cuts"]
+
+    # balance: max bucket weight <= 2x mean (same bar as the Catalyst op)
+    weights = np.array(list(summary["bucket_weights"].values()), dtype=float)
+    assert weights.max() <= 2.0 * weights.mean()
+
+    # membership matches the driver-side mirror of the bucket expression
+    bucketed = spark.read.option("basePath", out).parquet(out)
+    assert bucketed.count() == N_DOCS
+    for r in bucketed.select("doc_id", "bucket").collect():
+        assert r.bucket == bucket_of_value(cuts, r.doc_id)
+
+    # every fragment is sorted by the cluster key
+    for f in list_parquet_files(out):
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids)
+
+
+def test_regime_key_matches_spark_expr(spark, tokens_pq):
+    import pyarrow.dataset as ds
+
+    table = ds.dataset(tokens_pq).to_table(columns=["doc_id"])
+    got = dict(zip(table.column("doc_id").to_pylist(),
+                   regime_doc_key(table).to_pylist()))
+    want = {
+        r.doc_id: r.k
+        for r in spark.read.parquet(tokens_pq)
+        .select(
+            "doc_id",
+            F.format_string(
+                "%d|%s", regime_expr(doc_num_expr()), F.col("doc_id")
+            ).alias("k"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_exchange_encode_decode_roundtrip(spark, tokens_pq, tmp_path):
+    from mapbox_vector_tile_spark.engine.encode import EncodeOptions
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        decode_blocks_direct,
+        encode_parquet_direct,
+    )
+
+    out = str(tmp_path / "bucketed")
+    blocks_pq = str(tmp_path / "blocks")
+    size_weighted_exchange(
+        spark, tokens_pq, out, N_BUCKETS, key_fn=regime_doc_key
+    )
+    encode_parquet_direct(
+        spark, out, EncodeOptions(), bucket_from_dir=True, n_tasks=8
+    ).write.parquet(blocks_pq)
+    blocks = spark.read.parquet(blocks_pq)
+    # chunks are bucket-homogeneous and cover all buckets
+    assert blocks.select("bucket").distinct().count() == N_BUCKETS
+    decoded = decode_blocks_direct(spark, blocks_pq, n_tasks=4)
+    res = verify_roundtrip(spark.read.parquet(tokens_pq), decoded).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+
+
+def test_checksum_verify_matches_catalyst_and_detects_mismatch(
+    spark, tokens_pq, tmp_path
+):
+    from mapbox_vector_tile_spark.engine.encode import EncodeOptions
+    from mapbox_vector_tile_spark.engine.verify import (
+        verify_roundtrip_checksums,
+        with_doc_checksums,
+    )
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        decoded_doc_checksums_direct,
+        doc_checksums_direct,
+        encode_parquet_direct,
+    )
+
+    # worker-side checksums == Catalyst aggregate checksums, doc by doc
+    direct = {
+        r.doc_id: (r.n_tok, r.tok_cks, r.tok_wcks)
+        for r in doc_checksums_direct(spark, tokens_pq).collect()
+    }
+    catalyst = {
+        r.doc_id: (r.n_tok, r.tok_cks, r.tok_wcks)
+        for r in with_doc_checksums(spark.read.parquet(tokens_pq))
+        .select("doc_id", "n_tok", "tok_cks", "tok_wcks")
+        .collect()
+    }
+    assert direct == catalyst
+
+    blocks_pq = str(tmp_path / "blocks")
+    encode_parquet_direct(spark, tokens_pq, EncodeOptions()).write.parquet(
+        blocks_pq
+    )
+    o = doc_checksums_direct(spark, tokens_pq)
+    d = decoded_doc_checksums_direct(spark, blocks_pq)
+    res = verify_roundtrip_checksums(o, d).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+    # a missing doc on one side must count as a mismatch (full-outer join)
+    res2 = verify_roundtrip_checksums(
+        o.filter(F.col("doc_id") != "doc-00000007"), d
+    ).first()
+    assert (res2.n_docs, res2.n_mismatch) == (N_DOCS, 1)
+
+
+def test_exchange_task_retry_overwrites(spark, tokens_pq, tmp_path):
+    # deterministic fragment names: rerunning the exchange into the same
+    # directory must not duplicate rows (the task-retry contract)
+    out = str(tmp_path / "bucketed")
+    s1 = size_weighted_exchange(spark, tokens_pq, out, N_BUCKETS)
+    s2 = size_weighted_exchange(spark, tokens_pq, out, N_BUCKETS)
+    assert s1["cuts"] == s2["cuts"]
+    assert spark.read.option("basePath", out).parquet(out).count() == N_DOCS

@@ -70,8 +70,18 @@ def test_lsh_candidate_pairs(docs, con):
     assert_parity(T.lsh_candidate_pairs(docs), con, T.lsh_candidate_pairs_sql())
 
 
-def test_jaccard_within_lang(docs, con):
-    assert_parity(T.jaccard_within_lang(docs), con, T.jaccard_within_lang_sql())
+def test_near_dup_jaccard(docs, con):
+    assert_parity(T.near_dup_jaccard(docs), con, T.near_dup_jaccard_sql())
+
+
+def test_near_dup_jaccard_plan_has_no_unbounded_join(docs):
+    # every join must carry a band/bucket or doc-id equi-key; the old
+    # all-pairs-per-lang blocking must not reappear (scale contract)
+    plan = T.near_dup_jaccard(docs)._jdf.queryExecution().optimizedPlan().toString()
+    # no join condition on lang anywhere (relation column lists are fine)
+    assert "(lang#" not in plan and "= lang#" not in plan
+    # the candidate join is keyed on the band/bucket hash
+    assert "bh#" in plan
 
 
 def test_simhash32(docs, con):
