@@ -36,6 +36,7 @@ _CODECS = [
     "rle",
     "dict_bitpack",
     "dict_escape",
+    "paged",
 ]
 
 

@@ -20,7 +20,7 @@ class ChunkAnalysis:
     __slots__ = (
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
         "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
-        "_sample_uc", "_heavy",
+        "_sample_uc", "_heavy", "_paged_plan",
     )
 
     def __init__(self, a: np.ndarray):
@@ -39,6 +39,7 @@ class ChunkAnalysis:
         self._card_sample = None
         self._sample_uc = None
         self._heavy = None
+        self._paged_plan = None  # (page_size, [(sub_analysis, cid, size)])
 
     @property
     def n(self) -> int:

@@ -39,6 +39,7 @@ DELTA_ZZ_VARINT = 5  # the reference MVT scheme (compression baseline)
 RLE = 6
 DICT_BITPACK = 7
 DICT_ESCAPE = 8  # heavy-hitter head codes + escaped tail (zipf-shaped data)
+PAGED = 9  # per-page codec re-selection inside one chunk (mixed regimes)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -50,6 +51,7 @@ CODEC_NAMES = {
     RLE: "rle",
     DICT_BITPACK: "dict_bitpack",
     DICT_ESCAPE: "dict_escape",
+    PAGED: "paged",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -266,6 +268,51 @@ def _dec_dict_escape(buf: memoryview, n: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# PAGED: re-pick the codec every `page_size` values inside one chunk — the
+# granularity analog of the reference re-choosing the encoding per feature
+# (/root/reference/mapbox_vector_tile/optimise.py:193-202). Sub-blocks are
+# full self-describing frames, so decode reuses the normal dispatch and a
+# foreign decoder can skip pages it does not understand.
+# ---------------------------------------------------------------------------
+
+_PGD = struct.Struct("<iq")  # page_size, n_pages
+PAGED_FIXED_OVERHEAD = _PGD.size
+
+
+def paged_size(page_sizes: list[int]) -> int:
+    """Exact params+payload size for PAGED given framed sub-block sizes."""
+    return _PGD.size + 4 * len(page_sizes) + sum(page_sizes)
+
+
+def _enc_paged(an: ChunkAnalysis) -> bytes:
+    from . import select as S
+
+    plans = S.paged_plan(an)
+    subs = [encode_block(sub.a, cid, sub) for (sub, cid, _) in plans]
+    lens = np.array([len(b) for b in subs], dtype="<u4")
+    return (
+        _PGD.pack(S.PAGE_SIZE, len(subs)) + lens.tobytes() + b"".join(subs)
+    )
+
+
+def _dec_paged(buf: memoryview, n: int) -> np.ndarray:
+    _, n_pages = _PGD.unpack_from(buf)
+    off = _PGD.size
+    lens = np.frombuffer(buf, dtype="<u4", count=n_pages, offset=off)
+    off += 4 * n_pages
+    parts = []
+    for ln in lens:
+        parts.append(decode_block(buf[off : off + int(ln)]))
+        off += int(ln)
+    out = (
+        np.concatenate(parts) if parts else np.zeros(0, dtype=np.int32)
+    )
+    if out.size != n:
+        raise ValueError(f"paged decode produced {out.size} values, want {n}")
+    return out
+
+
 _ENCODERS = {
     RAW: _enc_raw,
     CONSTANT: _enc_constant,
@@ -276,6 +323,7 @@ _ENCODERS = {
     RLE: _enc_rle,
     DICT_BITPACK: _enc_dict_bitpack,
     DICT_ESCAPE: _enc_dict_escape,
+    PAGED: _enc_paged,
 }
 _DECODERS = {
     RAW: _dec_raw,
@@ -287,6 +335,7 @@ _DECODERS = {
     RLE: _dec_rle,
     DICT_BITPACK: _dec_dict_bitpack,
     DICT_ESCAPE: _dec_dict_escape,
+    PAGED: _dec_paged,
 }
 
 

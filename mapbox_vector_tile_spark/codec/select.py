@@ -32,6 +32,26 @@ from .analysis import ChunkAnalysis
 # cardinality says DICT can't plausibly win.
 _CARD_SKIP_THRESHOLD = 4096
 
+# PAGED: re-pick the codec every PAGE_SIZE values. Only evaluated for chunks
+# of >= 2 pages (so per-page plans never recurse into PAGED).
+PAGE_SIZE = 1 << 16
+
+
+def paged_plan(an: ChunkAnalysis, page_size: int | None = None):
+    """Per-page best-codec plan ``[(sub_analysis, cid, framed_size)]``,
+    cached on the analysis so the selector's sizing pass and the winning
+    encoder share one set of page analyses (no recompute)."""
+    ps = page_size or PAGE_SIZE
+    if an._paged_plan is None or an._paged_plan[0] != ps:
+        plans = []
+        for s in range(0, an.n, ps):
+            sub = ChunkAnalysis(an.a[s : s + ps])
+            sizes = candidate_sizes(sub.a, sub)
+            cid = min(sizes, key=lambda c: (sizes[c], _TIE_RANK[c]))
+            plans.append((sub, cid, B.header_size() + sizes[cid]))
+        an._paged_plan = (ps, plans)
+    return an._paged_plan[1]
+
 
 @dataclass(frozen=True)
 class ChunkStats:
@@ -106,6 +126,12 @@ def candidate_sizes(
         if top.sum() * 10 >= counts.sum() * 3:  # >= 30% sampled head mass
             k, c, hw, n_esc, ew = B.dict_escape_params(an)
             sizes[B.DICT_ESCAPE] = B.dict_escape_sizes(n, c, hw, k, n_esc, ew)
+    # PAGED: per-page re-selection for multi-page chunks — exact size from
+    # the cached page plans (reused by the encoder if PAGED wins). Covers
+    # mixed-distribution chunks that arrive without a good cluster key.
+    if n >= 2 * PAGE_SIZE:
+        plans = paged_plan(an)
+        sizes[B.PAGED] = B.paged_size([p[2] for p in plans])
     return sizes
 
 
@@ -119,6 +145,7 @@ _TIE_ORDER = [
     B.RLE,
     B.DICT_BITPACK,
     B.DICT_ESCAPE,
+    B.PAGED,
     B.DELTA_ZZ_VARINT,
 ]
 _TIE_RANK = {c: i for i, c in enumerate(_TIE_ORDER)}
