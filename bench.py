@@ -70,6 +70,13 @@ def main() -> int:
     encode_dataframe(
         G.corpus_dataframe(spark, 64 * cpus, num_partitions=2 * cpus)
     ).count()
+    warm_dir = tempfile.mkdtemp(prefix="mvt_warm_")
+    try:
+        G.write_corpus_parquet_direct(
+            spark, 64 * cpus, f"{warm_dir}/tokens", num_partitions=2 * cpus
+        )
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     import pyarrow.parquet as pq
 
@@ -89,8 +96,10 @@ def main() -> int:
     try:
         t = time.time()
         if not os.path.exists(f"{tokens_pq}/_SUCCESS"):
-            G.corpus_dataframe(spark, n_docs, num_partitions=4 * cpus) \
-                .write.mode("overwrite").parquet(tokens_pq)
+            n_written = G.write_corpus_parquet_direct(
+                spark, n_docs, tokens_pq, num_partitions=4 * cpus
+            )
+            assert n_written == n_docs, (n_written, n_docs)
         queries["q_generate"] = round(time.time() - t, 3)
 
         # cluster by content regime so chunks are distribution-homogeneous and

@@ -64,6 +64,67 @@ def corpus_dataframe(spark, n_docs: int, num_partitions: int | None = None):
     return base.mapInArrow(gen, TOKENS_SPARK_SCHEMA)
 
 
+def write_corpus_parquet_direct(
+    spark,
+    n_docs: int,
+    out_path: str,
+    num_partitions: int,
+    docs_per_batch: int = 65536,
+) -> int:
+    """Materialize the corpus straight to parquet from the workers.
+
+    ``corpus_dataframe(...).write.parquet(...)`` routes every token array
+    through JVM row materialization in the parquet writer — the same
+    row-boxing tax the direct readers bypass. Here each task synthesizes its
+    id slice and writes its own file with pyarrow (deterministic names,
+    atomic tmp+rename, ``_SUCCESS`` marker), so bytes go numpy -> Arrow ->
+    parquet without a JVM row trip. Returns the row count written.
+    """
+    import os
+    from collections.abc import Iterator as _It
+
+    os.makedirs(out_path, exist_ok=True)
+    bounds = np.linspace(0, n_docs, num_partitions + 1).astype(np.int64)
+    rows = [
+        (i, int(bounds[i]), int(bounds[i + 1]))
+        for i in range(num_partitions)
+        if bounds[i] < bounds[i + 1]
+    ]
+    tasks = spark.createDataFrame(
+        rows, "task_id int, start long, end long"
+    ).repartition(len(rows), "task_id")
+
+    def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for tb in batches:
+            for task_id, start, end in zip(
+                tb.column("task_id").to_pylist(),
+                tb.column("start").to_pylist(),
+                tb.column("end").to_pylist(),
+            ):
+                parts = [
+                    tokens_batch(np.arange(s, min(s + docs_per_batch, end)))
+                    for s in range(start, end, docs_per_batch)
+                ]
+                table = pa.Table.from_batches(parts, _TOKENS_ARROW_SCHEMA)
+                tmp = os.path.join(out_path, f".part-{task_id:05d}.tmp")
+                final = os.path.join(out_path, f"part-{task_id:05d}.parquet")
+                pq.write_table(table, tmp)
+                os.replace(tmp, final)
+                yield pa.RecordBatch.from_pydict(
+                    {"task_id": [task_id], "n_rows": [end - start]},
+                    schema=pa.schema(
+                        [("task_id", pa.int32()), ("n_rows", pa.int64())]
+                    ),
+                )
+
+    written = tasks.mapInArrow(fn, "task_id int, n_rows long").collect()
+    with open(os.path.join(out_path, "_SUCCESS"), "w"):
+        pass
+    return sum(r.n_rows for r in written)
+
+
 def corpus_dataframe_from_ids(df_ids, id_col: str = "doc_id"):
     """Same, but for an explicit integer doc-id DataFrame (e.g. the driver's
     ``documents`` table ids, so the DuckDB oracle can reproduce the set)."""

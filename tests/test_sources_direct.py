@@ -53,3 +53,17 @@ def test_direct_encode_bucket_from_dir(spark, tmp_path):
     assert got == {0, 1, 2, 3}
     res = verify_roundtrip(tokens, decode_dataframe(blocks)).first()
     assert res.n_mismatch == 0 and res.n_docs == n
+
+
+def test_write_corpus_parquet_direct_matches_dataframe(spark, tmp_path):
+    from mapbox_vector_tile_spark.engine import generator as G
+
+    out = str(tmp_path / "tokens_direct")
+    n = G.write_corpus_parquet_direct(spark, 300, out, num_partitions=4)
+    assert n == 300
+    direct = spark.read.parquet(out)
+    via_df = G.corpus_dataframe(spark, 300, num_partitions=4)
+    assert direct.count() == 300
+    a = {r.doc_id: (r.tokens, r.n_tok, r.source) for r in direct.collect()}
+    b = {r.doc_id: (r.tokens, r.n_tok, r.source) for r in via_df.collect()}
+    assert a == b
