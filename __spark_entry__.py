@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_cosine"] = lambda s, d: SIM.knn_bruteforce(_emb(s, d))
     q["ann_lsh_buckets"] = lambda s, d: SIM.lsh_buckets(_emb(s, d))
     q["ann_lsh_top1"] = lambda s, d: SIM.ann_lsh_top1(_emb(s, d))
+    q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
+    q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
 
     # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
     q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
@@ -297,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
     o["knn_cosine"] = SIM.knn_bruteforce_sql()
     o["ann_lsh_buckets"] = SIM.lsh_buckets_sql()
     o["ann_lsh_top1"] = SIM.ann_lsh_top1_sql()
+    o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
+    o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

@@ -36,31 +36,51 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--validate", action="store_true")
     p.add_argument("--fail-after", type=int, default=None,
                    help="test hook: stop after N buckets (simulated crash)")
+    p.add_argument("--direct", action="store_true",
+                   help="scale path: file-level exchange + worker-side "
+                        "columnar scans (token arrays never cross the JVM "
+                        "row boundary); --sort-col must be doc_id or "
+                        "regime|doc_id")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from mapbox_vector_tile_spark.engine.checkpoint import encode_with_checkpoint
+    from mapbox_vector_tile_spark.engine.checkpoint import (
+        encode_with_checkpoint,
+        encode_with_checkpoint_direct,
+    )
     from mapbox_vector_tile_spark.engine.encode import EncodeOptions
 
     spark = SparkSession.builder.appName("mvt-spark-encode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    tokens = spark.read.parquet(args.input)
     opts = EncodeOptions(
         codec=None if args.codec in (None, "auto") else args.codec,
         validate=args.validate,
     )
-    summary = encode_with_checkpoint(
-        spark,
-        tokens,
-        args.output,
-        args.checkpoint,
-        num_partitions=args.num_buckets,
-        options=opts,
-        fail_after_buckets=args.fail_after,
-        sort_col=args.sort_col,
-        string_col=args.string_col,
-    )
+    if args.direct:
+        summary = encode_with_checkpoint_direct(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            num_partitions=args.num_buckets,
+            options=opts,
+            fail_after_buckets=args.fail_after,
+            key_name=args.sort_col,
+        )
+    else:
+        tokens = spark.read.parquet(args.input)
+        summary = encode_with_checkpoint(
+            spark,
+            tokens,
+            args.output,
+            args.checkpoint,
+            num_partitions=args.num_buckets,
+            options=opts,
+            fail_after_buckets=args.fail_after,
+            sort_col=args.sort_col,
+            string_col=args.string_col,
+        )
     print(json.dumps(summary))
     spark.stop()
     return 0

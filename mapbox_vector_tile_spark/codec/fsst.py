@@ -18,43 +18,92 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_SYMBOL_LEN = 8
 _ROUNDS = 4
+# Training is sample-based (as in the paper): cost is bounded regardless of
+# input size. Encode is vectorized (match table below), so only the jump
+# scan is a Python loop — one iteration per emitted token, not per byte.
+TRAIN_SAMPLE_CAP = 1 << 16
+
+
+def _match_table(
+    data: np.ndarray, symbols: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position longest symbol match, vectorized per symbol.
+
+    Returns ``(best_len, best_code)`` arrays over positions; ``best_len==0``
+    where no symbol matches. Iterates symbols by ascending length so longer
+    matches overwrite shorter ones (two distinct symbols of equal length
+    cannot match the same position)."""
+    n = data.size
+    best_len = np.zeros(n, dtype=np.int8)
+    best_code = np.zeros(n, dtype=np.uint8)
+    for code, s in sorted(enumerate(symbols), key=lambda t: len(t[1])):
+        ln = len(s)
+        if ln > n:
+            continue
+        m = data[: n - ln + 1] == s[0]
+        for j in range(1, ln):
+            m &= data[j : n - ln + 1 + j] == s[j]
+        sel = np.flatnonzero(m)
+        best_len[sel] = ln
+        best_code[sel] = code
+    return best_len, best_code
+
+
+def _greedy_parse(
+    data: np.ndarray, symbols: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy longest-match tokenization: ``(codes, lengths)`` where code
+    255 means an escaped literal byte of length 1."""
+    n = data.size
+    best_len, best_code = _match_table(data, symbols)
+    codes = np.empty(n, dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int64)
+    i = t = 0
+    while i < n:
+        ln = int(best_len[i])
+        if ln:
+            codes[t] = best_code[i]
+            lens[t] = ln
+            i += ln
+        else:
+            codes[t] = ESCAPE
+            lens[t] = 1
+            i += 1
+        t += 1
+    return codes[:t], lens[:t]
 
 
 def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Build a symbol table from a sample: start from frequent single bytes,
-    then repeatedly extend symbols by merging adjacent matches."""
+    """Build a symbol table from a (capped) sample: start from frequent
+    single bytes, then repeatedly extend symbols by merging adjacent
+    matches (the paper's bottom-up construction, fixed rounds)."""
+    sample = sample[:TRAIN_SAMPLE_CAP]
     if not sample:
         return []
-    # round 0: frequent single bytes
-    counts: dict[bytes, int] = {}
-    for b in sample:
-        s = bytes([b])
-        counts[s] = counts.get(s, 0) + 1
-    symbols = {s for s, c in counts.items() if c >= 2}
+    arr = np.frombuffer(sample, dtype=np.uint8)
+    byte_counts = np.bincount(arr, minlength=256)
+    counts = {
+        bytes([b]): int(c) for b, c in enumerate(byte_counts) if c >= 2
+    }
+    symbols = set(counts)
     for _ in range(_ROUNDS):
         # greedily parse the sample with current symbols, counting
         # (symbol, next-symbol) concatenations
-        table = sorted(symbols, key=len, reverse=True)
+        table = sorted(symbols, key=lambda s: (-len(s), s))
+        codes, lens = _greedy_parse(arr, table)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         ext_counts: dict[bytes, int] = {}
-        i = 0
-        prev: bytes | None = None
-        while i < len(sample):
-            match = None
-            for s in table:
-                if sample[i : i + len(s)] == s:
-                    match = s
-                    break
-            if match is None:
-                match = sample[i : i + 1]
-            if prev is not None and len(prev) + len(match) <= MAX_SYMBOL_LEN:
-                cat = prev + match
+        for k in range(len(lens) - 1):
+            cat_len = int(lens[k] + lens[k + 1])
+            if cat_len <= MAX_SYMBOL_LEN:
+                cat = sample[starts[k] : starts[k] + cat_len]
                 ext_counts[cat] = ext_counts.get(cat, 0) + 1
-            prev = match
-            i += len(match)
         # keep the most valuable symbols: gain = (len-1) * count
         candidates = {**{s: counts.get(s, 1) for s in symbols}, **ext_counts}
         ranked = sorted(
@@ -68,27 +117,25 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
 
 
 def encode(data: bytes, symbols: list[bytes]) -> bytes:
-    """Greedy longest-match substitution; unmatched bytes are escaped."""
-    # index symbols by first byte for fast candidate lookup
-    by_first: dict[int, list[tuple[bytes, int]]] = {}
-    for idx, s in enumerate(symbols):
-        by_first.setdefault(s[0], []).append((s, idx))
-    out = bytearray()
-    i, n = 0, len(data)
-    while i < n:
-        best = None
-        for s, idx in by_first.get(data[i], ()):
-            if data[i : i + len(s)] == s:
-                best = (s, idx)
-                break  # lists are longest-first by construction
-        if best is None:
-            out.append(ESCAPE)
-            out.append(data[i])
-            i += 1
-        else:
-            out.append(best[1])
-            i += len(best[0])
-    return bytes(out)
+    """Greedy longest-match substitution; unmatched bytes are escaped.
+    Match candidates come from the vectorized per-position table; the
+    remaining loop is one iteration per emitted token."""
+    if not data:
+        return b""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    codes, lens = _greedy_parse(arr, symbols)
+    escapes = codes == ESCAPE
+    out = np.empty(codes.size + int(np.count_nonzero(escapes)), dtype=np.uint8)
+    # lay out [code] for matches and [ESCAPE, literal] for escapes in one
+    # vectorized scatter: output offset = index + (# escapes before it)
+    off = np.arange(codes.size) + np.concatenate(
+        ([0], np.cumsum(escapes.astype(np.int64))[:-1])
+    )
+    out[off] = codes
+    if escapes.any():
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out[off[escapes] + 1] = arr[starts[escapes]]
+    return out.tobytes()
 
 
 def decode(buf: bytes, symbols: list[bytes]) -> bytes:

@@ -150,9 +150,26 @@ def encode_with_checkpoint(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(out_dir)
     )
-    wall_ms = int((time.time() - t0) * 1000)
+    _append_lineage(spark, out_dir, ckpt_dir, pending, run_id, t0)
+    return {
+        "run_id": run_id,
+        "buckets_total": total,
+        "buckets_pending": len(pending),
+        "buckets_processed": len(pending),
+    }
 
-    # lineage/metrics rows from the just-written blocks (source of truth)
+
+def _append_lineage(
+    spark: SparkSession,
+    out_dir: str,
+    ckpt_dir: str,
+    pending: list[int],
+    run_id: str,
+    t0: float,
+) -> None:
+    """One lineage/metrics row per finished bucket, aggregated from the
+    just-written blocks (source of truth)."""
+    wall_ms = int((time.time() - t0) * 1000)
     written = spark.read.parquet(out_dir).filter(F.col("bucket").isin(pending))
     ck_rows = (
         written.groupBy("bucket")
@@ -172,6 +189,109 @@ def encode_with_checkpoint(
         .select(*[c.strip().split(" ")[0] for c in CHECKPOINT_SCHEMA.split(",")])
     )
     ck_rows.write.mode("append").parquet(ckpt_dir)
+
+
+def encode_with_checkpoint_direct(
+    spark: SparkSession,
+    tokens_path: str,
+    out_dir: str,
+    ckpt_dir: str,
+    num_partitions: int = 32,
+    options: EncodeOptions | None = None,
+    run_id: str | None = None,
+    fail_after_buckets: int | None = None,
+    key_name: str = "doc_id",
+    work_dir: str | None = None,
+    n_tasks: int | None = None,
+) -> dict:
+    """Scale-path resumable encode: the file-level exchange
+    (:mod:`.exchange`) replaces the Catalyst repartition, so token arrays
+    never cross the JVM row boundary anywhere in the job.
+
+    ``key_name``: cluster key — ``"doc_id"`` or ``"regime|doc_id"`` (the
+    bench key). Recorded in the persisted bucket plan; a resume with a
+    different key or bucket count fails fast. The exchange itself is
+    restartable: fragment names are deterministic and written atomically, so
+    an interrupted exchange (no ``_SUCCESS``) is simply redone in place.
+    """
+    from .exchange import (
+        doc_id_key,
+        plan_weighted_cuts,
+        regime_doc_key,
+        size_weighted_exchange,
+    )
+    from ..sources.parquet_direct import encode_parquet_direct, list_parquet_files
+
+    key_fns = {"doc_id": doc_id_key, "regime|doc_id": regime_doc_key}
+    if key_name not in key_fns:
+        raise ValueError(
+            f"unknown key_name {key_name!r}; valid: {sorted(key_fns)}"
+        )
+    run_id = run_id or uuid.uuid4().hex[:12]
+    plan = _read_plan(ckpt_dir)
+    if plan is None:
+        cuts = plan_weighted_cuts(
+            spark, list_parquet_files(tokens_path), num_partitions,
+            key_fn=key_fns[key_name],
+        )
+        _write_plan(
+            ckpt_dir,
+            {
+                "cuts": cuts,
+                "num_partitions": num_partitions,
+                "sort_col": key_name,
+            },
+        )
+    else:
+        if plan["num_partitions"] != num_partitions or plan["sort_col"] != key_name:
+            raise ValueError(
+                "checkpoint bucket plan mismatch: recorded "
+                f"(num_partitions={plan['num_partitions']}, "
+                f"sort_col={plan['sort_col']!r}) but caller supplied "
+                f"(num_partitions={num_partitions}, sort_col={key_name!r}); "
+                "resume must reuse the original bucketing"
+            )
+        cuts = plan["cuts"]
+
+    work_dir = work_dir or out_dir.rstrip("/") + "_bucketed"
+    if not os.path.exists(os.path.join(work_dir, "_SUCCESS")):
+        size_weighted_exchange(
+            spark, tokens_path, work_dir, num_partitions,
+            key_fn=key_fns[key_name], cuts=cuts, n_tasks=n_tasks,
+        )
+
+    all_buckets = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(work_dir)
+        if d.startswith("bucket=")
+    )
+    done = {
+        r.bucket for r in done_buckets(spark, ckpt_dir).collect()
+    }
+    pending = [b for b in all_buckets if b not in done]
+    total = len(all_buckets)
+    if fail_after_buckets is not None:
+        pending = pending[:fail_after_buckets]
+    if not pending:
+        return {
+            "run_id": run_id,
+            "buckets_total": total,
+            "buckets_pending": 0,
+            "buckets_processed": 0,
+        }
+
+    t0 = time.time()
+    blocks = encode_parquet_direct(
+        spark, work_dir, options, bucket_from_dir=True,
+        n_tasks=n_tasks, buckets=pending,
+    )
+    (
+        blocks.write.partitionBy("bucket")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out_dir)
+    )
+    _append_lineage(spark, out_dir, ckpt_dir, pending, run_id, t0)
     return {
         "run_id": run_id,
         "buckets_total": total,

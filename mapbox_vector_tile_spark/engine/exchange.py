@@ -87,14 +87,16 @@ def plan_weighted_cuts(
     """Boundary keys at equal cumulative-weight quantiles, from a
     deterministic per-file stride sample of ``(key, weight)``.
 
-    Unlike ``df.sample`` the stride depends only on file contents, so the
-    plan is reproducible across cluster configurations — the property
-    checkpoint resume needs (see engine/checkpoint.py).
+    Unlike ``df.sample`` the stride depends only on file contents and the
+    file count, so the plan is reproducible across cluster configurations —
+    the property checkpoint resume needs (see engine/checkpoint.py). The
+    stride is derived per file from its own row count (worker-side), so the
+    driver never loops over file footers.
     """
-    n_total = sum(pq.read_metadata(f).num_rows for f in files)
-    if n_total == 0:
+    n_files = len(files)
+    if n_files == 0:
         return []
-    stride = max(1, n_total // max(sample_target, 1))
+    per_file_target = max(1, sample_target // n_files)
     groups = _group_files(files, spark.sparkContext.defaultParallelism)
     tasks = spark.createDataFrame(
         [(i, g) for i, g in enumerate(groups)],
@@ -108,6 +110,7 @@ def plan_weighted_cuts(
                 keys, weights = [], []
                 for path in paths:
                     t = pq.read_table(path, columns=cols)
+                    stride = max(1, t.num_rows // per_file_target)
                     idx = np.arange(0, t.num_rows, stride, dtype=np.int64)
                     if idx.size == 0:
                         continue
@@ -116,7 +119,14 @@ def plan_weighted_cuts(
                     w = s.column(weight_col)
                     if isinstance(w, pa.ChunkedArray):
                         w = w.combine_chunks()
-                    weights.append(pc.cast(w, pa.int64()))
+                    # each sampled row stands for `stride` rows: scale its
+                    # weight so differently-sized files stay unbiased
+                    weights.append(
+                        pc.multiply(
+                            pc.cast(w, pa.int64()),
+                            pa.scalar(int(stride), pa.int64()),
+                        )
+                    )
                 if keys:
                     yield pa.RecordBatch.from_arrays(
                         [

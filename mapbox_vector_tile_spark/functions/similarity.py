@@ -177,6 +177,138 @@ def ann_lsh_top1(emb: DataFrame, n_queries: int = 10) -> DataFrame:
     )
 
 
+N_IVF_LISTS = 16
+
+
+def ivf_assignments(emb: DataFrame, n_lists: int = N_IVF_LISTS) -> DataFrame:
+    """(vec_id, list_id): IVF coarse quantization — each vector joins the
+    inverted list of its nearest centroid (max fixed-point dot; ties to the
+    smallest centroid id).
+
+    Centroids here are the first ``n_lists`` vectors (deterministic and
+    oracle-replicable); production IVF would k-means them, which changes the
+    centroid table, not this plan: broadcast the (tiny) centroid set against
+    the streaming corpus, per-row argmax — no shuffle of the big side.
+    """
+    cent = emb.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    ).crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        _dot_fixed(F.col("embedding"), F.col("cv")).alias("dot_fixed"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot_fixed").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"))
+        .orderBy("vec_id")
+    )
+
+
+_DOT_QC_SQL = (
+    "CAST((SELECT SUM(CAST(floor(CAST(q.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT)"
+    " * CAST(floor(CAST(c.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT))"
+    " FROM unnest(range(len(q.embedding))) u(i)) AS BIGINT)"
+).format(s=SCALE)
+
+
+def _ivf_assign_sql(n_lists: int) -> str:
+    return f"""
+  SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
+         CAST(c.vec_id AS BIGINT) AS cid, {_DOT_QC_SQL} AS dot_fixed
+  FROM embeddings q JOIN embeddings c ON c.vec_id < {n_lists}
+"""
+
+
+def ivf_assignments_sql(n_lists: int = N_IVF_LISTS) -> str:
+    return f"""
+WITH scored AS ({_ivf_assign_sql(n_lists)}),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot_fixed DESC, cid ASC) AS rn
+  FROM scored)
+SELECT vec_id, cid AS list_id FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def ann_ivf_top1(
+    emb: DataFrame, n_queries: int = 10, n_lists: int = N_IVF_LISTS
+) -> DataFrame:
+    """IVF ANN (nprobe=1): best match within the query's own inverted list
+    (NULL neighbor when the query is alone in its list). The candidate join
+    carries the list id — pair space shrinks from O(n²) to O(n²/n_lists)."""
+    a = ivf_assignments(emb, n_lists)
+    withl = emb.join(a, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vid"), "list_id", "embedding"
+    )
+    q = withl.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "list_id", F.col("embedding").alias("qv")
+    )
+    c = withl.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("list_id").alias("clist"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = q.join(
+        c,
+        (F.col("list_id") == F.col("clist"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+        "left",
+    ).select(
+        "query_id",
+        "list_id",
+        "neighbor_id",
+        F.when(
+            F.col("neighbor_id").isNotNull(), _dot_fixed(F.col("qv"), F.col("cv"))
+        ).alias("dot_fixed"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fixed").desc_nulls_last(), F.col("neighbor_id").asc_nulls_last()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "list_id", "neighbor_id", "dot_fixed")
+        .orderBy("query_id")
+    )
+
+
+def ann_ivf_top1_sql(
+    n_queries: int = 10, n_lists: int = N_IVF_LISTS
+) -> str:
+    return f"""
+WITH ascored AS ({_ivf_assign_sql(n_lists)}),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot_fixed DESC, cid ASC) AS rn
+    FROM ascored) t WHERE rn = 1),
+wl AS (
+  SELECT a.vec_id, a.list_id, e.embedding
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, q.list_id,
+         c.vec_id AS neighbor_id,
+         CASE WHEN c.vec_id IS NULL THEN NULL ELSE {_DOT_QC_SQL} END AS dot_fixed
+  FROM wl q LEFT JOIN wl c ON q.list_id = c.list_id AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot_fixed DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rn
+  FROM scored)
+SELECT query_id, list_id, neighbor_id, dot_fixed FROM ranked
+WHERE rn = 1 ORDER BY query_id
+"""
+
+
 def ann_lsh_top1_sql(n_queries: int = 10) -> str:
     dot = (
         "CAST((SELECT SUM(CAST(floor(CAST(q.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT)"

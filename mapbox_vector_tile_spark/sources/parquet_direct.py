@@ -77,6 +77,7 @@ def encode_parquet_direct(
     batch_rows: int = 4096,
     bucket_from_dir: bool = False,
     n_tasks: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """Encode a tokens parquet dataset via worker-side columnar scans.
 
@@ -84,11 +85,18 @@ def encode_parquet_direct(
     :func:`..engine.encode.encode_dataframe`). ``bucket_from_dir`` parses
     ``bucket=N`` path segments (hive-partitioned layout) into the manifest.
     ``n_tasks`` groups many small files into size-balanced tasks.
+    ``buckets`` restricts the scan to those ``bucket=N`` directories
+    (partition pruning for the resumable job's pending set).
     """
     from ..engine import encode as E
 
     opts = options or EncodeOptions()
     files = list_parquet_files(in_path)
+    if buckets is not None:
+        keep = {f"bucket={b}" for b in buckets}
+        files = [
+            f for f in files if keep.intersection(f.split(os.sep))
+        ]
     if not files:
         raise ValueError(f"no parquet files under {in_path}")
     tasks = file_task_dataframe(spark, files, n_tasks)

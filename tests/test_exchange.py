@@ -152,6 +152,45 @@ def test_checksum_verify_matches_catalyst_and_detects_mismatch(
     assert (res2.n_docs, res2.n_mismatch) == (N_DOCS, 1)
 
 
+def test_direct_checkpoint_resume(spark, tokens_pq, tmp_path):
+    """Scale-path resumable encode (exchange + direct scans): crash after 3
+    buckets, resume finishes only the pending set, result round-trips, and a
+    mismatched bucketing fails fast."""
+    from mapbox_vector_tile_spark.engine.checkpoint import (
+        encode_with_checkpoint_direct,
+        read_checkpoint,
+    )
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+
+    out = str(tmp_path / "blocks")
+    ck = str(tmp_path / "ckpt")
+    s1 = encode_with_checkpoint_direct(
+        spark, tokens_pq, out, ck, N_BUCKETS, fail_after_buckets=3,
+        key_name="regime|doc_id",
+    )
+    assert s1["buckets_processed"] == 3
+    with pytest.raises(ValueError, match="bucket plan mismatch"):
+        encode_with_checkpoint_direct(
+            spark, tokens_pq, out, ck, N_BUCKETS, key_name="doc_id"
+        )
+    s2 = encode_with_checkpoint_direct(
+        spark, tokens_pq, out, ck, N_BUCKETS, key_name="regime|doc_id"
+    )
+    assert s2["buckets_processed"] == s2["buckets_total"] - 3
+    s3 = encode_with_checkpoint_direct(
+        spark, tokens_pq, out, ck, N_BUCKETS, key_name="regime|doc_id"
+    )
+    assert s3["buckets_processed"] == 0
+    res = verify_roundtrip(
+        spark.read.parquet(tokens_pq),
+        decode_dataframe(spark.read.parquet(out)),
+    ).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+    ck_df = read_checkpoint(spark, ck)
+    assert ck_df.count() == s2["buckets_total"]
+
+
 def test_exchange_task_retry_overwrites(spark, tokens_pq, tmp_path):
     # deterministic fragment names: rerunning the exchange into the same
     # directory must not duplicate rows (the task-retry contract)

@@ -44,3 +44,19 @@ def test_ann_agrees_with_exact_when_in_bucket(emb, con):
     for qid, nn in exact.items():
         if buckets[nn] == buckets[qid]:
             assert ann[qid] == nn, (qid, nn, ann[qid])
+
+
+def test_ivf_assignments(emb, con):
+    assert_parity(SIM.ivf_assignments(emb), con, SIM.ivf_assignments_sql())
+
+
+def test_ann_ivf_top1(emb, con):
+    assert_parity(SIM.ann_ivf_top1(emb), con, SIM.ann_ivf_top1_sql())
+
+
+def test_ivf_lists_bound_pair_space(emb):
+    # every vector lands in exactly one of N_IVF_LISTS inverted lists
+    rows = SIM.ivf_assignments(emb).collect()
+    lists = {r.list_id for r in rows}
+    assert lists.issubset(set(range(SIM.N_IVF_LISTS)))
+    assert len(rows) == emb.count()
