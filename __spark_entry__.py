@@ -225,10 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash32"] = lambda s, d: T.simhash32(_docs(s, d))
     q["lang_id"] = lambda s, d: T.lang_id(_docs(s, d))
     q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d))
+    q["token_count_bpe"] = lambda s, d: T.token_count_bpe(_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: T.doc_fingerprint(_docs(s, d))
     q["knn_cosine"] = lambda s, d: SIM.knn_bruteforce(_emb(s, d))
     q["ann_lsh_buckets"] = lambda s, d: SIM.lsh_buckets(_emb(s, d))
     q["ann_lsh_top1"] = lambda s, d: SIM.ann_lsh_top1(_emb(s, d))
+    q["near_dup_embedding"] = lambda s, d: SIM.near_dup_embedding(_emb(s, d))
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
 
@@ -295,10 +297,12 @@ def oracle_sql() -> dict[str, str]:
     o["simhash32"] = T.simhash32_sql()
     o["lang_id"] = T.lang_id_sql()
     o["quality_scores"] = T.QUALITY_SQL
+    o["token_count_bpe"] = T.token_count_bpe_sql()
     o["doc_fingerprint"] = T.doc_fingerprint_sql()
     o["knn_cosine"] = SIM.knn_bruteforce_sql()
     o["ann_lsh_buckets"] = SIM.lsh_buckets_sql()
     o["ann_lsh_top1"] = SIM.ann_lsh_top1_sql()
+    o["near_dup_embedding"] = SIM.near_dup_embedding_sql()
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL

@@ -177,6 +177,62 @@ def ann_lsh_top1(emb: DataFrame, n_queries: int = 10) -> DataFrame:
     )
 
 
+def near_dup_embedding(
+    emb: DataFrame, min_dot_pct: int = 90
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidates
+    whose fixed-point dot is >= ``min_dot_pct``% of the unit norm (SCALE²).
+
+    The bucket key bounds the pair space (no all-pairs join); the exact dot
+    then confirms — the candidate->verify shape every near-dup family here
+    follows (minhash->jaccard, simhash, and this one for embeddings)."""
+    b = lsh_buckets(emb)
+    withb = emb.join(b, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vid"), "bucket", "embedding"
+    )
+    a = withb.select(
+        F.col("vid").alias("vec_a"), "bucket", F.col("embedding").alias("va")
+    )
+    c = withb.select(
+        F.col("vid").alias("vec_b"),
+        F.col("bucket").alias("cbucket"),
+        F.col("embedding").alias("vb"),
+    )
+    threshold = SCALE * SCALE * min_dot_pct
+    return (
+        a.join(
+            c,
+            (F.col("bucket") == F.col("cbucket"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            _dot_fixed(F.col("va"), F.col("vb")).alias("dot_fixed"),
+        )
+        .filter(F.col("dot_fixed") * 100 >= F.lit(threshold))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def near_dup_embedding_sql(min_dot_pct: int = 90) -> str:
+    dot = (
+        "CAST((SELECT SUM(CAST(floor(CAST(a.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT)"
+        " * CAST(floor(CAST(b.embedding[u.i+1] AS DOUBLE) * {s}) AS BIGINT))"
+        " FROM unnest(range(len(a.embedding))) u(i)) AS BIGINT)"
+    ).format(s=SCALE)
+    return f"""
+WITH wb AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, ({_bucket_sql('e')}) AS bucket,
+         e.embedding
+  FROM embeddings e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot_fixed
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {dot} * 100 >= CAST({SCALE} AS BIGINT) * {SCALE} * {min_dot_pct}
+ORDER BY vec_a, vec_b
+"""
+
+
 N_IVF_LISTS = 16
 
 

@@ -369,6 +369,35 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation —
+# the GPT-2-style split shape, restricted to constructs Java regex and RE2
+# (DuckDB) evaluate identically (character classes + alternation only).
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace words vs BPE-ish regex segments —
+    the size estimate a training pipeline runs before paying for real
+    tokenization. Pure Catalyst (`regexp_extract_all`), no Python."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(_words()).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def token_count_bpe_sql() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 QUALITY_SQL = """
 WITH s AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -60,3 +60,7 @@ def test_ivf_lists_bound_pair_space(emb):
     lists = {r.list_id for r in rows}
     assert lists.issubset(set(range(SIM.N_IVF_LISTS)))
     assert len(rows) == emb.count()
+
+
+def test_near_dup_embedding(emb, con):
+    assert_parity(SIM.near_dup_embedding(emb), con, SIM.near_dup_embedding_sql())

@@ -98,3 +98,7 @@ def test_quality_scores(docs, con):
 
 def test_doc_fingerprint(docs, con):
     assert_parity(T.doc_fingerprint(docs), con, T.doc_fingerprint_sql())
+
+
+def test_token_count_bpe(docs, con):
+    assert_parity(T.token_count_bpe(docs), con, T.token_count_bpe_sql())
