@@ -20,11 +20,12 @@ class ChunkAnalysis:
     __slots__ = (
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
         "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
-        "_sample_uc", "_heavy", "_paged_plan",
+        "_sample_uc", "_heavy", "_paged_plan", "_card_cap",
     )
 
-    def __init__(self, a: np.ndarray):
+    def __init__(self, a: np.ndarray, card_sample_cap: int = _CARD_SAMPLE):
         self.a = np.ascontiguousarray(a, dtype=np.int32)
+        self._card_cap = max(1, min(card_sample_cap, _CARD_SAMPLE))
         self._zz = None
         self._first = None
         self._deltas = None
@@ -157,7 +158,8 @@ class ChunkAnalysis:
         heavy-hitter screening."""
         if self._sample_uc is None:
             n = self.n
-            sample = self.a if n <= _CARD_SAMPLE else self.a[:: max(1, n // _CARD_SAMPLE)]
+            cap = self._card_cap
+            sample = self.a if n <= cap else self.a[:: max(1, n // cap)]
             self._sample_uc = np.unique(sample, return_counts=True)
         return self._sample_uc
 

@@ -40,17 +40,50 @@ PAGE_SIZE = 1 << 16
 def paged_plan(an: ChunkAnalysis, page_size: int | None = None):
     """Per-page best-codec plan ``[(sub_analysis, cid, framed_size)]``,
     cached on the analysis so the selector's sizing pass and the winning
-    encoder share one set of page analyses (no recompute)."""
+    encoder share one set of page analyses (no recompute). Page analyses
+    use a reduced cardinality sample (the parent screens DICT viability at
+    full precision; pages only gate it)."""
     ps = page_size or PAGE_SIZE
     if an._paged_plan is None or an._paged_plan[0] != ps:
         plans = []
         for s in range(0, an.n, ps):
-            sub = ChunkAnalysis(an.a[s : s + ps])
+            sub = ChunkAnalysis(an.a[s : s + ps], card_sample_cap=8192)
             sizes = candidate_sizes(sub.a, sub)
             cid = min(sizes, key=lambda c: (sizes[c], _TIE_RANK[c]))
             plans.append((sub, cid, B.header_size() + sizes[cid]))
         an._paged_plan = (ps, plans)
     return an._paged_plan[1]
+
+
+def _paged_bound(an: ChunkAnalysis, ps: int) -> int:
+    """Optimistic per-page size bound from VECTORIZED reductions only (one
+    reshape min/max pass + one delta min/max pass, no sorts, no Python loop
+    per page): each page is assumed to achieve the better of FOR-bitpack or
+    delta-zigzag-bitpack at its local widths. Used to screen out
+    homogeneous chunks, where per-page re-selection can only add header
+    overhead — without paying the full per-page analysis."""
+    n = an.n
+    n_full = n // ps
+    body = an.a[: n_full * ps].reshape(n_full, ps)
+    pmin = body.min(axis=1).astype(np.int64)
+    pmax = body.max(axis=1).astype(np.int64)
+    wr = np.ceil(np.log2(np.maximum(pmax - pmin, 1) + 1)).astype(np.int64)
+    # wraparound int32 deltas — the same semantics the delta kernels use
+    d = body[:, 1:].view(np.uint32) - body[:, :-1].view(np.uint32)
+    d = d.view(np.int32)
+    dmin = d.min(axis=1).astype(np.int64)
+    dmax = d.max(axis=1).astype(np.int64)
+    zz = np.maximum(2 * dmax, -2 * dmin - 1)
+    wd = np.ceil(np.log2(np.maximum(zz, 1) + 1)).astype(np.int64)
+    w = np.minimum(wr, wd)
+    per_page = B.header_size() + 10 + (ps * w + 7) // 8
+    total = int(per_page.sum())
+    tail = n - n_full * ps
+    if tail:
+        t = an.a[n_full * ps :].astype(np.int64)
+        wt = int(np.ceil(np.log2(max(int(t.max() - t.min()), 1) + 1)))
+        total += B.header_size() + 10 + (tail * wt + 7) // 8
+    return B.paged_size([]) + 4 * (n_full + (1 if tail else 0)) + total
 
 
 @dataclass(frozen=True)
@@ -129,9 +162,15 @@ def candidate_sizes(
     # PAGED: per-page re-selection for multi-page chunks — exact size from
     # the cached page plans (reused by the encoder if PAGED wins). Covers
     # mixed-distribution chunks that arrive without a good cluster key.
+    # Screened first by a vectorized optimistic bound: homogeneous chunks
+    # (where pages match the whole-chunk widths) skip the full per-page
+    # analysis, which would otherwise double the selection cost of every
+    # large clustered chunk.
     if n >= 2 * PAGE_SIZE:
-        plans = paged_plan(an)
-        sizes[B.PAGED] = B.paged_size([p[2] for p in plans])
+        best_so_far = min(sizes.values())
+        if _paged_bound(an, PAGE_SIZE) < best_so_far:
+            plans = paged_plan(an)
+            sizes[B.PAGED] = B.paged_size([p[2] for p in plans])
     return sizes
 
 
