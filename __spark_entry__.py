@@ -207,6 +207,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_event_counts"] = windowed_events
 
+    # gap-based session windows (native session_window vs classic
+    # lag/cumsum sessionization as the oracle)
+    def session_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.streaming.windowed import (
+            session_event_stats,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return session_event_stats(ev)
+
+    q["session_event_stats"] = session_events
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -283,6 +295,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["windowed_event_counts"] = WINDOWED_EVENT_COUNTS_SQL
+    from mapbox_vector_tile_spark.streaming.windowed import (
+        session_event_stats_sql,
+    )
+
+    o["session_event_stats"] = session_event_stats_sql()
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 

@@ -45,6 +45,58 @@ def windowed_event_counts(
     )
 
 
+def session_event_stats(
+    events: DataFrame, gap: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows (gap-based): Spark's native
+    ``session_window`` — sessions merge while consecutive events arrive
+    strictly within ``gap``; ``session_end = last_event + gap``.
+
+    Works on batch and streaming frames (pass ``watermark`` for streaming
+    state eviction). The oracle is classic lag/cumsum sessionization in
+    SQL, proving the native operator's semantics against first principles.
+    """
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def session_event_stats_sql(gap_seconds: int = 3600) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {gap_seconds} SECOND
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(FLOOR(epoch(MAX(ts))) + {gap_seconds} AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 WINDOWED_EVENT_COUNTS_SQL = """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
        event_type,

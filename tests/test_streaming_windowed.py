@@ -63,3 +63,21 @@ def test_stream_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= len(want) - 5  # at most the tail windows still open
+
+
+def test_session_windows_match_classic_sessionization(spark):
+    from mapbox_vector_tile_spark.streaming.windowed import (
+        session_event_stats,
+        session_event_stats_sql,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = [tuple(r) for r in session_event_stats(ev).collect()]
+    want = [tuple(r) for r in con.sql(session_event_stats_sql()).fetchall()]
+    assert got == want
+    # sanity: sessions actually split (more sessions than users)
+    assert len(got) > ev.select("user_id").distinct().count()
