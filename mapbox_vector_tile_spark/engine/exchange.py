@@ -265,3 +265,126 @@ def size_weighted_exchange(
 def bucketed_tokens_dataframe(spark: SparkSession, out_path: str) -> DataFrame:
     """Read an exchanged table back as a DataFrame (bucket from hive path)."""
     return spark.read.option("basePath", out_path).parquet(out_path)
+
+
+def exchange_encode_fused(
+    spark: SparkSession,
+    in_path: str,
+    num_buckets: int,
+    options=None,
+    key_fn: Callable[[pa.Table], pa.Array] = doc_id_key,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    weight_col: str = "n_tok",
+    n_tasks: int | None = None,
+    cuts: list[str] | None = None,
+) -> DataFrame:
+    """Fused exchange + encode: each task reads its file group, sorts by the
+    cluster key, cuts bucket segments, and encodes blocks DIRECTLY from the
+    sorted in-memory rows — the intermediate bucketed table is never
+    written or re-read, halving end-to-end memory/IO traffic vs
+    exchange-then-encode (the 8->32 scaling lever named in BENCH/BASELINE).
+
+    Trade recorded, not hidden: chunks cannot span tasks, so each bucket
+    yields >= n_tasks chunks (same fragmentation as the two-phase path) and
+    there is no bucketed table for other readers — use the two-phase path
+    when the clustered tokens table itself is a product.
+
+    Returns the blocks DataFrame (standard blocks schema, ``bucket`` set).
+    """
+    from .encode import (
+        _BLOCKS_ARROW_SCHEMA,
+        BLOCKS_SPARK_SCHEMA,
+        EncodeOptions,
+        _encode_chunk,
+        chunk_row_starts,
+    )
+
+    opts = options or EncodeOptions()
+    files = _list_files(in_path)
+    if not files:
+        raise ValueError(f"no parquet files under {in_path}")
+    if cuts is None:
+        cuts = plan_weighted_cuts(
+            spark, files, num_buckets, key_fn, key_cols, weight_col
+        )
+    cuts_u = np.array(cuts, dtype="U") if cuts else np.array([], dtype="U1")
+    if n_tasks is None:
+        n_tasks = spark.sparkContext.defaultParallelism
+    groups = _group_files(files, n_tasks)
+    tasks = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(groups)],
+        "task_id int, paths array<string>",
+    ).repartition(len(groups), "task_id")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for tb in batches:
+            task_ids = tb.column("task_id").to_pylist()
+            for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
+                t = pa.concat_tables(
+                    [pq.read_table(p, columns=["doc_id", "tokens"]) for p in paths]
+                ).combine_chunks()
+                keys = key_fn(t)
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
+                keys_u = np.array(keys.to_pylist(), dtype="U")
+                order = np.argsort(keys_u, kind="stable")
+                t = t.take(pa.array(order)).combine_chunks()
+                if cuts_u.size:
+                    buckets = np.searchsorted(cuts_u, keys_u[order], side="left")
+                else:
+                    buckets = np.zeros(order.size, dtype=np.int64)
+
+                tokens_col = t.column("tokens")
+                tokens_arr = (
+                    tokens_col.chunk(0)
+                    if tokens_col.num_chunks
+                    else pa.array([], pa.list_(pa.int32()))
+                )
+                doc_ids = t.column("doc_id")
+                doc_ids = (
+                    doc_ids.chunk(0) if doc_ids.num_chunks
+                    else pa.array([], pa.string())
+                )
+                lengths_all = tokens_arr.value_lengths().to_numpy().astype(np.int64)
+                values_all = tokens_arr.flatten().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int32, copy=False)
+                val_off = np.concatenate(([0], np.cumsum(lengths_all)))
+
+                forced = np.flatnonzero(np.diff(buckets) != 0) + 1
+                row_starts = chunk_row_starts(
+                    lengths_all, opts.max_chunk_values, forced
+                )
+                rows, bounds = [], []
+                seq = 0
+                for a, b in zip(row_starts[:-1], row_starts[1:]):
+                    if a == b:
+                        continue
+                    rows.append(
+                        _encode_chunk(
+                            doc_ids.slice(a, b - a),
+                            lengths_all[a:b],
+                            values_all[val_off[a] : val_off[b]],
+                            opts,
+                            task_id,
+                            seq,
+                            int(buckets[a]),
+                        )
+                    )
+                    bounds.append(a)
+                    seq += 1
+                if not rows:
+                    continue
+                bounds.append(row_starts[-1])
+                doc_id_lists = pa.ListArray.from_arrays(
+                    pa.array(bounds, pa.int32()), doc_ids
+                )
+                cols = [
+                    doc_id_lists
+                    if f.name == "doc_ids"
+                    else pa.array([r[f.name] for r in rows], f.type)
+                    for f in _BLOCKS_ARROW_SCHEMA
+                ]
+                yield pa.RecordBatch.from_arrays(cols, schema=_BLOCKS_ARROW_SCHEMA)
+
+    return tasks.mapInArrow(fn, BLOCKS_SPARK_SCHEMA)

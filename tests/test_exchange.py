@@ -191,6 +191,43 @@ def test_direct_checkpoint_resume(spark, tokens_pq, tmp_path):
     assert ck_df.count() == s2["buckets_total"]
 
 
+def test_fused_exchange_encode_roundtrip(spark, tokens_pq, tmp_path):
+    """Fused path must decode bit-identical to the source and match the
+    two-phase path's bucket structure and compression ballpark."""
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.exchange import exchange_encode_fused
+
+    blocks_pq = str(tmp_path / "blocks_fused")
+    blocks = exchange_encode_fused(
+        spark, tokens_pq, N_BUCKETS, key_fn=regime_doc_key, n_tasks=4
+    )
+    blocks.write.partitionBy("bucket").parquet(blocks_pq)
+    written = spark.read.parquet(blocks_pq)
+    assert written.select("bucket").distinct().count() == N_BUCKETS
+    res = verify_roundtrip(
+        spark.read.parquet(tokens_pq), decode_dataframe(written)
+    ).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+
+    # compression within ~5% of the two-phase (exchange -> encode) path
+    from mapbox_vector_tile_spark.engine.encode import EncodeOptions
+    from mapbox_vector_tile_spark.engine.exchange import size_weighted_exchange
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        encode_parquet_direct,
+    )
+
+    bucketed = str(tmp_path / "bucketed_2p")
+    size_weighted_exchange(
+        spark, tokens_pq, bucketed, N_BUCKETS, key_fn=regime_doc_key, n_tasks=4
+    )
+    two_phase = encode_parquet_direct(
+        spark, bucketed, EncodeOptions(), bucket_from_dir=True
+    )
+    b1 = written.agg(F.sum("bytes_enc")).first()[0]
+    b2 = two_phase.agg(F.sum("bytes_enc")).first()[0]
+    assert b1 <= 1.05 * b2
+
+
 def test_exchange_task_retry_overwrites(spark, tokens_pq, tmp_path):
     # deterministic fragment names: rerunning the exchange into the same
     # directory must not duplicate rows (the task-retry contract)
