@@ -6,12 +6,16 @@ default 40 -> ~110M tokens at sf0.1). Data moves between phases as parquet —
 the realistic shape (the north star stores token tables in Iceberg/parquet)
 and the fast one (vectorized columnar scan -> Arrow, no row-object boxing).
 
-Timed phases:
-  q_generate    distributed corpus synthesis -> tokens parquet
-  q_partition   size-weighted + regime-clustered FILE-LEVEL exchange ->
-                bucketed parquet (engine/exchange.py: parquet -> Arrow ->
-                parquet in workers; no JVM row shuffle of the token arrays)
-  q_encode      parquet scan -> mapInArrow auto-codec encode -> blocks parquet
+Timed phases (default FUSED pipeline; SPARK_GRAFT_BENCH_FUSED=0 for the
+two-phase exchange->encode form):
+  q_generate    distributed corpus synthesis -> tokens parquet (worker sink)
+  q_partition   fused: cut planning (stride sample -> weighted quantiles);
+                two-phase: full file-level exchange -> bucketed parquet
+  q_encode      fused: sort + bucket + encode in one worker pass over the
+                source parquet (no bucketed intermediate, engine/exchange.py
+                exchange_encode_fused); two-phase: encode of the bucketed
+                table. Either way: parquet -> Arrow -> numpy in workers, no
+                JVM row boxing of token arrays anywhere
   q_decode      blocks parquet -> mapInArrow decode -> token count agg
   q_verify      per-doc checksum metadata join (worker-side order-sensitive
                 checksums both sides; arrays never cross to the JVM)
@@ -45,11 +49,16 @@ def main() -> int:
     from mapbox_vector_tile_spark.engine import generator as G
     from mapbox_vector_tile_spark.engine.encode import EncodeOptions, encode_dataframe
     from mapbox_vector_tile_spark.engine.exchange import (
+        exchange_encode_fused,
+        plan_weighted_cuts,
         regime_doc_key,
         size_weighted_exchange,
     )
     from mapbox_vector_tile_spark.engine.session import get_spark
     from mapbox_vector_tile_spark.engine.verify import verify_roundtrip_checksums
+    from mapbox_vector_tile_spark.sources.parquet_direct import list_parquet_files
+
+    fused = os.environ.get("SPARK_GRAFT_BENCH_FUSED", "1") == "1"
 
     spark = get_spark(
         app_name="mvt-spark-bench",
@@ -106,36 +115,51 @@ def main() -> int:
         # the per-chunk selector can beat the one-size-fits-all reference
         # scheme (the table-level analog of the reference's delta-minimizing
         # reorder, /root/reference/mapbox_vector_tile/optimise.py:133-163).
-        # File-level exchange: bytes move parquet -> Arrow -> parquet inside
-        # workers; the JVM never boxes the token arrays into shuffle rows.
-        t = time.time()
-        if not os.path.exists(f"{bucketed_pq}/_SUCCESS"):
-            size_weighted_exchange(
-                spark, tokens_pq, bucketed_pq, num_buckets,
-                key_fn=regime_doc_key, n_tasks=cpus,
-            )
-        queries["q_partition"] = round(time.time() - t, 3)
-
-        # encode/decode use the native columnar scan path (pyarrow reads the
-        # parquet inside the worker; Spark schedules file-split tasks) — the
-        # JVM row<->Arrow conversion of array<int> otherwise dominates wall
-        t = time.time()
-        from mapbox_vector_tile_spark.sources.parquet_direct import (
-            encode_parquet_direct,
-        )
-
-        # best-of-2: this VM backs guest RAM lazily, so whichever run first
-        # touches fresh pages pays a ~100 MB/s first-touch tax; the second
-        # run measures steady-state (what a warm cluster delivers)
-        best = None
-        for _ in range(2):
+        # Either form moves bytes parquet -> Arrow -> parquet inside workers;
+        # the JVM never boxes the token arrays into shuffle rows.
+        # best-of-2 on the encode phase: this VM backs guest RAM lazily, so
+        # whichever run first touches fresh pages pays a ~100 MB/s
+        # first-touch tax; the second run measures steady state (what a
+        # warm cluster delivers)
+        if fused:
             t = time.time()
-            encode_parquet_direct(spark, bucketed_pq, EncodeOptions(),
-                                  bucket_from_dir=True, n_tasks=4 * cpus) \
-                .write.mode("overwrite").parquet(blocks_pq)
-            dt = round(time.time() - t, 3)
-            best = dt if best is None else min(best, dt)
-        queries["q_encode"] = best
+            cuts = plan_weighted_cuts(
+                spark, list_parquet_files(tokens_pq), num_buckets,
+                key_fn=regime_doc_key,
+            )
+            queries["q_partition"] = round(time.time() - t, 3)
+            best = None
+            for _ in range(2):
+                t = time.time()
+                exchange_encode_fused(
+                    spark, tokens_pq, num_buckets, EncodeOptions(),
+                    key_fn=regime_doc_key, n_tasks=cpus, cuts=cuts,
+                ).write.mode("overwrite").parquet(blocks_pq)
+                dt = round(time.time() - t, 3)
+                best = dt if best is None else min(best, dt)
+            queries["q_encode"] = best
+        else:
+            t = time.time()
+            if not os.path.exists(f"{bucketed_pq}/_SUCCESS"):
+                size_weighted_exchange(
+                    spark, tokens_pq, bucketed_pq, num_buckets,
+                    key_fn=regime_doc_key, n_tasks=cpus,
+                )
+            queries["q_partition"] = round(time.time() - t, 3)
+
+            from mapbox_vector_tile_spark.sources.parquet_direct import (
+                encode_parquet_direct,
+            )
+
+            best = None
+            for _ in range(2):
+                t = time.time()
+                encode_parquet_direct(spark, bucketed_pq, EncodeOptions(),
+                                      bucket_from_dir=True, n_tasks=4 * cpus) \
+                    .write.mode("overwrite").parquet(blocks_pq)
+                dt = round(time.time() - t, 3)
+                best = dt if best is None else min(best, dt)
+            queries["q_encode"] = best
 
         written = spark.read.parquet(blocks_pq)
         sizes = written.agg(
@@ -173,7 +197,7 @@ def main() -> int:
 
             t = time.time()
             res = verify_roundtrip_checksums(
-                doc_checksums_direct(spark, bucketed_pq, n_tasks=2 * cpus),
+                doc_checksums_direct(spark, tokens_pq, n_tasks=2 * cpus),
                 decoded_doc_checksums_direct(spark, blocks_pq, n_tasks=2 * cpus),
             ).first()
             queries["q_verify"] = round(time.time() - t, 3)
