@@ -219,6 +219,87 @@ def decode_stats_direct(
     return tasks.mapInArrow(fn, "n_rows long, n_values long, tok_cks long")
 
 
+def decode_to_parquet_direct(
+    spark: SparkSession,
+    blocks_path: str,
+    out_path: str,
+    verify_checksum: bool = True,
+    n_tasks: int | None = None,
+) -> int:
+    """Decode a blocks dataset straight to a tokens parquet dataset — the
+    sink-side twin of :func:`encode_parquet_direct`: each task decodes its
+    block-file group and writes one tokens file with pyarrow (deterministic
+    name, atomic rename, ``_SUCCESS`` marker), so the decoded arrays never
+    cross the JVM row boundary. Returns rows written."""
+    import numpy as np
+
+    from ..engine import decode as D
+
+    files = list_parquet_files(blocks_path)
+    if not files:
+        raise ValueError(f"no parquet files under {blocks_path}")
+    os.makedirs(out_path, exist_ok=True)
+    tasks = file_task_dataframe(spark, files, n_tasks)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for tb in batches:
+            task_ids = tb.column("task_id").to_pylist()
+            for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
+                parts = []
+                for path in paths:
+                    pf = pq.ParquetFile(path)
+                    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+                    for batch in pf.iter_batches(batch_size=64, columns=cols):
+                        payloads = batch.column("payload")
+                        lb = batch.column("lengths_blob")
+                        cks = batch.column("checksum")
+                        dids = batch.column("doc_ids")
+                        for i in range(batch.num_rows):
+                            lengths, values = D.decode_block_row(
+                                payloads[i].as_py(),
+                                lb[i].as_py(),
+                                cks[i].as_py() if verify_checksum else None,
+                            )
+                            offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+                            np.cumsum(lengths, out=offsets[1:])
+                            tokens = pa.LargeListArray.from_arrays(
+                                pa.array(offsets, pa.int64()),
+                                pa.array(values, pa.int32()),
+                            ).cast(pa.list_(pa.int32()))
+                            parts.append(
+                                pa.RecordBatch.from_arrays(
+                                    [
+                                        dids[i].values,
+                                        tokens,
+                                        pa.array(
+                                            lengths.astype(np.int32), pa.int32()
+                                        ),
+                                    ],
+                                    schema=D._OUT_ARROW_SCHEMA,
+                                )
+                            )
+                n_rows = sum(p.num_rows for p in parts)
+                if parts:
+                    table = pa.Table.from_batches(parts, D._OUT_ARROW_SCHEMA)
+                    tmp = os.path.join(out_path, f".part-{task_id:05d}.tmp")
+                    final = os.path.join(
+                        out_path, f"part-{task_id:05d}.parquet"
+                    )
+                    pq.write_table(table, tmp)
+                    os.replace(tmp, final)
+                yield pa.RecordBatch.from_pydict(
+                    {"task_id": [task_id], "n_rows": [n_rows]},
+                    schema=pa.schema(
+                        [("task_id", pa.int32()), ("n_rows", pa.int64())]
+                    ),
+                )
+
+    written = tasks.mapInArrow(fn, "task_id int, n_rows long").collect()
+    with open(os.path.join(out_path, "_SUCCESS"), "w"):
+        pass
+    return sum(r.n_rows for r in written)
+
+
 _CKS_SCHEMA = "doc_id string, n_tok long, tok_cks long, tok_wcks long"
 _CKS_ARROW = pa.schema(
     [

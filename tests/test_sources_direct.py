@@ -67,3 +67,27 @@ def test_write_corpus_parquet_direct_matches_dataframe(spark, tmp_path):
     a = {r.doc_id: (r.tokens, r.n_tok, r.source) for r in direct.collect()}
     b = {r.doc_id: (r.tokens, r.n_tok, r.source) for r in via_df.collect()}
     assert a == b
+
+
+def test_decode_to_parquet_direct_roundtrip(spark, tmp_path):
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.engine.encode import EncodeOptions
+    from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        decode_to_parquet_direct,
+        encode_parquet_direct,
+    )
+
+    tokens_pq = str(tmp_path / "tokens")
+    blocks_pq = str(tmp_path / "blocks")
+    out_pq = str(tmp_path / "decoded")
+    G.corpus_dataframe(spark, 300, num_partitions=3).write.parquet(tokens_pq)
+    encode_parquet_direct(spark, tokens_pq, EncodeOptions()).write.parquet(
+        blocks_pq
+    )
+    n = decode_to_parquet_direct(spark, blocks_pq, out_pq, n_tasks=2)
+    assert n == 300
+    res = verify_roundtrip(
+        spark.read.parquet(tokens_pq), spark.read.parquet(out_pq)
+    ).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (300, 300, 0)
