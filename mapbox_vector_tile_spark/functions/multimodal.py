@@ -1,19 +1,26 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is real
-and tested; the actual media decoding is STUBBED — the container has no
-image/audio libraries — behind :data:`REAL_DECODERS_AVAILABLE`. The stub
-"decoder" is a deterministic function of the payload bytes so tests can pin
-outputs. Swap ``_fake_decode_image`` for a PIL/ffmpeg call on a real cluster.
+Round-2 upgrade: image and audio decoding is REAL — payloads are stored in
+formats decodable with numpy/stdlib alone (24-bit uncompressed BMP for
+images, PCM16 WAV via the stdlib ``wave`` module for audio), so feature
+extraction operates on actual pixels/samples, not hashes. Only VIDEO decode
+remains stubbed (no pure-Python container/codec exists in this sandbox;
+:data:`REAL_VIDEO_DECODER` gates it honestly — swap in PyAV/ffmpeg on a
+real cluster). Compressed image formats (JPEG/PNG) would likewise slot in
+behind ``PIL`` when present.
 
 Pattern: ``mapInPandas`` over an assets table
 ``(asset_id string, kind string, payload binary, meta map<string,string>)``;
-one Arrow batch in -> one feature batch out, never per-row Python dispatch.
+one Arrow batch in -> one feature batch out, never per-row Python dispatch
+at the Spark boundary (the per-asset decode loop is the work itself).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -27,34 +34,137 @@ FEATURES_SCHEMA = (
     "width int, height int, feat array<float>"
 )
 
-try:  # real decoders would be imported here (PIL, soundfile, av, ...)
+try:  # optional: compressed-image decode (JPEG/PNG) when PIL exists
     import PIL.Image  # noqa: F401
 
     REAL_DECODERS_AVAILABLE = True
 except Exception:
     REAL_DECODERS_AVAILABLE = False
 
+REAL_VIDEO_DECODER = False  # no pure-Python video codec; PyAV/ffmpeg slot
+
 FEAT_DIM = 16
 
 
-def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic stand-in for an image decode + feature extraction.
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed, BITMAPINFOHEADER) — real codec, numpy only
+# ---------------------------------------------------------------------------
 
-    Derives (width, height, feature-vector) purely from the payload bytes —
-    stable across runs/engines — so all downstream plumbing is testable.
-    """
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> BMP bytes (bottom-up rows, BGR, 4-byte row
+    padding — the standard uncompressed layout)."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body_size = (row + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + body_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_size, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR
+    if pad:
+        rows = np.zeros((h, row + pad), dtype=np.uint8)
+        rows[:, :row] = bgr.reshape(h, row)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP bytes -> (H, W, 3) uint8 RGB. Supports the 24-bit uncompressed
+    form :func:`encode_bmp` writes (raises on anything else)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    body = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h),
+                         offset=data_off).reshape(abs(h), stride)
+    bgr = body[:, :row].reshape(abs(h), w, 3)
+    if h > 0:
+        bgr = bgr[::-1]  # bottom-up -> top-down
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16 mono) — real codec, stdlib wave + numpy
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 samples -> WAV bytes (PCM16 mono)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        data = w.readframes(w.getnframes())
+        samples = np.frombuffer(data, dtype="<i2")
+        if w.getnchannels() > 1:
+            samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
+            samples = samples.astype(np.int16)
+        return samples, w.getframerate()
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (real content statistics; FEAT_DIM floats)
+# ---------------------------------------------------------------------------
+
+def _image_features(px: np.ndarray) -> np.ndarray:
+    h, w, _ = px.shape
+    f = np.zeros(FEAT_DIM, dtype=np.float32)
+    f[0], f[1] = w / 64.0, h / 64.0
+    flat = px.reshape(-1, 3).astype(np.float32) / 255.0
+    f[2:5] = flat.mean(axis=0)
+    f[5:8] = flat.std(axis=0)
+    f[8:11] = flat.min(axis=0)
+    f[11:14] = flat.max(axis=0)
+    f[14] = w / max(h, 1)
+    f[15] = float(px.mean()) / 255.0
+    return f
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    f = np.zeros(FEAT_DIM, dtype=np.float32)
+    s = samples.astype(np.float32) / 32768.0
+    n = max(s.size, 1)
+    f[0] = s.size / 1e4
+    f[1] = rate / 48000.0
+    f[2] = s.mean() if s.size else 0.0
+    f[3] = float(np.sqrt((s * s).mean())) if s.size else 0.0  # RMS
+    f[4] = s.min() if s.size else 0.0
+    f[5] = s.max() if s.size else 0.0
+    if s.size > 1:
+        f[6] = float(np.count_nonzero(np.diff(np.signbit(s)))) / n  # ZCR
+    return f
+
+
+def _fake_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for formats with no decoder in this sandbox
+    (video): a pure function of the payload bytes, stable across engines."""
     h = hashlib.md5(payload).digest()
-    width = 1 + h[0] % 64
-    height = 1 + h[1] % 64
-    feat = (
+    return (
         np.frombuffer(h, dtype=np.uint8).astype(np.float32).repeat(2)[:FEAT_DIM]
         / 255.0
     )
-    return width, height, feat
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """assets table -> per-asset features via Arrow-batched ``mapInPandas``."""
+    """assets table -> per-asset features via Arrow-batched ``mapInPandas``.
+
+    image -> real BMP decode (pixel statistics); audio -> real WAV decode
+    (RMS/ZCR etc.); video -> stub features (:data:`REAL_VIDEO_DECODER`)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,14 +176,16 @@ def extract_features(assets: DataFrame) -> DataFrame:
             ):
                 payload = bytes(payload) if payload is not None else b""
                 if kind == "image":
-                    if REAL_DECODERS_AVAILABLE:
-                        raise NotImplementedError(
-                            "real image decode not wired in this container"
-                        )
-                    w, hgt, feat = _fake_decode_image(payload)
-                else:  # audio/video: same stub path, no spatial dims
+                    px = decode_bmp(payload)
+                    hgt, w, _ = px.shape
+                    feat = _image_features(px)
+                elif kind == "audio":
+                    samples, rate = decode_wav(payload)
                     w = hgt = -1
-                    _, _, feat = _fake_decode_image(payload)
+                    feat = _audio_features(samples, rate)
+                else:  # video: honestly stubbed (no decoder in sandbox)
+                    w = hgt = -1
+                    feat = _fake_features(payload)
                 rows.append(
                     {
                         "asset_id": asset_id,
@@ -93,22 +205,46 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def synthetic_assets(spark: SparkSession, n: int) -> DataFrame:
-    """Deterministic fake assets table (payload = seeded bytes)."""
+    """Deterministic assets table with REAL payloads: images are valid BMPs
+    (gradient + seeded noise), audio is valid PCM16 WAV (sine + noise),
+    video is opaque seeded bytes (decode stubbed)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = []
             for i in ids:
-                rng = np.random.default_rng(int(i))
-                kind = ["image", "audio", "video"][int(i) % 3]
-                payload = rng.integers(0, 256, 64 + int(i) % 128, dtype=np.uint8)
+                i = int(i)
+                rng = np.random.default_rng(i)
+                kind = ["image", "audio", "video"][i % 3]
+                if kind == "image":
+                    w = 1 + rng.integers(0, 64)
+                    h = 1 + rng.integers(0, 64)
+                    gx = np.linspace(0, 255, w, dtype=np.float32)
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = gx[None, :].astype(np.uint8)
+                    px[:, :, 1] = np.linspace(0, 255, h)[:, None].astype(np.uint8)
+                    px[:, :, 2] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                    payload = encode_bmp(px)
+                elif kind == "audio":
+                    ns = 400 + int(rng.integers(0, 800))
+                    t = np.arange(ns, dtype=np.float32)
+                    freq = 100 + (i % 20) * 50
+                    s = 0.5 * np.sin(2 * np.pi * freq * t / 16000)
+                    s = s + 0.05 * rng.standard_normal(ns).astype(np.float32)
+                    payload = encode_wav(
+                        (np.clip(s, -1, 1) * 32767).astype(np.int16)
+                    )
+                else:
+                    payload = rng.integers(
+                        0, 256, 64 + i % 128, dtype=np.uint8
+                    ).tobytes()
                 rows.append(
                     {
-                        "asset_id": f"asset-{int(i):06d}",
+                        "asset_id": f"asset-{i:06d}",
                         "kind": kind,
-                        "payload": payload.tobytes(),
-                        "meta": {"idx": str(int(i))},
+                        "payload": payload,
+                        "meta": {"idx": str(i)},
                     }
                 )
             yield pd.DataFrame(rows)

@@ -85,3 +85,46 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
     assert blocks.select("batch_id").distinct().count() == 1
     res = verify_roundtrip(static, decode_dataframe(blocks)).first()
     assert (res.n_docs, res.n_match, res.n_mismatch) == (n, n, 0)
+
+
+def test_bmp_codec_roundtrip():
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (3, 5), (64, 63), (17, 2)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+
+
+def test_wav_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32767, 1234, dtype=np.int16)
+    got, rate = MM.decode_wav(MM.encode_wav(s, rate=22050))
+    assert rate == 22050 and np.array_equal(got, s)
+
+
+def test_real_image_features_reflect_content(spark):
+    # constant-color image: per-channel std must be 0, mean the exact color
+    px = np.full((8, 4, 3), 200, dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [("a0", "image", bytearray(MM.encode_bmp(px)), {})], MM.ASSETS_SCHEMA
+    )
+    r = MM.extract_features(assets).collect()[0]
+    assert (r.width, r.height) == (4, 8)
+    assert abs(r.feat[2] - 200 / 255) < 1e-6  # mean R
+    assert abs(r.feat[5]) < 1e-6  # std R == 0
+
+
+def test_real_audio_features_reflect_content(spark):
+    # constant zero signal: RMS 0; full-scale square wave: RMS ~1
+    silent = MM.encode_wav(np.zeros(500, dtype=np.int16))
+    square = MM.encode_wav(
+        (np.tile([32767, -32767], 250)).astype(np.int16)
+    )
+    assets = spark.createDataFrame(
+        [("s", "audio", bytearray(silent), {}),
+         ("q", "audio", bytearray(square), {})],
+        MM.ASSETS_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.extract_features(assets).collect()}
+    assert abs(rows["s"].feat[3]) < 1e-6
+    assert abs(rows["q"].feat[3] - 1.0) < 1e-3
+    assert rows["q"].feat[6] > 0.9  # zero-crossing rate of the square wave
