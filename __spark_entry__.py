@@ -246,6 +246,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
 
+    # multimodal columns (first-class, oracle-gated): closed-form synthetic
+    # assets -> REAL BMP/WAV decode -> integer-exact content statistics.
+    # The DuckDB oracle regenerates the pixels/samples in SQL, so a hash
+    # match proves the binary containers round-tripped bit-exactly.
+    def multimodal_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import multimodal as MM
+
+        return MM.content_stats(MM.synthetic_assets(spark, 500)).orderBy(
+            "asset_id"
+        )
+
+    q["multimodal_content_stats"] = multimodal_stats
+
     # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
     q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
     q["dict_frequency_order"] = lambda s, d: CP.dict_frequency_order(
@@ -322,6 +335,9 @@ def oracle_sql() -> dict[str, str]:
     o["near_dup_embedding"] = SIM.near_dup_embedding_sql()
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
+    from mapbox_vector_tile_spark.functions import multimodal as MM
+
+    o["multimodal_content_stats"] = MM.content_stats_sql(500)
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

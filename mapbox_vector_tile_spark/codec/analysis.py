@@ -20,12 +20,23 @@ class ChunkAnalysis:
     __slots__ = (
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
         "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
-        "_sample_uc", "_heavy", "_paged_plan", "_card_cap",
+        "_sample_uc", "_heavy", "_paged_plan", "_card_cap", "seg_bounds",
     )
 
-    def __init__(self, a: np.ndarray, card_sample_cap: int = _CARD_SAMPLE):
+    def __init__(
+        self,
+        a: np.ndarray,
+        card_sample_cap: int = _CARD_SAMPLE,
+        seg_bounds: np.ndarray | None = None,
+    ):
         self.a = np.ascontiguousarray(a, dtype=np.int32)
         self._card_cap = max(1, min(card_sample_cap, _CARD_SAMPLE))
+        # known internal distribution boundaries (value offsets, exclusive of
+        # 0 and n) — e.g. cluster-bucket transitions inside a merged chunk.
+        # PAGED aligns its self-describing sub-frames to these instead of a
+        # fixed stride, so a multi-regime chunk compresses like the
+        # per-segment chunks it replaced (codec/select.paged_plan).
+        self.seg_bounds = seg_bounds
         self._zz = None
         self._first = None
         self._deltas = None

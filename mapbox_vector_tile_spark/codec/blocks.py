@@ -291,9 +291,11 @@ def _enc_paged(an: ChunkAnalysis) -> bytes:
     plans = S.paged_plan(an)
     subs = [encode_block(sub.a, cid, sub) for (sub, cid, _) in plans]
     lens = np.array([len(b) for b in subs], dtype="<u4")
-    return (
-        _PGD.pack(S.PAGE_SIZE, len(subs)) + lens.tobytes() + b"".join(subs)
-    )
+    # page_size 0 = variable (segment-aligned) pages; informational only —
+    # sub-frames are self-describing and the decoder never reads this field
+    sb = an.seg_bounds
+    ps = 0 if (sb is not None and len(sb)) else S.PAGE_SIZE
+    return _PGD.pack(ps, len(subs)) + lens.tobytes() + b"".join(subs)
 
 
 def _dec_paged(buf: memoryview, n: int) -> np.ndarray:

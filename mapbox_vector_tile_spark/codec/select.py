@@ -42,7 +42,30 @@ def paged_plan(an: ChunkAnalysis, page_size: int | None = None):
     cached on the analysis so the selector's sizing pass and the winning
     encoder share one set of page analyses (no recompute). Page analyses
     use a reduced cardinality sample (the parent screens DICT viability at
-    full precision; pages only gate it)."""
+    full precision; pages only gate it).
+
+    When the analysis carries ``seg_bounds`` (known distribution boundaries,
+    e.g. cluster-bucket transitions inside a merged chunk), pages follow
+    those variable-length segments instead of a fixed stride — each segment
+    then compresses exactly as it would as its own chunk. The wire format is
+    unchanged: sub-frames are self-describing, so the decoder never assumes
+    a uniform page size."""
+    sb = an.seg_bounds
+    if sb is not None and len(sb):
+        if an._paged_plan is None or an._paged_plan[0] != -1:
+            bounds = [0, *(int(x) for x in sb if 0 < int(x) < an.n), an.n]
+            plans = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if s >= e:
+                    continue
+                # full-precision cardinality sample: segments are the "real"
+                # chunks here (the 8192 cap below is sized for 64k pages)
+                sub = ChunkAnalysis(an.a[s:e])
+                sizes = candidate_sizes(sub.a, sub)
+                cid = min(sizes, key=lambda c: (sizes[c], _TIE_RANK[c]))
+                plans.append((sub, cid, B.header_size() + sizes[cid]))
+            an._paged_plan = (-1, plans)
+        return an._paged_plan[1]
     ps = page_size or PAGE_SIZE
     if an._paged_plan is None or an._paged_plan[0] != ps:
         plans = []
@@ -166,7 +189,14 @@ def candidate_sizes(
     # (where pages match the whole-chunk widths) skip the full per-page
     # analysis, which would otherwise double the selection cost of every
     # large clustered chunk.
-    if n >= 2 * PAGE_SIZE:
+    sb = an.seg_bounds
+    if sb is not None and len(sb):
+        # known segment boundaries: evaluate segment-aligned PAGED exactly
+        # (the per-segment analyses are the same work the segments would
+        # have cost as separate chunks; no screen needed)
+        plans = paged_plan(an)
+        sizes[B.PAGED] = B.paged_size([p[2] for p in plans])
+    elif n >= 2 * PAGE_SIZE:
         best_so_far = min(sizes.values())
         if _paged_bound(an, PAGE_SIZE) < best_so_far:
             plans = paged_plan(an)

@@ -180,11 +180,15 @@ def _encode_chunk(
     seq: int,
     bucket: int = 0,
     source_vals: list | None = None,
+    seg_values: np.ndarray | None = None,
 ) -> dict:
+    """``seg_values``: known distribution boundaries (value offsets within
+    the chunk, e.g. bucket transitions a merged chunk absorbed) — PAGED
+    aligns its sub-frames to them (codec/select.paged_plan)."""
     from ..codec.analysis import ChunkAnalysis
     from ..codec import kernels as K
 
-    an = ChunkAnalysis(values)
+    an = ChunkAnalysis(values, seg_bounds=seg_values)
     tok_codec = opts.column_codec("tokens")
     tok_validate = opts.column_validate("tokens")
     if tok_codec is None:

@@ -63,6 +63,53 @@ def regime_doc_key(table: pa.Table | pa.RecordBatch) -> pa.Array:
     )
 
 
+def _utf8_fixed_bytes(keys: pa.Array, width: int = 0) -> np.ndarray:
+    """UTF-8 key column -> fixed-width numpy ``S`` array, fully vectorized.
+
+    NUL-padded byte-wise comparison orders exactly like UTF-8 string
+    comparison (code-point order), so ``argsort``/``searchsorted`` over the
+    result match the Catalyst string expressions — without materializing a
+    Python ``str`` per row (``Array.to_pylist`` was the one per-row object
+    churn left on the flagship path). ``width`` raises the item size so cut
+    boundary strings longer than any key in this batch are never truncated.
+    """
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if keys.null_count:
+        raise ValueError("cluster keys must not be null")
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=f"S{max(width, 1)}")
+    large = pa.types.is_large_string(keys.type) or pa.types.is_large_binary(
+        keys.type
+    )
+    off_dt, off_sz = (np.int64, 8) if large else (np.int32, 4)
+    offs = np.frombuffer(
+        keys.buffers()[1], dtype=off_dt, count=n + 1, offset=off_sz * keys.offset
+    ).astype(np.int64)
+    data = np.frombuffer(keys.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+    seg = data[offs[0] : offs[-1]]
+    lens = np.diff(offs)
+    w = max(int(lens.max()), width, 1)
+    if int(lens.min()) == w and int(lens.max()) == w:
+        return np.ascontiguousarray(seg).view(f"S{w}")
+    out = np.zeros(n * w, dtype=np.uint8)
+    rel = offs - offs[0]
+    pos = np.arange(seg.size, dtype=np.int64) - np.repeat(rel[:-1], lens)
+    out[np.repeat(np.arange(n, dtype=np.int64) * w, lens) + pos] = seg
+    return out.view(f"S{w}")
+
+
+def _cuts_fixed_bytes(cuts: list[str]) -> tuple[np.ndarray, int]:
+    """Cut boundaries as a fixed-width ``S`` array + the minimum item width
+    every key array must be padded to so comparisons never truncate."""
+    if not cuts:
+        return np.empty(0, dtype="S1"), 0
+    enc = [c.encode("utf-8") for c in cuts]
+    w = max(len(e) for e in enc)
+    return np.array(enc, dtype=f"S{w}"), w
+
+
 def _list_files(path: str) -> list[str]:
     from ..sources.parquet_direct import list_parquet_files
 
@@ -175,7 +222,7 @@ def size_weighted_exchange(
         cuts = plan_weighted_cuts(
             spark, files, num_buckets, key_fn, key_cols, weight_col
         )
-    cuts_u = np.array(cuts, dtype="U") if cuts else np.array([], dtype="U1")
+    cuts_b, cuts_w = _cuts_fixed_bytes(cuts)
     if n_tasks is None:
         n_tasks = spark.sparkContext.defaultParallelism
     groups = _group_files(files, n_tasks)
@@ -189,17 +236,14 @@ def size_weighted_exchange(
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
                 t = pa.concat_tables([pq.read_table(p) for p in paths])
-                keys = key_fn(t)
-                if isinstance(keys, pa.ChunkedArray):
-                    keys = keys.combine_chunks()
-                keys_u = np.array(keys.to_pylist(), dtype="U")
-                order = np.argsort(keys_u, kind="stable")
-                keys_sorted = keys_u[order]
+                keys_b = _utf8_fixed_bytes(key_fn(t), cuts_w)
+                order = np.argsort(keys_b, kind="stable")
+                keys_sorted = keys_b[order]
                 t = t.take(pa.array(order))
                 # bucket = count of cuts < key (matches partitioning._bucket_expr);
                 # keys are sorted, so buckets are too — slice at transitions
-                if cuts_u.size:
-                    buckets = np.searchsorted(cuts_u, keys_sorted, side="left")
+                if cuts_b.size:
+                    buckets = np.searchsorted(cuts_b, keys_sorted, side="left")
                 else:
                     buckets = np.zeros(keys_sorted.size, dtype=np.int64)
                 seg_starts = np.concatenate(
@@ -277,6 +321,7 @@ def exchange_encode_fused(
     weight_col: str = "n_tok",
     n_tasks: int | None = None,
     cuts: list[str] | None = None,
+    min_chunk_values: int | None = None,
 ) -> DataFrame:
     """Fused exchange + encode: each task reads its file group, sorts by the
     cluster key, cuts bucket segments, and encodes blocks DIRECTLY from the
@@ -284,10 +329,21 @@ def exchange_encode_fused(
     written or re-read, halving end-to-end memory/IO traffic vs
     exchange-then-encode (the 8->32 scaling lever named in BENCH/BASELINE).
 
-    Trade recorded, not hidden: chunks cannot span tasks, so each bucket
-    yields >= n_tasks chunks (same fragmentation as the two-phase path) and
-    there is no bucketed table for other readers — use the two-phase path
-    when the clustered tokens table itself is a product.
+    ``min_chunk_values`` (default ``max_chunk_values // 4``) merges
+    sub-budget bucket segments: a bucket-transition chunk cut is kept only
+    once the running chunk holds at least this many values. Without it every
+    (task x bucket) crossing forces its own chunk — n_chunks grows as
+    O(tasks x buckets) and decode pays the per-block fixed cost that many
+    times (the round-2 q_decode regression). Rows stay fully sorted by the
+    cluster key, so a merged chunk is still delta-local; the PAGED codec
+    re-picks per 64k-value page inside heterogeneous chunks. A merged
+    chunk's ``bucket`` is its first (lowest-key) row's bucket — pass
+    ``min_chunk_values=0`` when strict chunk/bucket homogeneity matters
+    (e.g. ``write.partitionBy("bucket")`` products).
+
+    Trade recorded, not hidden: chunks cannot span tasks, so n_chunks >=
+    n_tasks, and there is no bucketed table for other readers — use the
+    two-phase path when the clustered tokens table itself is a product.
 
     Returns the blocks DataFrame (standard blocks schema, ``bucket`` set).
     """
@@ -300,6 +356,8 @@ def exchange_encode_fused(
     )
 
     opts = options or EncodeOptions()
+    if min_chunk_values is None:
+        min_chunk_values = opts.max_chunk_values // 4
     files = _list_files(in_path)
     if not files:
         raise ValueError(f"no parquet files under {in_path}")
@@ -307,7 +365,7 @@ def exchange_encode_fused(
         cuts = plan_weighted_cuts(
             spark, files, num_buckets, key_fn, key_cols, weight_col
         )
-    cuts_u = np.array(cuts, dtype="U") if cuts else np.array([], dtype="U1")
+    cuts_b, cuts_w = _cuts_fixed_bytes(cuts)
     if n_tasks is None:
         n_tasks = spark.sparkContext.defaultParallelism
     groups = _group_files(files, n_tasks)
@@ -315,22 +373,20 @@ def exchange_encode_fused(
         [(i, g) for i, g in enumerate(groups)],
         "task_id int, paths array<string>",
     ).repartition(len(groups), "task_id")
+    read_cols = list(dict.fromkeys([*key_cols, "doc_id", "tokens"]))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for tb in batches:
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
                 t = pa.concat_tables(
-                    [pq.read_table(p, columns=["doc_id", "tokens"]) for p in paths]
+                    [pq.read_table(p, columns=read_cols) for p in paths]
                 ).combine_chunks()
-                keys = key_fn(t)
-                if isinstance(keys, pa.ChunkedArray):
-                    keys = keys.combine_chunks()
-                keys_u = np.array(keys.to_pylist(), dtype="U")
-                order = np.argsort(keys_u, kind="stable")
+                keys_b = _utf8_fixed_bytes(key_fn(t), cuts_w)
+                order = np.argsort(keys_b, kind="stable")
                 t = t.take(pa.array(order)).combine_chunks()
-                if cuts_u.size:
-                    buckets = np.searchsorted(cuts_u, keys_u[order], side="left")
+                if cuts_b.size:
+                    buckets = np.searchsorted(cuts_b, keys_b[order], side="left")
                 else:
                     buckets = np.zeros(order.size, dtype=np.int64)
 
@@ -351,7 +407,18 @@ def exchange_encode_fused(
                 ).astype(np.int32, copy=False)
                 val_off = np.concatenate(([0], np.cumsum(lengths_all)))
 
-                forced = np.flatnonzero(np.diff(buckets) != 0) + 1
+                forced_all = np.flatnonzero(np.diff(buckets) != 0) + 1
+                forced = forced_all
+                if forced.size and min_chunk_values > 0:
+                    # keep a bucket-transition cut only once the running
+                    # chunk has accrued min_chunk_values tokens: one loop
+                    # iteration per bucket transition, not per row
+                    kept, last = [], 0
+                    for f in forced_all:
+                        if val_off[f] - val_off[last] >= min_chunk_values:
+                            kept.append(int(f))
+                            last = int(f)
+                    forced = np.asarray(kept, dtype=np.int64)
                 row_starts = chunk_row_starts(
                     lengths_all, opts.max_chunk_values, forced
                 )
@@ -360,6 +427,12 @@ def exchange_encode_fused(
                 for a, b in zip(row_starts[:-1], row_starts[1:]):
                     if a == b:
                         continue
+                    # bucket transitions this chunk absorbed -> PAGED
+                    # segment boundaries (value offsets within the chunk)
+                    inner = forced_all[(forced_all > a) & (forced_all < b)]
+                    seg = (
+                        val_off[inner] - val_off[a] if inner.size else None
+                    )
                     rows.append(
                         _encode_chunk(
                             doc_ids.slice(a, b - a),
@@ -369,6 +442,7 @@ def exchange_encode_fused(
                             task_id,
                             seq,
                             int(buckets[a]),
+                            seg_values=seg,
                         )
                     )
                     bounds.append(a)

@@ -70,6 +70,7 @@ def write_corpus_parquet_direct(
     out_path: str,
     num_partitions: int,
     docs_per_batch: int = 65536,
+    checksums_path: str | None = None,
 ) -> int:
     """Materialize the corpus straight to parquet from the workers.
 
@@ -79,11 +80,20 @@ def write_corpus_parquet_direct(
     id slice and writes its own file with pyarrow (deterministic names,
     atomic tmp+rename, ``_SUCCESS`` marker), so bytes go numpy -> Arrow ->
     parquet without a JVM row trip. Returns the row count written.
+
+    ``checksums_path``: also write a per-doc checksum sidecar dataset
+    (``doc_id, n_tok, tok_cks, tok_wcks`` — the ``verify`` metadata schema)
+    while the token arrays are still in worker memory. The round-trip
+    verify then joins two checksum tables instead of re-scanning and
+    re-hashing the corpus (the "verify warm path": at 100 TB this is the
+    difference between a metadata join and a second full-table pass).
     """
     import os
     from collections.abc import Iterator as _It
 
     os.makedirs(out_path, exist_ok=True)
+    if checksums_path is not None:
+        os.makedirs(checksums_path, exist_ok=True)
     bounds = np.linspace(0, n_docs, num_partitions + 1).astype(np.int64)
     rows = [
         (i, int(bounds[i]), int(bounds[i + 1]))
@@ -97,6 +107,14 @@ def write_corpus_parquet_direct(
     def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        from ..sources.parquet_direct import _CKS_ARROW, _doc_cks_batch
+
+        def write_atomic(table: pa.Table, d: str, task_id: int) -> None:
+            tmp = os.path.join(d, f".part-{task_id:05d}.tmp")
+            final = os.path.join(d, f"part-{task_id:05d}.parquet")
+            pq.write_table(table, tmp)
+            os.replace(tmp, final)
+
         for tb in batches:
             for task_id, start, end in zip(
                 tb.column("task_id").to_pylist(),
@@ -107,11 +125,25 @@ def write_corpus_parquet_direct(
                     tokens_batch(np.arange(s, min(s + docs_per_batch, end)))
                     for s in range(start, end, docs_per_batch)
                 ]
-                table = pa.Table.from_batches(parts, _TOKENS_ARROW_SCHEMA)
-                tmp = os.path.join(out_path, f".part-{task_id:05d}.tmp")
-                final = os.path.join(out_path, f"part-{task_id:05d}.parquet")
-                pq.write_table(table, tmp)
-                os.replace(tmp, final)
+                write_atomic(
+                    pa.Table.from_batches(parts, _TOKENS_ARROW_SCHEMA),
+                    out_path, task_id,
+                )
+                if checksums_path is not None:
+                    cks = [
+                        _doc_cks_batch(
+                            p.column("doc_id"),
+                            p.column("n_tok").to_numpy(),
+                            p.column("tokens").flatten().to_numpy(
+                                zero_copy_only=False
+                            ),
+                        )
+                        for p in parts
+                    ]
+                    write_atomic(
+                        pa.Table.from_batches(cks, _CKS_ARROW),
+                        checksums_path, task_id,
+                    )
                 yield pa.RecordBatch.from_pydict(
                     {"task_id": [task_id], "n_rows": [end - start]},
                     schema=pa.schema(
@@ -122,6 +154,9 @@ def write_corpus_parquet_direct(
     written = tasks.mapInArrow(fn, "task_id int, n_rows long").collect()
     with open(os.path.join(out_path, "_SUCCESS"), "w"):
         pass
+    if checksums_path is not None:
+        with open(os.path.join(checksums_path, "_SUCCESS"), "w"):
+            pass
     return sum(r.n_rows for r in written)
 
 

@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 ASSETS_SCHEMA = "asset_id string, kind string, payload binary, meta map<string,string>"
 FEATURES_SCHEMA = (
     "asset_id string, kind string, n_bytes long, crc32 long, "
-    "width int, height int, feat array<float>"
+    "width int, height int, feat array<float>, status string"
+)
+CONTENT_STATS_SCHEMA = (
+    "asset_id string, kind string, n_bytes long, width long, height long, "
+    "sum1 long, sum2 long, vmin long, vmax long, zcross long"
 )
 
 try:  # optional: compressed-image decode (JPEG/PNG) when PIL exists
@@ -72,15 +76,27 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """BMP bytes -> (H, W, 3) uint8 RGB. Supports the 24-bit uncompressed
-    form :func:`encode_bmp` writes (raises on anything else)."""
+    form :func:`encode_bmp` writes (raises on anything else). Header fields
+    are validated against the payload length before any reshape, so a
+    corrupt header raises a clear error instead of a numpy internals one."""
+    if len(payload) < 54:
+        raise ValueError(f"BMP payload too short ({len(payload)} bytes)")
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     hdr_size, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0 or abs(h) > 1 << 20 or w > 1 << 20:
+        raise ValueError(f"invalid BMP dimensions ({w}x{h})")
     row = w * 3
     stride = row + ((-row) % 4)
+    need = data_off + stride * abs(h)
+    if data_off < 54 or need > len(payload):
+        raise ValueError(
+            f"truncated BMP: header needs {need} bytes, payload has "
+            f"{len(payload)}"
+        )
     body = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h),
                          offset=data_off).reshape(abs(h), stride)
     bgr = body[:, :row].reshape(abs(h), w, 3)
@@ -175,17 +191,23 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                if kind == "image":
-                    px = decode_bmp(payload)
-                    hgt, w, _ = px.shape
-                    feat = _image_features(px)
-                elif kind == "audio":
-                    samples, rate = decode_wav(payload)
-                    w = hgt = -1
-                    feat = _audio_features(samples, rate)
-                else:  # video: honestly stubbed (no decoder in sandbox)
-                    w = hgt = -1
-                    feat = _fake_features(payload)
+                # one malformed asset must not fail the whole stage: decode
+                # errors become a status row with null features, and the
+                # pipeline keeps going (quarantine via status != 'ok')
+                status, feat, w, hgt = "ok", None, -1, -1
+                try:
+                    if kind == "image":
+                        px = decode_bmp(payload)
+                        hgt, w, _ = px.shape
+                        feat = _image_features(px)
+                    elif kind == "audio":
+                        samples, rate = decode_wav(payload)
+                        feat = _audio_features(samples, rate)
+                    else:  # video: honestly stubbed (no decoder in sandbox)
+                        feat = _fake_features(payload)
+                except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                    status = f"error: {type(e).__name__}: {e}"[:200]
+                    feat, w, hgt = None, -1, -1
                 rows.append(
                     {
                         "asset_id": asset_id,
@@ -194,7 +216,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         "crc32": zlib.crc32(payload),
                         "width": w,
                         "height": hgt,
-                        "feat": feat.tolist(),
+                        "feat": feat.tolist() if feat is not None else None,
+                        "status": status,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -204,10 +227,103 @@ def extract_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def content_stats(assets: DataFrame) -> DataFrame:
+    """Integer-exact content statistics through the REAL decoders — the
+    oracle-gated face of the multimodal path. Because the synthetic corpus
+    is closed-form (see :func:`synthetic_assets`), a SQL oracle can
+    recompute every row from first principles; a hash match therefore
+    proves the BMP/WAV bytes round-tripped through ``decode_bmp`` /
+    ``decode_wav`` bit-exactly (no float tolerance anywhere).
+
+    Per kind: image -> stats over all decoded channel values plus
+    ``zcross = count(R > G)``; audio -> stats over decoded PCM16 samples
+    with ``zcross`` = sign changes; video (stub: no decoder) -> stats over
+    the raw payload bytes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if kind == "image":
+                    px = decode_bmp(payload)
+                    h, w, _ = px.shape
+                    v = px.astype(np.int64)
+                    rows.append(
+                        (asset_id, kind, len(payload), w, h,
+                         int(v.sum()), int((v * v).sum()),
+                         int(v.min()), int(v.max()),
+                         int((v[:, :, 0] > v[:, :, 1]).sum()))
+                    )
+                elif kind == "audio":
+                    samples, _rate = decode_wav(payload)
+                    s = samples.astype(np.int64)
+                    neg = s < 0
+                    rows.append(
+                        (asset_id, kind, len(payload), -1, -1,
+                         int(s.sum()), int((s * s).sum()),
+                         int(s.min()) if s.size else 0,
+                         int(s.max()) if s.size else 0,
+                         int(np.count_nonzero(neg[1:] != neg[:-1])))
+                    )
+                else:  # video: stats over raw bytes (decode honestly stubbed)
+                    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (asset_id, kind, len(payload), -1, -1,
+                         int(b.sum()), int((b * b).sum()),
+                         int(b.min()) if b.size else 0,
+                         int(b.max()) if b.size else 0, 0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "kind", "n_bytes", "width", "height",
+                         "sum1", "sum2", "vmin", "vmax", "zcross"],
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        fn, CONTENT_STATS_SCHEMA
+    )
+
+
+def synthetic_pixels(i: int) -> np.ndarray:
+    """Closed-form image content for asset ``i``: every pixel is an integer
+    formula of ``(i, x, y)``, so a SQL oracle can regenerate it exactly."""
+    w = 1 + (i * 7919) % 64
+    h = 1 + (i * 104729) % 64
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = np.broadcast_to(((3 * x + i) % 256).astype(np.uint8), (h, w))
+    px[:, :, 1] = np.broadcast_to(((5 * y + 2 * i) % 256).astype(np.uint8), (h, w))
+    px[:, :, 2] = ((x + y + i) % 256).astype(np.uint8)
+    return px
+
+
+def synthetic_samples(i: int) -> np.ndarray:
+    """Closed-form audio content for asset ``i`` (int16 waveform)."""
+    n = 400 + (i * 31) % 800
+    j = np.arange(n, dtype=np.int64)
+    return (((i * 37 + 13 * j * j) % 4001) - 2000).astype(np.int16)
+
+
+def synthetic_video_bytes(i: int) -> bytes:
+    """Closed-form opaque payload for the (stubbed) video kind."""
+    n = 64 + i % 128
+    j = np.arange(n, dtype=np.int64)
+    return ((i * 97 + j * 31) % 256).astype(np.uint8).tobytes()
+
+
 def synthetic_assets(spark: SparkSession, n: int) -> DataFrame:
-    """Deterministic assets table with REAL payloads: images are valid BMPs
-    (gradient + seeded noise), audio is valid PCM16 WAV (sine + noise),
-    video is opaque seeded bytes (decode stubbed)."""
+    """Deterministic assets table with REAL payloads: images are valid
+    24-bit BMPs, audio is valid PCM16 WAV, video is opaque bytes (decode
+    stubbed). All content is CLOSED-FORM — integer formulas of the asset
+    index — so the DuckDB oracle regenerates the exact pixels/samples/bytes
+    in SQL and :func:`content_stats` can be hash-gated end to end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,30 +331,13 @@ def synthetic_assets(spark: SparkSession, n: int) -> DataFrame:
             rows = []
             for i in ids:
                 i = int(i)
-                rng = np.random.default_rng(i)
                 kind = ["image", "audio", "video"][i % 3]
                 if kind == "image":
-                    w = 1 + rng.integers(0, 64)
-                    h = 1 + rng.integers(0, 64)
-                    gx = np.linspace(0, 255, w, dtype=np.float32)
-                    px = np.zeros((h, w, 3), dtype=np.uint8)
-                    px[:, :, 0] = gx[None, :].astype(np.uint8)
-                    px[:, :, 1] = np.linspace(0, 255, h)[:, None].astype(np.uint8)
-                    px[:, :, 2] = rng.integers(0, 256, (h, w), dtype=np.uint8)
-                    payload = encode_bmp(px)
+                    payload = encode_bmp(synthetic_pixels(i))
                 elif kind == "audio":
-                    ns = 400 + int(rng.integers(0, 800))
-                    t = np.arange(ns, dtype=np.float32)
-                    freq = 100 + (i % 20) * 50
-                    s = 0.5 * np.sin(2 * np.pi * freq * t / 16000)
-                    s = s + 0.05 * rng.standard_normal(ns).astype(np.float32)
-                    payload = encode_wav(
-                        (np.clip(s, -1, 1) * 32767).astype(np.int16)
-                    )
+                    payload = encode_wav(synthetic_samples(i))
                 else:
-                    payload = rng.integers(
-                        0, 256, 64 + i % 128, dtype=np.uint8
-                    ).tobytes()
+                    payload = synthetic_video_bytes(i)
                 rows.append(
                     {
                         "asset_id": f"asset-{i:06d}",
@@ -250,6 +349,83 @@ def synthetic_assets(spark: SparkSession, n: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, ASSETS_SCHEMA)
+
+
+def content_stats_sql(n: int) -> str:
+    """DuckDB oracle for ``content_stats(synthetic_assets(n))``: regenerates
+    the closed-form pixels/samples/bytes in SQL (no decoders) and computes
+    the same integer statistics. ``n_bytes`` for image/audio is the exact
+    container size the encoders emit (BMP 54-byte header + 4-byte-padded
+    rows; WAV 44-byte PCM header + 2 bytes/sample)."""
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+img AS (
+  SELECT i, 1 + (i*7919) % 64 AS w, 1 + (i*104729) % 64 AS h
+  FROM ids WHERE i % 3 = 0
+),
+imgpx AS (
+  SELECT img.i, img.w, img.h,
+         (3*x.range + i) % 256 AS r,
+         (5*y.range + 2*i) % 256 AS g,
+         (x.range + y.range + i) % 256 AS b
+  FROM img, range(64) x, range(64) y
+  WHERE x.range < img.w AND y.range < img.h
+),
+img_stats AS (
+  SELECT i, 'image' AS kind,
+         54 + (3*w + (4 - (3*w) % 4) % 4) * h AS n_bytes,
+         w AS width, h AS height,
+         SUM(r + g + b) AS sum1, SUM(r*r + g*g + b*b) AS sum2,
+         MIN(LEAST(r, g, b)) AS vmin, MAX(GREATEST(r, g, b)) AS vmax,
+         SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS zcross
+  FROM imgpx GROUP BY i, w, h
+),
+aud AS (
+  SELECT i, 400 + (i*31) % 800 AS n FROM ids WHERE i % 3 = 1
+),
+auds AS (
+  SELECT aud.i, aud.n, j.range AS j,
+         ((i*37 + 13*j.range*j.range) % 4001) - 2000 AS s
+  FROM aud, range(1200) j WHERE j.range < aud.n
+),
+audl AS (
+  SELECT i, n, j, s, LAG(s) OVER (PARTITION BY i ORDER BY j) AS sp
+  FROM auds
+),
+aud_stats AS (
+  SELECT i, 'audio' AS kind, 44 + 2*n AS n_bytes,
+         -1 AS width, -1 AS height,
+         SUM(s) AS sum1, SUM(s*s) AS sum2, MIN(s) AS vmin, MAX(s) AS vmax,
+         SUM(CASE WHEN sp IS NOT NULL AND (s < 0) != (sp < 0)
+             THEN 1 ELSE 0 END) AS zcross
+  FROM audl GROUP BY i, n
+),
+vid AS (
+  SELECT i, 64 + i % 128 AS n FROM ids WHERE i % 3 = 2
+),
+vidb AS (
+  SELECT vid.i, vid.n, (i*97 + j.range*31) % 256 AS b
+  FROM vid, range(192) j WHERE j.range < vid.n
+),
+vid_stats AS (
+  SELECT i, 'video' AS kind, n AS n_bytes, -1 AS width, -1 AS height,
+         SUM(b) AS sum1, SUM(b*b) AS sum2, MIN(b) AS vmin, MAX(b) AS vmax,
+         0 AS zcross
+  FROM vidb GROUP BY i, n
+),
+allstats AS (
+  SELECT * FROM img_stats UNION ALL
+  SELECT * FROM aud_stats UNION ALL
+  SELECT * FROM vid_stats
+)
+SELECT printf('asset-%06d', i) AS asset_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(sum1 AS BIGINT) AS sum1, CAST(sum2 AS BIGINT) AS sum2,
+       CAST(vmin AS BIGINT) AS vmin, CAST(vmax AS BIGINT) AS vmax,
+       CAST(zcross AS BIGINT) AS zcross
+FROM allstats ORDER BY asset_id
+"""
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:

@@ -198,8 +198,10 @@ def test_fused_exchange_encode_roundtrip(spark, tokens_pq, tmp_path):
     from mapbox_vector_tile_spark.engine.exchange import exchange_encode_fused
 
     blocks_pq = str(tmp_path / "blocks_fused")
+    # min_chunk_values=0: strict chunk/bucket homogeneity (partitionBy mode)
     blocks = exchange_encode_fused(
-        spark, tokens_pq, N_BUCKETS, key_fn=regime_doc_key, n_tasks=4
+        spark, tokens_pq, N_BUCKETS, key_fn=regime_doc_key, n_tasks=4,
+        min_chunk_values=0,
     )
     blocks.write.partitionBy("bucket").parquet(blocks_pq)
     written = spark.read.parquet(blocks_pq)
@@ -226,6 +228,43 @@ def test_fused_exchange_encode_roundtrip(spark, tokens_pq, tmp_path):
     b1 = written.agg(F.sum("bytes_enc")).first()[0]
     b2 = two_phase.agg(F.sum("bytes_enc")).first()[0]
     assert b1 <= 1.05 * b2
+
+
+def test_fused_min_chunk_merging(spark, tokens_pq, tmp_path):
+    """Default fused mode merges sub-budget bucket segments: n_chunks stays
+    O(tasks), not O(tasks x buckets), the round trip is still bit-exact, and
+    every chunk's bucket is its first row's bucket under the shared cuts."""
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.exchange import exchange_encode_fused
+
+    blocks_pq = str(tmp_path / "blocks_merged")
+    cuts = plan_weighted_cuts(
+        spark, list_parquet_files(tokens_pq), N_BUCKETS, key_fn=regime_doc_key
+    )
+    exchange_encode_fused(
+        spark, tokens_pq, N_BUCKETS, key_fn=regime_doc_key, n_tasks=4,
+        cuts=cuts,
+    ).write.parquet(blocks_pq)
+    written = spark.read.parquet(blocks_pq)
+    n_chunks = written.count()
+    # the corpus is far below min_chunk_values per task: every task's
+    # buckets merge into ~one chunk instead of one chunk per (task, bucket)
+    assert n_chunks <= 2 * 4, n_chunks
+    # merged chunks: bucket == bucket of the lowest-key row in the chunk
+    for row in written.select("bucket", "doc_ids").collect():
+        import numpy as np
+
+        from mapbox_vector_tile_spark.corpus import regime_of
+
+        nums = np.array([int(d[4:]) for d in row.doc_ids], dtype=np.int64)
+        keys = [
+            f"{int(r)}|{d}" for r, d in zip(regime_of(nums), row.doc_ids)
+        ]
+        assert row.bucket == bucket_of_value(cuts, min(keys))
+    res = verify_roundtrip(
+        spark.read.parquet(tokens_pq), decode_dataframe(written)
+    ).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
 
 
 def test_exchange_task_retry_overwrites(spark, tokens_pq, tmp_path):

@@ -101,6 +101,57 @@ def test_wav_codec_roundtrip():
     assert rate == 22050 and np.array_equal(got, s)
 
 
+def test_extract_features_quarantines_malformed_assets(spark):
+    """One corrupt payload must not fail the stage: it gets a status row
+    with null features; healthy assets in the same batch still decode."""
+    good = MM.encode_bmp(np.full((2, 2, 3), 9, dtype=np.uint8))
+    truncated = good[:30]  # valid magic, truncated body
+    not_bmp = b"JUNKJUNKJUNK" * 10
+    bad_wav = b"RIFFxxxxWAVE" + b"\x00" * 20
+    assets = spark.createDataFrame(
+        [
+            ("ok", "image", bytearray(good), {}),
+            ("trunc", "image", bytearray(truncated), {}),
+            ("junk", "image", bytearray(not_bmp), {}),
+            ("badwav", "audio", bytearray(bad_wav), {}),
+        ],
+        MM.ASSETS_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.extract_features(assets).collect()}
+    assert rows["ok"].status == "ok" and rows["ok"].feat is not None
+    for bad in ("trunc", "junk", "badwav"):
+        assert rows[bad].status.startswith("error:"), rows[bad].status
+        assert rows[bad].feat is None
+
+
+def test_decode_bmp_validates_header_bounds():
+    import pytest
+
+    px = np.full((4, 4, 3), 7, dtype=np.uint8)
+    payload = bytearray(MM.encode_bmp(px))
+    # inflate claimed width beyond the actual body
+    import struct
+
+    struct.pack_into("<i", payload, 18, 1 << 16)
+    with pytest.raises(ValueError, match="truncated BMP|invalid BMP"):
+        MM.decode_bmp(bytes(payload))
+
+
+def test_content_stats_matches_duckdb_oracle(spark):
+    """End-to-end: Spark decode-side stats == closed-form SQL oracle."""
+    import duckdb
+
+    got = [
+        tuple(r)
+        for r in MM.content_stats(MM.synthetic_assets(spark, 45))
+        .orderBy("asset_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(MM.content_stats_sql(45)).fetchall()
+    assert got == want
+
+
 def test_real_image_features_reflect_content(spark):
     # constant-color image: per-channel std must be 0, mean the exact color
     px = np.full((8, 4, 3), 200, dtype=np.uint8)
