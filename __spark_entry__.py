@@ -242,7 +242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_cosine"] = lambda s, d: SIM.knn_bruteforce(_emb(s, d))
     q["ann_lsh_buckets"] = lambda s, d: SIM.lsh_buckets(_emb(s, d))
     q["ann_lsh_top1"] = lambda s, d: SIM.ann_lsh_top1(_emb(s, d))
-    q["near_dup_embedding"] = lambda s, d: SIM.near_dup_embedding(_emb(s, d))
+    # min_dot_pct=30: sf0.01 same-bucket dots top out near 44%, so 30 keeps
+    # the gate NON-vacuous (dozens of pairs, several exactly at the
+    # boundary) — the threshold comparison itself is what's being gated
+    q["near_dup_embedding"] = lambda s, d: SIM.near_dup_embedding(
+        _emb(s, d), min_dot_pct=30
+    )
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
 
@@ -332,7 +337,7 @@ def oracle_sql() -> dict[str, str]:
     o["knn_cosine"] = SIM.knn_bruteforce_sql()
     o["ann_lsh_buckets"] = SIM.lsh_buckets_sql()
     o["ann_lsh_top1"] = SIM.ann_lsh_top1_sql()
-    o["near_dup_embedding"] = SIM.near_dup_embedding_sql()
+    o["near_dup_embedding"] = SIM.near_dup_embedding_sql(min_dot_pct=30)
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     from mapbox_vector_tile_spark.functions import multimodal as MM

@@ -7,8 +7,8 @@ RAM lazily and reclaims slowly — individual runs carry multi-second
 first-touch / reclaim noise unrelated to the engine (a warm dedicated
 cluster doesn't). Efficiency = best_tput(4N) / (4 x best_tput(N)).
 
-Writes BENCH/scaling.json + prints it. Usage:
-    python bench_scaling.py [sf_dir] [mult] [reps]
+Writes BENCH/scaling.json (or $SPARK_GRAFT_SCALING_OUT) + prints it. Usage:
+    python bench_scaling.py [sf_dir] [mult] [reps] [lo] [hi]
 """
 
 from __future__ import annotations
@@ -102,7 +102,8 @@ def main() -> int:
         "bytes_vs_reference_scheme": b_hi_e["bytes_vs_reference_scheme"],
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as f:
+    out_path = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH/scaling.json")
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     return 0

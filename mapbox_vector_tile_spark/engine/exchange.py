@@ -214,10 +214,27 @@ def size_weighted_exchange(
     Equivalent result contract to ``size_weighted_repartition`` +
     ``write.partitionBy("bucket")``: every row lands in the bucket given by
     its cluster key vs the cuts, rows within each fragment sorted by key.
+
+    Any prior fragments under ``out_path`` are cleared first: fragment
+    names encode the task file-grouping (``part-{task_id}``), and a rerun
+    at different parallelism — or after input files changed size — groups
+    differently, so an interrupted attempt's leftovers would otherwise
+    survive as silent duplicate rows (the resume-with-different-cluster
+    hazard). Bucket *membership* depends only on ``cuts``, so a wiped
+    rerun under any grouping produces the same logical table.
     """
+    import shutil
+
     files = _list_files(in_path)
     if not files:
         raise ValueError(f"no parquet files under {in_path}")
+    if os.path.isdir(out_path):
+        for d in os.listdir(out_path):
+            if d.startswith("bucket="):
+                shutil.rmtree(os.path.join(out_path, d), ignore_errors=True)
+        success = os.path.join(out_path, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)
     if cuts is None:
         cuts = plan_weighted_cuts(
             spark, files, num_buckets, key_fn, key_cols, weight_col

@@ -275,3 +275,20 @@ def test_exchange_task_retry_overwrites(spark, tokens_pq, tmp_path):
     s2 = size_weighted_exchange(spark, tokens_pq, out, N_BUCKETS)
     assert s1["cuts"] == s2["cuts"]
     assert spark.read.option("basePath", out).parquet(out).count() == N_DOCS
+
+
+def test_exchange_rerun_at_different_parallelism_wipes_stale_fragments(
+    spark, tokens_pq, tmp_path
+):
+    """An interrupted exchange redone at different parallelism groups files
+    differently (fragment names = part-{task_id}); stale fragments from the
+    first attempt must not survive as duplicate rows."""
+    import os
+
+    out = str(tmp_path / "bucketed")
+    size_weighted_exchange(spark, tokens_pq, out, N_BUCKETS, n_tasks=4)
+    # simulate the interruption: drop _SUCCESS, leave all 4-task fragments
+    os.remove(os.path.join(out, "_SUCCESS"))
+    # resume at different parallelism -> different part-ids
+    size_weighted_exchange(spark, tokens_pq, out, N_BUCKETS, n_tasks=2)
+    assert spark.read.option("basePath", out).parquet(out).count() == N_DOCS

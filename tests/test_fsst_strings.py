@@ -72,3 +72,39 @@ def test_string_chunk_frequency_order():
     _, n, card, iw, blob_len = struct.unpack_from("<4sqqBq", blob)
     idx = K.bitunpack(memoryview(blob)[struct.calcsize("<4sqqBq") + blob_len :], iw, n)
     assert idx.tolist() == [0, 1, 0, 0, 2]
+
+
+def test_greedy_parse_matches_reference_loop():
+    """The binary-lifting parse must tokenize exactly like the sequential
+    greedy longest-match loop it replaced (hypothesis-style sweep)."""
+    import numpy as np
+
+    from mapbox_vector_tile_spark.codec import fsst
+
+    def loop_parse(data, symbols):
+        best_len, best_code = fsst._match_table(data, symbols)
+        codes, lens = [], []
+        i, n = 0, data.size
+        while i < n:
+            ln = int(best_len[i])
+            if ln:
+                codes.append(int(best_code[i]))
+                lens.append(ln)
+                i += ln
+            else:
+                codes.append(fsst.ESCAPE)
+                lens.append(1)
+                i += 1
+        return codes, lens
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(0, 400))
+        data = rng.integers(0, 6, n).astype(np.uint8) + ord("a")
+        blob = data.tobytes()
+        symbols = fsst.train(blob)
+        codes, lens = fsst._greedy_parse(data, symbols)
+        ref_codes, ref_lens = loop_parse(data, symbols)
+        assert codes.tolist() == ref_codes
+        assert lens.tolist() == ref_lens
+        assert fsst.decode(fsst.encode(blob, symbols), symbols) == blob
