@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["resume_pending_anti_join"] = lambda s, d: CP.resume_pending_anti_join(
         s.read.parquet(f"{d}/orders.parquet")
     )
+    # LLM training-data layout: GPT-style concat-and-chunk sequence packing
+    # via the distributed two-level prefix sum (no single-partition window)
+    q["sequence_pack_plan"] = lambda s, d: CP.sequence_pack_plan(_docs(s, d))
     return q
 
 
@@ -349,4 +352,5 @@ def oracle_sql() -> dict[str, str]:
     o["delta_width_histogram"] = CP.DELTA_WIDTH_SQL
     o["size_weighted_buckets_plan"] = CP.size_weighted_buckets_sql()
     o["resume_pending_anti_join"] = CP.RESUME_ANTI_SQL
+    o["sequence_pack_plan"] = CP.sequence_pack_plan_sql()
     return o

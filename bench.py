@@ -178,31 +178,53 @@ def main() -> int:
         total_tokens = int(sizes.vals)
         assert sizes.rows == n_docs, (sizes.rows, n_docs)
 
-        from mapbox_vector_tile_spark.sources.parquet_direct import (
-            decoded_doc_checksums_direct,
-        )
+        skip_verify = os.environ.get("SPARK_GRAFT_BENCH_SKIP_VERIFY") == "1"
+        if skip_verify:
+            # scaling mode: verify is skipped, so decode measures the pure
+            # decode path (per-task stat rows only — no per-doc checksum
+            # emission, whose only purpose is to feed the verify join)
+            from mapbox_vector_tile_spark.sources.parquet_direct import (
+                decode_stats_direct,
+            )
 
-        # q_decode decodes every block AND emits per-doc checksum rows —
-        # the decode output verify needs, so verify is a pure metadata
-        # join (warm path) instead of a second decode + corpus re-scan.
-        # rep 2 persists: still a full decode (plus the 200k-row cache
-        # write); best-of-2 keeps the honest minimum.
-        dec = None
-        best = None
-        for rep in range(2):
-            df = decoded_doc_checksums_direct(spark, blocks_pq, n_tasks=2 * cpus)
-            if rep == 1:
-                df = df.persist()
-            t = time.time()
-            dec_tokens = df.agg(F.sum("n_tok")).first()[0]
-            dt = round(time.time() - t, 3)
-            best = dt if best is None else min(best, dt)
-            assert dec_tokens == total_tokens, (dec_tokens, total_tokens)
-            dec = df
-        queries["q_decode"] = best
+            best = None
+            for _ in range(2):
+                t = time.time()
+                dec_tokens = decode_stats_direct(
+                    spark, blocks_pq, n_tasks=2 * cpus
+                ).agg(F.sum("n_values")).first()[0]
+                dt = round(time.time() - t, 3)
+                best = dt if best is None else min(best, dt)
+                assert dec_tokens == total_tokens, (dec_tokens, total_tokens)
+            queries["q_decode"] = best
+        else:
+            from mapbox_vector_tile_spark.sources.parquet_direct import (
+                decoded_doc_checksums_direct,
+            )
+
+            # q_decode decodes every block AND emits per-doc checksum rows —
+            # the decode output verify needs, so verify is a pure metadata
+            # join (warm path) instead of a second decode + corpus re-scan.
+            # rep 2 persists: still a full decode (plus the 200k-row cache
+            # write); best-of-2 keeps the honest minimum.
+            dec = None
+            best = None
+            for rep in range(2):
+                df = decoded_doc_checksums_direct(
+                    spark, blocks_pq, n_tasks=2 * cpus
+                )
+                if rep == 1:
+                    df = df.persist()
+                t = time.time()
+                dec_tokens = df.agg(F.sum("n_tok")).first()[0]
+                dt = round(time.time() - t, 3)
+                best = dt if best is None else min(best, dt)
+                assert dec_tokens == total_tokens, (dec_tokens, total_tokens)
+                dec = df
+            queries["q_decode"] = best
 
         match_rate = None
-        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_VERIFY") != "1":
+        if not skip_verify:
             from mapbox_vector_tile_spark.sources.parquet_direct import (
                 doc_checksums_direct,
             )

@@ -237,3 +237,69 @@ FROM orders
 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 < 2)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def sequence_pack_plan(
+    docs: DataFrame, seq_len: int = 512, part_width: int = 64
+) -> DataFrame:
+    """GPT-style sequence-packing plan: concatenate documents in doc_id
+    order and chunk the token stream every ``seq_len`` tokens (documents may
+    span sequence boundaries) — the standard LLM pre-training data layout.
+    Emits per doc: global start position, covering sequence range, and the
+    offset inside its first sequence.
+
+    Tokens are whitespace words of ``text`` (exact in both engines). The
+    global positions come from the same distributed two-level prefix sum as
+    :func:`size_weighted_buckets_plan` — per-range local window + broadcast
+    per-range offsets — never a single-partition window over the data, so
+    the plan is the one you'd run over 100 TB (sequence ids for a trillion
+    tokens need exactly one extra aggregate pass)."""
+    keyed = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / F.lit(part_width)).alias("pt"),
+    )
+    w_local = (
+        Window.partitionBy("pt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    parts = keyed.groupBy("pt").agg(F.sum("n_tok").alias("part_sum"))
+    w_off = Window.orderBy("pt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = parts.select(
+        "pt",
+        F.coalesce(F.sum("part_sum").over(w_off), F.lit(0)).alias("offset"),
+    )
+    cum = local.join(F.broadcast(offsets), "pt").withColumn(
+        "cum", F.col("offset") + F.col("local_cum")
+    )
+    start = F.col("cum") - F.col("n_tok")
+    return (
+        cum.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tok"),
+            start.alias("start_pos"),
+            F.floor(start / seq_len).cast("long").alias("first_seq"),
+            F.floor((F.col("cum") - 1) / seq_len).cast("long").alias("last_seq"),
+            (start % seq_len).cast("long").alias("offset_in_seq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sequence_pack_plan_sql(seq_len: int = 512) -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         SUM(len(string_split(text, ' '))) OVER
+           (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum - n_tok AS BIGINT) AS start_pos,
+       CAST((cum - n_tok) // {seq_len} AS BIGINT) AS first_seq,
+       CAST((cum - 1) // {seq_len} AS BIGINT) AS last_seq,
+       CAST((cum - n_tok) % {seq_len} AS BIGINT) AS offset_in_seq
+FROM c ORDER BY doc_id
+"""

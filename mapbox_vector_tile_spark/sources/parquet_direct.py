@@ -70,6 +70,78 @@ def file_task_dataframe(
     ).repartition(len(groups), "task_id")
 
 
+_TASK_SCHEMA = (
+    "task_id int, paths array<string>, los array<long>, his array<long>"
+)
+
+
+def block_task_dataframe(
+    spark: SparkSession, files: list[str], n_tasks: int | None = None
+) -> DataFrame:
+    """Task planning with sub-file splits: when there are fewer files than
+    ``n_tasks``, large files are split into row ranges (footer row counts;
+    at 100 TB these come from the table format's manifest column metrics),
+    so DECODE parallelism is decoupled from however many files the encode
+    side happened to write. ``hi == -1`` means "to end of file"."""
+    if n_tasks is None or len(files) >= n_tasks:
+        groups = (
+            [[f] for f in files] if n_tasks is None
+            else group_files_by_size(files, n_tasks)
+        )
+        rows = [
+            (i, g, [0] * len(g), [-1] * len(g)) for i, g in enumerate(groups)
+        ]
+    else:
+        counts = {f: pq.read_metadata(f).num_rows for f in files}
+        total = sum(counts.values())
+        per = max(1, -(-total // n_tasks))
+        specs = [
+            (f, lo, min(lo + per, counts[f]))
+            for f in files
+            for lo in range(0, counts[f], per)
+        ]
+        rows = [
+            (i, [p], [lo], [hi]) for i, (p, lo, hi) in enumerate(specs)
+        ]
+    rows = [r for r in rows if r[1]]
+    return spark.createDataFrame(rows, _TASK_SCHEMA).repartition(
+        len(rows), "task_id"
+    )
+
+
+def _iter_task_files(tb: pa.RecordBatch):
+    """Yield ``(task_id, [(path, lo, hi), ...])`` from a task batch of
+    either schema (with or without the row-range columns)."""
+    names = tb.schema.names
+    task_ids = tb.column("task_id").to_pylist()
+    paths_col = tb.column("paths").to_pylist()
+    if "los" in names:
+        los_col = tb.column("los").to_pylist()
+        his_col = tb.column("his").to_pylist()
+    else:
+        los_col = [[0] * len(p) for p in paths_col]
+        his_col = [[-1] * len(p) for p in paths_col]
+    for task_id, paths, los, his in zip(task_ids, paths_col, los_col, his_col):
+        yield task_id, list(zip(paths, los, his))
+
+
+def _read_block_batches(
+    path: str, cols: list[str], lo: int = 0, hi: int = -1, batch_size: int = 64
+):
+    """Record batches for a (possibly row-sliced) parquet file. Whole-file
+    reads stream via ``iter_batches``; sliced reads materialize the file
+    table once and slice (block rows are MB-sized payloads, so the extra
+    columnar read is small next to the decode itself; a production blocks
+    writer sizes row groups to a few rows so slices prune at RG level)."""
+    if lo == 0 and hi == -1:
+        pf = pq.ParquetFile(path)
+        yield from pf.iter_batches(batch_size=batch_size, columns=cols)
+    else:
+        t = pq.read_table(path, columns=cols)
+        length = (hi - lo) if hi >= 0 else None
+        yield from t.slice(lo, length).to_batches(max_chunksize=batch_size)
+
+
 def encode_parquet_direct(
     spark: SparkSession,
     in_path: str,
@@ -175,23 +247,24 @@ def decode_stats_direct(
     the decoded arrays back to the JVM. The checksum still proves the decode
     actually ran over every value. ``n_tasks`` coalesces small block files
     per task (fan-in: fixed Arrow/scheduling overhead per file otherwise
-    caps decode scaling)."""
+    caps decode scaling) — or, when files are FEWER than tasks, splits them
+    into row ranges (:func:`block_task_dataframe`), so decode parallelism
+    never depends on the encode side's file count."""
     from ..engine import decode as D
 
     files = list_parquet_files(blocks_path)
-    tasks = file_task_dataframe(spark, files, n_tasks)
+    tasks = block_task_dataframe(spark, files, n_tasks)
     MOD = 1_000_000_007
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
         for tb in batches:
-            for paths in tb.column("paths").to_pylist():
+            for _tid, items in _iter_task_files(tb):
                 n_rows = n_values = cks = 0
-                for path in paths:
-                    pf = pq.ParquetFile(path)
+                for path, lo, hi in items:
                     cols = ["lengths_blob", "payload", "checksum"]
-                    for batch in pf.iter_batches(batch_size=64, columns=cols):
+                    for batch in _read_block_batches(path, cols, lo, hi):
                         payloads = batch.column("payload")
                         lb = batch.column("lengths_blob")
                         ck = batch.column("checksum")
@@ -376,33 +449,34 @@ def decoded_doc_checksums_direct(
 ) -> DataFrame:
     """Decode every block worker-side and emit per-doc checksum rows (same
     schema as :func:`doc_checksums_direct`) — the decoded arrays stay in the
-    worker; only checksum metadata crosses to the JVM."""
+    worker; only checksum metadata crosses to the JVM. Files split into row
+    ranges when fewer than ``n_tasks`` (:func:`block_task_dataframe`)."""
     from ..engine import decode as D
 
     files = list_parquet_files(blocks_path)
     if not files:
         raise ValueError(f"no parquet files under {blocks_path}")
-    tasks = file_task_dataframe(spark, files, n_tasks)
+    tasks = block_task_dataframe(spark, files, n_tasks)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for tb in batches:
-            for path in (
-                p for ps in tb.column("paths").to_pylist() for p in ps
-            ):
-                pf = pq.ParquetFile(path)
-                cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
-                for batch in pf.iter_batches(batch_size=64, columns=cols):
-                    payloads = batch.column("payload")
-                    lb = batch.column("lengths_blob")
-                    cks_col = batch.column("checksum")
-                    dids = batch.column("doc_ids")
-                    for i in range(batch.num_rows):
-                        lengths, values = D.decode_block_row(
-                            payloads[i].as_py(),
-                            lb[i].as_py(),
-                            cks_col[i].as_py() if verify_checksum else None,
-                        )
-                        yield _doc_cks_batch(dids[i].values, lengths, values)
+            for _tid, items in _iter_task_files(tb):
+                for path, lo, hi in items:
+                    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+                    for batch in _read_block_batches(path, cols, lo, hi):
+                        payloads = batch.column("payload")
+                        lb = batch.column("lengths_blob")
+                        cks_col = batch.column("checksum")
+                        dids = batch.column("doc_ids")
+                        for i in range(batch.num_rows):
+                            lengths, values = D.decode_block_row(
+                                payloads[i].as_py(),
+                                lb[i].as_py(),
+                                cks_col[i].as_py() if verify_checksum else None,
+                            )
+                            yield _doc_cks_batch(
+                                dids[i].values, lengths, values
+                            )
 
     return tasks.mapInArrow(fn, _CKS_SCHEMA)
 
@@ -419,13 +493,15 @@ def decode_blocks_direct(
     Decoded blocks are coalesced into ~``flush_values``-token output
     RecordBatches (fan-in): emitting one Arrow batch per block makes small
     blocks pay a fixed per-batch transfer cost that caps decode scaling.
+    Files split into row ranges when fewer than ``n_tasks``
+    (:func:`block_task_dataframe`).
     """
     from ..engine import decode as D
 
     files = list_parquet_files(blocks_path)
     if not files:
         raise ValueError(f"no parquet files under {blocks_path}")
-    tasks = file_task_dataframe(spark, files, n_tasks)
+    tasks = block_task_dataframe(spark, files, n_tasks)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -461,28 +537,26 @@ def decode_blocks_direct(
             yield out
 
         for tb in batches:
-            for path in (
-                p for ps in tb.column("paths").to_pylist() for p in ps
-            ):
-                pf = pq.ParquetFile(path)
-                cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
-                for batch in pf.iter_batches(batch_size=64, columns=cols):
-                    payloads = batch.column("payload")
-                    lb = batch.column("lengths_blob")
-                    cks = batch.column("checksum")
-                    dids = batch.column("doc_ids")
-                    for i in range(batch.num_rows):
-                        lengths, values = D.decode_block_row(
-                            payloads[i].as_py(),
-                            lb[i].as_py(),
-                            cks[i].as_py() if verify_checksum else None,
-                        )
-                        acc_docs.append(dids[i].values)
-                        acc_lengths.append(lengths)
-                        acc_values.append(values)
-                        acc_nvals += int(values.size)
-                        if acc_nvals >= flush_values:
-                            yield from flush()
+            for _tid, items in _iter_task_files(tb):
+                for path, lo, hi in items:
+                    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+                    for batch in _read_block_batches(path, cols, lo, hi):
+                        payloads = batch.column("payload")
+                        lb = batch.column("lengths_blob")
+                        cks = batch.column("checksum")
+                        dids = batch.column("doc_ids")
+                        for i in range(batch.num_rows):
+                            lengths, values = D.decode_block_row(
+                                payloads[i].as_py(),
+                                lb[i].as_py(),
+                                cks[i].as_py() if verify_checksum else None,
+                            )
+                            acc_docs.append(dids[i].values)
+                            acc_lengths.append(lengths)
+                            acc_values.append(values)
+                            acc_nvals += int(values.size)
+                            if acc_nvals >= flush_values:
+                                yield from flush()
         yield from flush()
 
     return tasks.mapInArrow(fn, D.TOKENS_OUT_SPARK_SCHEMA)

@@ -69,6 +69,76 @@ def test_write_corpus_parquet_direct_matches_dataframe(spark, tmp_path):
     assert a == b
 
 
+def test_decode_row_range_splitting(spark, tmp_path):
+    """Decode parallelism must not be capped by block file count: with ONE
+    blocks file and n_tasks=6, the planner splits it into row ranges and
+    the decode still covers every block exactly once."""
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        block_task_dataframe,
+        decode_blocks_direct,
+        decode_stats_direct,
+        decoded_doc_checksums_direct,
+        encode_parquet_direct,
+        list_parquet_files,
+    )
+
+    n = 400
+    tokens_pq = str(tmp_path / "tokens")
+    blocks_pq = str(tmp_path / "blocks")
+    G.corpus_dataframe(spark, n, num_partitions=1).write.parquet(tokens_pq)
+    # small max_chunk -> many block rows inside a single output file
+    from mapbox_vector_tile_spark.engine.encode import EncodeOptions
+
+    encode_parquet_direct(
+        spark, tokens_pq, EncodeOptions(max_chunk_values=4096)
+    ).coalesce(1).write.parquet(blocks_pq)
+    files = [f for f in list_parquet_files(blocks_pq)]
+    assert len(files) == 1
+
+    plan = block_task_dataframe(spark, files, 6)
+    assert plan.count() >= 6  # split into >= n_tasks row ranges
+
+    tokens = spark.read.parquet(tokens_pq)
+    want = tokens.agg(F.sum("n_tok")).first()[0]
+    got = (
+        decode_stats_direct(spark, blocks_pq, n_tasks=6)
+        .agg(F.sum("n_values"))
+        .first()[0]
+    )
+    assert got == want
+    cks = decoded_doc_checksums_direct(spark, blocks_pq, n_tasks=6)
+    assert cks.count() == n
+    decoded = decode_blocks_direct(spark, blocks_pq, n_tasks=6)
+    res = verify_roundtrip(tokens, decoded).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (n, n, 0)
+
+
+def test_write_corpus_checksum_sidecar_matches_scan(spark, tmp_path):
+    """The per-doc checksum sidecar written during generation (verify warm
+    path) must equal the checksums a separate corpus scan computes."""
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        doc_checksums_direct,
+    )
+
+    out = str(tmp_path / "tokens")
+    cks = str(tmp_path / "tokens_cks")
+    n = G.write_corpus_parquet_direct(
+        spark, 300, out, num_partitions=4, checksums_path=cks
+    )
+    assert n == 300
+    side = {
+        r.doc_id: (r.n_tok, r.tok_cks, r.tok_wcks)
+        for r in spark.read.parquet(cks).collect()
+    }
+    scan = {
+        r.doc_id: (r.n_tok, r.tok_cks, r.tok_wcks)
+        for r in doc_checksums_direct(spark, out).collect()
+    }
+    assert side == scan
+
+
 def test_decode_to_parquet_direct_roundtrip(spark, tmp_path):
     from mapbox_vector_tile_spark.engine import generator as G
     from mapbox_vector_tile_spark.engine.encode import EncodeOptions
