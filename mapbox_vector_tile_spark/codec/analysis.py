@@ -21,6 +21,7 @@ class ChunkAnalysis:
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
         "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
         "_sample_uc", "_heavy", "_paged_plan", "_card_cap", "seg_bounds",
+        "_varint_mvt",
     )
 
     def __init__(
@@ -52,6 +53,7 @@ class ChunkAnalysis:
         self._sample_uc = None
         self._heavy = None
         self._paged_plan = None  # (page_size, [(sub_analysis, cid, size)])
+        self._varint_mvt = None
 
     @property
     def n(self) -> int:
@@ -144,8 +146,12 @@ class ChunkAnalysis:
     def varint_size_mvt(self) -> int:
         """Exact byte size of the reference delta+zigzag+varint stream,
         computed from threshold reductions over the deltas — the zigzag/MVT
-        arrays are never materialized. zz(d) >= 2^k iff d >= 2^(k-1) or
-        d <= -2^(k-1)-1."""
+        arrays are never materialized (equality with
+        ``kernels.varint_size(mvt_zz)`` is kernel-tested). Cached: both the
+        codec selector and the manifest's ``bytes_ref`` consume it.
+        zz(d) >= 2^k iff d >= 2^(k-1) or d <= -2^(k-1)-1."""
+        if self._varint_mvt is not None:
+            return self._varint_mvt
         n = self.n
         if n == 0:
             return 0
@@ -161,6 +167,7 @@ class ChunkAnalysis:
             total += extra
             if extra == 0:
                 break
+        self._varint_mvt = total
         return total
 
     @property

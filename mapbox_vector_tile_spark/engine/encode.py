@@ -209,8 +209,11 @@ def _encode_chunk(
         validate=opts.column_validate("lengths"),
     )
     if opts.compute_ref_size:
+        # count-reduction form: same number as varint_size(mvt_zz) (kernel
+        # test), but the full zigzag stream is never materialized — saves
+        # ~8 bytes/token of memory traffic per chunk on the encode hot path
         bytes_ref = B.header_size() + (
-            K.varint_size(an.mvt_zz) if values.size else 0
+            an.varint_size_mvt() if values.size else 0
         )
     else:
         bytes_ref = -1

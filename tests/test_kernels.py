@@ -173,3 +173,25 @@ def test_mvt_composite_scheme():
     assert buf == bytes([12, 24])
     back = K.delta_decode(first, K.zigzag_decode(K.varint_decode(buf, 2).astype(U32)))
     np.testing.assert_array_equal(back, a)
+
+
+def test_varint_size_mvt_equals_materialized_stream():
+    """bytes_ref uses the count-reduction form; it must equal the varint
+    size of the materialized reference stream on every distribution."""
+    import numpy as np
+
+    from mapbox_vector_tile_spark.codec import kernels as K
+    from mapbox_vector_tile_spark.codec.analysis import ChunkAnalysis
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(-2**31, 2**31, 65536).astype(np.int32),
+        rng.integers(0, 128, 5000).astype(np.int32),
+        np.sort(rng.integers(0, 50000, 30000)).astype(np.int32),
+        np.array([0], np.int32),
+        np.array([-1, 2**31 - 1, -(2**31), 0, 1], np.int32),
+        np.zeros(100, np.int32),
+    ]
+    for a in cases:
+        an = ChunkAnalysis(a)
+        assert K.varint_size(an.mvt_zz) == an.varint_size_mvt()
