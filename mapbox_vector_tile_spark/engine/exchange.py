@@ -396,9 +396,13 @@ def exchange_encode_fused(
         for tb in batches:
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
+                # no combine_chunks here: Arrow `take` gathers from the
+                # chunked table directly, so merging chunks first would be
+                # a redundant full copy of the task's token data (the
+                # biggest single allocation in the fused path)
                 t = pa.concat_tables(
                     [pq.read_table(p, columns=read_cols) for p in paths]
-                ).combine_chunks()
+                )
                 keys_b = _utf8_fixed_bytes(key_fn(t), cuts_w)
                 order = np.argsort(keys_b, kind="stable")
                 t = t.take(pa.array(order)).combine_chunks()
