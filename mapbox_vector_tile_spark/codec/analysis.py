@@ -161,7 +161,12 @@ class ChunkAnalysis:
         first_zz = (self.first << 1) ^ (self.first >> 31)
         for k in (7, 14, 21, 28):
             t = 1 << (k - 1)
-            extra = int(np.count_nonzero((d >= t) | (d <= -t - 1))) if d.size else 0
+            # cached dmin/dmax prove the count is zero for clustered chunks
+            # (deltas within +-2^(k-1)): skip the full-array pass entirely
+            if d.size and (self.dmax >= t or self.dmin <= -t - 1):
+                extra = int(np.count_nonzero((d >= t) | (d <= -t - 1)))
+            else:
+                extra = 0
             if first_zz >= (1 << k):
                 extra += 1
             total += extra
