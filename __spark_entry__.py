@@ -250,6 +250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
+    # int8 absmax embedding quantization — integer-exact codes via fixed
+    # point + integral division, so the quantizer itself is hash-gated
+    q["embedding_quantize"] = lambda s, d: SIM.embedding_quantize_stats(
+        _emb(s, d)
+    )
 
     # multimodal columns (first-class, oracle-gated): closed-form synthetic
     # assets -> REAL BMP/WAV decode -> integer-exact content statistics.
@@ -343,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
     o["near_dup_embedding"] = SIM.near_dup_embedding_sql(min_dot_pct=30)
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
+    o["embedding_quantize"] = SIM.embedding_quantize_stats_sql()
     from mapbox_vector_tile_spark.functions import multimodal as MM
 
     o["multimodal_content_stats"] = MM.content_stats_sql(500)

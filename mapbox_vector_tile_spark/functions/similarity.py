@@ -388,3 +388,70 @@ ranked AS (
 SELECT query_id, bucket, neighbor_id, dot_fixed FROM ranked
 WHERE rn = 1 ORDER BY query_id
 """
+
+
+def embedding_quantize_stats(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 absmax quantization (the training-pipeline embedding
+    compression step), with integer-exact summary stats so DuckDB can gate
+    the quantizer bit-for-bit.
+
+    All arithmetic happens on the fixed-point form ``xi = floor(x * 2^20)``
+    (exact and identical cross-engine); codes are
+    ``sign(xi) * ((|xi| * 127 + amax/2) / amax)`` with integer division —
+    round-half-up of ``|xi| * 127 / amax``, no float rounding anywhere.
+    Emits per vector: the fixed-point absmax (the dequant scale), code sum,
+    code energy, and code absmax (must be 127 for the max element).
+    """
+    # `div` (exact integral division) everywhere — float `/` + floor would
+    # risk one-ulp disagreements with DuckDB's `//` at exact multiples
+    xi = F.transform(F.col("embedding"), lambda x: _fixed(x))
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), xi.alias("xi")
+    ).withColumn(
+        "amax", F.expr("array_max(transform(xi, v -> abs(v)))")
+    )
+    q = base.withColumn(
+        "q",
+        F.expr(
+            "transform(xi, v -> CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(sign(v) AS BIGINT)"
+            " * ((abs(v) * 127 + amax div 2) div amax) END)"
+        ),
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.col("amax").alias("amax_fixed"),
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("sum_q"),
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v * v)"
+            ).alias("sum_qq"),
+            F.expr("array_max(transform(q, v -> abs(v)))").alias("max_abs_q"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_quantize_stats_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+         u.i AS i,
+         CAST(floor(CAST(e.embedding[u.i+1] AS DOUBLE) * {SCALE}) AS BIGINT) AS xi
+  FROM embeddings e, unnest(range(len(e.embedding))) u(i)),
+a AS (
+  SELECT vec_id, MAX(ABS(xi)) AS amax FROM x GROUP BY vec_id),
+q AS (
+  SELECT x.vec_id, a.amax,
+         CASE WHEN a.amax = 0 OR xi = 0 THEN 0
+              WHEN xi > 0 THEN (ABS(xi) * 127 + a.amax // 2) // a.amax
+              ELSE -((ABS(xi) * 127 + a.amax // 2) // a.amax) END AS qv
+  FROM x JOIN a ON x.vec_id = a.vec_id)
+SELECT vec_id, CAST(amax AS BIGINT) AS amax_fixed,
+       CAST(SUM(qv) AS BIGINT) AS sum_q,
+       CAST(SUM(qv * qv) AS BIGINT) AS sum_qq,
+       CAST(MAX(ABS(qv)) AS BIGINT) AS max_abs_q
+FROM q GROUP BY vec_id, amax ORDER BY vec_id
+"""

@@ -64,3 +64,27 @@ def test_ivf_lists_bound_pair_space(emb):
 
 def test_near_dup_embedding(emb, con):
     assert_parity(SIM.near_dup_embedding(emb), con, SIM.near_dup_embedding_sql())
+
+
+def test_embedding_quantize_semantics(spark):
+    """absmax int8: the max-magnitude element always codes to exactly 127;
+    all codes within [-127, 127]; stats integer-exact vs local recompute."""
+    import numpy as np
+
+    from mapbox_vector_tile_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = SIM.embedding_quantize_stats(emb).collect()
+    assert rows
+    local = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in rows:
+        xi = np.floor(local[r.vec_id] * SIM.SCALE).astype(np.int64)
+        amax = int(np.abs(xi).max())
+        assert r.amax_fixed == amax
+        if amax:
+            q = np.sign(xi) * ((np.abs(xi) * 127 + amax // 2) // amax)
+            assert r.max_abs_q == 127 == int(np.abs(q).max())
+            assert r.sum_q == int(q.sum()) and r.sum_qq == int((q * q).sum())
