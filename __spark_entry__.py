@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d))
     q["token_count_bpe"] = lambda s, d: T.token_count_bpe(_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: T.doc_fingerprint(_docs(s, d))
+    # composed cleaning pass: dedup keep-first + language gate + quality
+    # gates with deterministic drop precedence, per-source audit rollup
+    q["corpus_filter_pipeline"] = lambda s, d: T.corpus_filter_pipeline(
+        _docs(s, d)
+    )
     q["knn_cosine"] = lambda s, d: SIM.knn_bruteforce(_emb(s, d))
     q["ann_lsh_buckets"] = lambda s, d: SIM.lsh_buckets(_emb(s, d))
     q["ann_lsh_top1"] = lambda s, d: SIM.ann_lsh_top1(_emb(s, d))
@@ -342,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
     o["quality_scores"] = T.QUALITY_SQL
     o["token_count_bpe"] = T.token_count_bpe_sql()
     o["doc_fingerprint"] = T.doc_fingerprint_sql()
+    o["corpus_filter_pipeline"] = T.corpus_filter_pipeline_sql()
     o["knn_cosine"] = SIM.knn_bruteforce_sql()
     o["ann_lsh_buckets"] = SIM.lsh_buckets_sql()
     o["ann_lsh_top1"] = SIM.ann_lsh_top1_sql()

@@ -446,3 +446,94 @@ SELECT doc_id,
        CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
 FROM g ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# composed corpus filter: the end-to-end cleaning pass a training pipeline
+# runs — exact-dedup keep-first, language gate, quality gate — attributed
+# with deterministic precedence so every drop is auditable
+# ---------------------------------------------------------------------------
+
+def corpus_filter_pipeline(
+    docs: DataFrame, min_words: int = 40, min_uniq_pct: int = 40,
+    keep_lang: str = "en",
+) -> DataFrame:
+    """One pass composing the cleaning operators: exact dedup (keep the
+    lowest doc_id per identical text), stopword-vote language gate, and
+    integer quality gates. Drop reasons use fixed precedence
+    (dup > lang > quality) so each document lands in exactly one category;
+    the output is a per-source audit rollup.
+
+    Scale shape: the dedup keep-list is a hash groupBy (no window over the
+    corpus); the gates are per-row Catalyst expressions; the rollup is a
+    tiny aggregate."""
+    keep_ids = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    lang_pred = lang_id(docs).select("doc_id", "pred_lang")
+    q = quality_scores(docs).select("doc_id", "n_words", "uniq_pct")
+    base = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source",
+                    F.md5("text").alias("k"))
+        .join(keep_ids, "k")
+        .join(lang_pred, "doc_id")
+        .join(q, "doc_id")
+    )
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("drop_dup"))
+        .when(F.col("pred_lang") != keep_lang, F.lit("drop_lang"))
+        .when(
+            (F.col("n_words") < min_words)
+            | (F.col("uniq_pct") < min_uniq_pct),
+            F.lit("drop_quality"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        base.withColumn("verdict", verdict)
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+        )
+        .orderBy("source", "verdict")
+    )
+
+
+def corpus_filter_pipeline_sql(
+    min_words: int = 40, min_uniq_pct: int = 40, keep_lang: str = "en"
+) -> str:
+    lang_cte = lang_id_sql().strip().rstrip()
+    # reuse the published per-op SQL as CTE bodies (strip trailing ORDER BY)
+    lang_cte = lang_cte[: lang_cte.rindex("ORDER BY")]
+    return f"""
+WITH lp AS ({lang_cte}),
+k AS (
+  SELECT md5(text) AS k, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM documents GROUP BY 1),
+q AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(string_split(text,' '))) * 100
+              // len(string_split(text,' ')) AS BIGINT) AS uniq_pct
+  FROM documents),
+base AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+         k.keep_id, lp.pred_lang, q.n_words, q.uniq_pct
+  FROM documents d
+  JOIN k ON md5(d.text) = k.k
+  JOIN lp ON lp.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id),
+v AS (
+  SELECT source,
+         CASE WHEN doc_id != keep_id THEN 'drop_dup'
+              WHEN pred_lang != '{keep_lang}' THEN 'drop_lang'
+              WHEN n_words < {min_words} OR uniq_pct < {min_uniq_pct}
+                THEN 'drop_quality'
+              ELSE 'keep' END AS verdict,
+         n_words
+  FROM base)
+SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words
+FROM v GROUP BY source, verdict ORDER BY source, verdict
+"""

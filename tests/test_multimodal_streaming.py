@@ -179,3 +179,31 @@ def test_real_audio_features_reflect_content(spark):
     assert abs(rows["s"].feat[3]) < 1e-6
     assert abs(rows["q"].feat[3] - 1.0) < 1e-3
     assert rows["q"].feat[6] > 0.9  # zero-crossing rate of the square wave
+
+
+def test_streaming_decode_matches_batch(spark, tmp_path):
+    """Stream-decode of a blocks table must reproduce the source tokens
+    bit-exactly (same contract as the batch decoder)."""
+    from mapbox_vector_tile_spark.engine.encode import encode_dataframe
+    from mapbox_vector_tile_spark.streaming.decode_stream import (
+        start_decode_stream,
+    )
+
+    n = 150
+    tokens_pq = str(tmp_path / "tokens")
+    blocks_pq = str(tmp_path / "blocks")
+    out_dir = str(tmp_path / "decoded_stream")
+    G.corpus_dataframe(spark, n, num_partitions=2).write.parquet(tokens_pq)
+    static = spark.read.parquet(tokens_pq)
+    encode_dataframe(static).write.parquet(blocks_pq)
+
+    blocks_schema = spark.read.parquet(blocks_pq).schema
+    stream = spark.readStream.schema(blocks_schema).parquet(blocks_pq)
+    q = start_decode_stream(
+        stream, out_dir, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    decoded = spark.read.parquet(out_dir).drop("batch_id")
+    res = verify_roundtrip(static, decoded).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (n, n, 0)
