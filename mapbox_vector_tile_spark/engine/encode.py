@@ -31,7 +31,8 @@ BLOCKS_SPARK_SCHEMA = (
     "doc_ids array<string>, lengths_blob binary, payload binary, "
     "codec_id int, codec string, lengths_codec string, "
     "bytes_raw long, bytes_enc long, bytes_ref long, checksum long, "
-    "min_doc_id string, max_doc_id string, bucket int, source_blob binary"
+    "min_doc_id string, max_doc_id string, bucket int, bucket_max int, "
+    "source_blob binary"
 )
 
 _BLOCKS_ARROW_SCHEMA = pa.schema(
@@ -53,6 +54,7 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
         ("min_doc_id", pa.string()),
         ("max_doc_id", pa.string()),
         ("bucket", pa.int32()),
+        ("bucket_max", pa.int32()),
         ("source_blob", pa.binary()),
     ]
 )
@@ -181,10 +183,16 @@ def _encode_chunk(
     bucket: int = 0,
     source_vals: list | None = None,
     seg_values: np.ndarray | None = None,
+    bucket_max: int | None = None,
 ) -> dict:
     """``seg_values``: known distribution boundaries (value offsets within
     the chunk, e.g. bucket transitions a merged chunk absorbed) — PAGED
-    aligns its sub-frames to them (codec/select.paged_plan)."""
+    aligns its sub-frames to them (codec/select.paged_plan).
+
+    ``bucket_max``: highest bucket the chunk's rows span (defaults to
+    ``bucket``). A merged chunk records its full ``[bucket, bucket_max]``
+    range so bucket-filtering readers can detect non-homogeneous chunks
+    instead of trusting the first-row bucket alone."""
     from ..codec.analysis import ChunkAnalysis
     from ..codec import kernels as K
 
@@ -251,6 +259,7 @@ def _encode_chunk(
         "min_doc_id": dmin,
         "max_doc_id": dmax,
         "bucket": bucket,
+        "bucket_max": bucket if bucket_max is None else bucket_max,
         "source_blob": source_blob,
     }
 

@@ -89,6 +89,13 @@ def _utf8_fixed_bytes(keys: pa.Array, width: int = 0) -> np.ndarray:
     ).astype(np.int64)
     data = np.frombuffer(keys.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
     seg = data[offs[0] : offs[-1]]
+    # NUL-padding makes 'a' and 'a\x00' compare equal — reject embedded
+    # NULs up front (vectorized min scan) rather than silently mis-bucket
+    if seg.size and int(seg.min()) == 0:
+        raise ValueError(
+            "cluster keys must not contain NUL bytes (fixed-width padding "
+            "would make keys differing only by trailing \\x00 compare equal)"
+        )
     lens = np.diff(offs)
     w = max(int(lens.max()), width, 1)
     if int(lens.min()) == w and int(lens.max()) == w:
@@ -328,6 +335,136 @@ def bucketed_tokens_dataframe(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.option("basePath", out_path).parquet(out_path)
 
 
+class _FusedChunkEmitter:
+    """Streams per-file sorted row groups into encoded chunks with a bounded
+    carry — the memory contract of the fused path.
+
+    Each :meth:`add_file` call hands over ONE file's rows, already sorted by
+    the cluster key, with their bucket assignments. Chunks are cut inside the
+    file (bucket transitions + value budget); only a sub-``min_chunk``
+    trailing chunk is carried (as detached copies, <= min_chunk values) into
+    the next file, where the carry/file junction becomes a PAGED segment
+    boundary. High-water memory is therefore O(one file + min_chunk), never
+    O(task file group) — the property that lets encode scale when tasks/core
+    shrink and file groups grow (the round-3 encode-scaling wall was the
+    task-wide ``concat_tables + take`` materialization).
+    """
+
+    def __init__(self, opts, task_id: int, min_chunk_values: int):
+        from .encode import _encode_chunk, chunk_row_starts
+
+        self._encode_chunk = _encode_chunk
+        self._chunk_row_starts = chunk_row_starts
+        self.opts = opts
+        self.task_id = task_id
+        self.min_chunk = min_chunk_values
+        self.seq = 0
+        self.rows: list[dict] = []
+        self.chunk_docs: list[pa.Array] = []
+        # carry: (doc_ids, lengths, values, buckets, seg_rows) — seg_rows are
+        # row indices of absorbed distribution boundaries within the carry
+        self._pend: tuple | None = None
+
+    def add_file(self, doc_ids, lengths, values, buckets) -> None:
+        self._ingest(doc_ids, lengths, values, buckets, hold_tail=True)
+
+    def flush(self) -> None:
+        """Encode the carry (end of task): no more input to merge it with."""
+        if self._pend is not None:
+            empty = pa.array([], type=self._pend[0].type)
+            z = np.zeros(0, dtype=np.int64)
+            self._ingest(empty, z, z.astype(np.int32), z, hold_tail=False)
+
+    def _ingest(self, doc_ids, lengths, values, buckets, hold_tail) -> None:
+        if self._pend is not None:
+            pdoc, plen, pval, pbuck, pseg = self._pend
+            self._pend = None
+            junction = np.array([plen.size], dtype=np.int64)
+            doc_ids = pa.concat_arrays([pdoc, doc_ids])
+            lengths = np.concatenate([plen, lengths])
+            values = np.concatenate([pval, values])
+            buckets = np.concatenate([pbuck, buckets])
+            extra = np.concatenate([pseg, junction])
+        else:
+            extra = np.empty(0, dtype=np.int64)
+        n = int(lengths.size)
+        if n == 0:
+            return
+        val_off = np.concatenate(([0], np.cumsum(lengths)))
+        trans = np.flatnonzero(np.diff(buckets) != 0) + 1
+        forced_all = np.unique(np.concatenate([trans, extra])) if extra.size else trans
+        forced_all = forced_all[(forced_all > 0) & (forced_all < n)]
+        forced = forced_all
+        if forced_all.size and self.min_chunk > 0:
+            # keep a boundary cut only once the running chunk has accrued
+            # min_chunk values: one iteration per boundary, not per row
+            kept, last = [], 0
+            for f in forced_all:
+                if val_off[f] - val_off[last] >= self.min_chunk:
+                    kept.append(int(f))
+                    last = int(f)
+            forced = np.asarray(kept, dtype=np.int64)
+        row_starts = self._chunk_row_starts(
+            lengths, self.opts.max_chunk_values, forced
+        )
+        pairs = [
+            (a, b) for a, b in zip(row_starts[:-1], row_starts[1:]) if a < b
+        ]
+        if (
+            hold_tail
+            and pairs
+            and val_off[pairs[-1][1]] - val_off[pairs[-1][0]] < self.min_chunk
+        ):
+            a = pairs.pop()[0]
+            # detached copies: the carry must not pin the file's buffers
+            self._pend = (
+                pa.concat_arrays([doc_ids.slice(a, n - a)]),
+                lengths[a:].copy(),
+                values[val_off[a] :].copy(),
+                buckets[a:].copy(),
+                forced_all[(forced_all > a) & (forced_all < n)] - a,
+            )
+        for a, b in pairs:
+            # absorbed boundaries -> PAGED segment bounds (value offsets)
+            inner = forced_all[(forced_all > a) & (forced_all < b)]
+            seg = val_off[inner] - val_off[a] if inner.size else None
+            self.rows.append(
+                self._encode_chunk(
+                    doc_ids.slice(a, b - a),
+                    lengths[a:b],
+                    values[val_off[a] : val_off[b]],
+                    self.opts,
+                    self.task_id,
+                    self.seq,
+                    # true min/max: a carry-merged chunk is sorted per
+                    # segment, not globally, so first/last rows won't do
+                    int(buckets[a:b].min()),
+                    seg_values=seg,
+                    bucket_max=int(buckets[a:b].max()),
+                )
+            )
+            self.chunk_docs.append(doc_ids.slice(a, b - a))
+            self.seq += 1
+
+    def batch(self) -> pa.RecordBatch | None:
+        from .encode import _BLOCKS_ARROW_SCHEMA
+
+        if not self.rows:
+            return None
+        offs = np.zeros(len(self.chunk_docs) + 1, dtype=np.int64)
+        np.cumsum([len(d) for d in self.chunk_docs], out=offs[1:])
+        doc_id_lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.concat_arrays(self.chunk_docs)
+        )
+        cols = [
+            doc_id_lists
+            if f.name == "doc_ids"
+            else pa.array([r[f.name] for r in self.rows], f.type)
+            for f in _BLOCKS_ARROW_SCHEMA
+        ]
+        return pa.RecordBatch.from_arrays(cols, schema=_BLOCKS_ARROW_SCHEMA)
+
+
 def exchange_encode_fused(
     spark: SparkSession,
     in_path: str,
@@ -340,23 +477,30 @@ def exchange_encode_fused(
     cuts: list[str] | None = None,
     min_chunk_values: int | None = None,
 ) -> DataFrame:
-    """Fused exchange + encode: each task reads its file group, sorts by the
-    cluster key, cuts bucket segments, and encodes blocks DIRECTLY from the
-    sorted in-memory rows — the intermediate bucketed table is never
-    written or re-read, halving end-to-end memory/IO traffic vs
-    exchange-then-encode (the 8->32 scaling lever named in BENCH/BASELINE).
+    """Fused exchange + encode: each task streams its file group ONE FILE AT
+    A TIME — read, sort by the cluster key, bucket, encode — so the bucketed
+    intermediate is never written or re-read AND working memory is O(one
+    file), not O(task file group). Round 3 materialized the whole group
+    (``concat_tables + take + combine_chunks`` ≈ 3 copies of the task's
+    token data) before encoding; at low parallelism groups grow and that
+    allocation traffic was the encode-scaling wall. Per-file processing
+    keeps the allocation profile flat across parallelism levels.
+
+    Chunks never span files outright; a sub-``min_chunk_values`` trailing
+    chunk is carried into the next file (:class:`_FusedChunkEmitter`), and
+    the junction becomes a PAGED segment boundary — segment-aligned PAGED
+    re-picks codecs per segment, so per-file sorting costs no compression
+    (each segment is internally key-sorted and delta-local).
 
     ``min_chunk_values`` (default ``max_chunk_values // 4``) merges
     sub-budget bucket segments: a bucket-transition chunk cut is kept only
     once the running chunk holds at least this many values. Without it every
-    (task x bucket) crossing forces its own chunk — n_chunks grows as
-    O(tasks x buckets) and decode pays the per-block fixed cost that many
-    times (the round-2 q_decode regression). Rows stay fully sorted by the
-    cluster key, so a merged chunk is still delta-local; the PAGED codec
-    re-picks per 64k-value page inside heterogeneous chunks. A merged
-    chunk's ``bucket`` is its first (lowest-key) row's bucket — pass
-    ``min_chunk_values=0`` when strict chunk/bucket homogeneity matters
-    (e.g. ``write.partitionBy("bucket")`` products).
+    (file x bucket) crossing forces its own chunk and decode pays the
+    per-block fixed cost that many times. A merged chunk's ``bucket`` is the
+    lowest bucket its rows span and ``bucket_max`` the highest — readers
+    filtering by bucket must use the ``[bucket, bucket_max]`` range (or pass
+    ``min_chunk_values=0`` for strict chunk/bucket homogeneity, e.g.
+    ``write.partitionBy("bucket")`` products).
 
     Trade recorded, not hidden: chunks cannot span tasks, so n_chunks >=
     n_tasks, and there is no bucketed table for other readers — use the
@@ -364,13 +508,7 @@ def exchange_encode_fused(
 
     Returns the blocks DataFrame (standard blocks schema, ``bucket`` set).
     """
-    from .encode import (
-        _BLOCKS_ARROW_SCHEMA,
-        BLOCKS_SPARK_SCHEMA,
-        EncodeOptions,
-        _encode_chunk,
-        chunk_row_starts,
-    )
+    from .encode import BLOCKS_SPARK_SCHEMA, EncodeOptions
 
     opts = options or EncodeOptions()
     if min_chunk_values is None:
@@ -396,90 +534,32 @@ def exchange_encode_fused(
         for tb in batches:
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
-                # no combine_chunks here: Arrow `take` gathers from the
-                # chunked table directly, so merging chunks first would be
-                # a redundant full copy of the task's token data (the
-                # biggest single allocation in the fused path)
-                t = pa.concat_tables(
-                    [pq.read_table(p, columns=read_cols) for p in paths]
-                )
-                keys_b = _utf8_fixed_bytes(key_fn(t), cuts_w)
-                order = np.argsort(keys_b, kind="stable")
-                t = t.take(pa.array(order)).combine_chunks()
-                if cuts_b.size:
-                    buckets = np.searchsorted(cuts_b, keys_b[order], side="left")
-                else:
-                    buckets = np.zeros(order.size, dtype=np.int64)
-
-                tokens_col = t.column("tokens")
-                tokens_arr = (
-                    tokens_col.chunk(0)
-                    if tokens_col.num_chunks
-                    else pa.array([], pa.list_(pa.int32()))
-                )
-                doc_ids = t.column("doc_id")
-                doc_ids = (
-                    doc_ids.chunk(0) if doc_ids.num_chunks
-                    else pa.array([], pa.string())
-                )
-                lengths_all = tokens_arr.value_lengths().to_numpy().astype(np.int64)
-                values_all = tokens_arr.flatten().to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int32, copy=False)
-                val_off = np.concatenate(([0], np.cumsum(lengths_all)))
-
-                forced_all = np.flatnonzero(np.diff(buckets) != 0) + 1
-                forced = forced_all
-                if forced.size and min_chunk_values > 0:
-                    # keep a bucket-transition cut only once the running
-                    # chunk has accrued min_chunk_values tokens: one loop
-                    # iteration per bucket transition, not per row
-                    kept, last = [], 0
-                    for f in forced_all:
-                        if val_off[f] - val_off[last] >= min_chunk_values:
-                            kept.append(int(f))
-                            last = int(f)
-                    forced = np.asarray(kept, dtype=np.int64)
-                row_starts = chunk_row_starts(
-                    lengths_all, opts.max_chunk_values, forced
-                )
-                rows, bounds = [], []
-                seq = 0
-                for a, b in zip(row_starts[:-1], row_starts[1:]):
-                    if a == b:
+                em = _FusedChunkEmitter(opts, task_id, min_chunk_values)
+                for path in paths:
+                    t = pq.read_table(path, columns=read_cols)
+                    if t.num_rows == 0:
                         continue
-                    # bucket transitions this chunk absorbed -> PAGED
-                    # segment boundaries (value offsets within the chunk)
-                    inner = forced_all[(forced_all > a) & (forced_all < b)]
-                    seg = (
-                        val_off[inner] - val_off[a] if inner.size else None
-                    )
-                    rows.append(
-                        _encode_chunk(
-                            doc_ids.slice(a, b - a),
-                            lengths_all[a:b],
-                            values_all[val_off[a] : val_off[b]],
-                            opts,
-                            task_id,
-                            seq,
-                            int(buckets[a]),
-                            seg_values=seg,
+                    keys_b = _utf8_fixed_bytes(key_fn(t), cuts_w)
+                    order = np.argsort(keys_b, kind="stable")
+                    t = t.take(pa.array(order)).combine_chunks()
+                    if cuts_b.size:
+                        buckets = np.searchsorted(
+                            cuts_b, keys_b[order], side="left"
                         )
+                    else:
+                        buckets = np.zeros(order.size, dtype=np.int64)
+                    tokens_arr = t.column("tokens").chunk(0)
+                    doc_arr = t.column("doc_id").chunk(0)
+                    lengths = (
+                        tokens_arr.value_lengths().to_numpy().astype(np.int64)
                     )
-                    bounds.append(a)
-                    seq += 1
-                if not rows:
-                    continue
-                bounds.append(row_starts[-1])
-                doc_id_lists = pa.ListArray.from_arrays(
-                    pa.array(bounds, pa.int32()), doc_ids
-                )
-                cols = [
-                    doc_id_lists
-                    if f.name == "doc_ids"
-                    else pa.array([r[f.name] for r in rows], f.type)
-                    for f in _BLOCKS_ARROW_SCHEMA
-                ]
-                yield pa.RecordBatch.from_arrays(cols, schema=_BLOCKS_ARROW_SCHEMA)
+                    values = tokens_arr.flatten().to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int32, copy=False)
+                    em.add_file(doc_arr, lengths, values, buckets)
+                em.flush()
+                out = em.batch()
+                if out is not None:
+                    yield out
 
     return tasks.mapInArrow(fn, BLOCKS_SPARK_SCHEMA)

@@ -108,3 +108,33 @@ def test_greedy_parse_matches_reference_loop():
         assert codes.tolist() == ref_codes
         assert lens.tolist() == ref_lens
         assert fsst.decode(fsst.encode(blob, symbols), symbols) == blob
+
+
+def test_vectorized_decode_matches_reference_loop():
+    """The gather-based decode must reproduce the sequential loop byte for
+    byte — including the ambiguous case of 0xFF runs, where escaped 0xFF
+    literals are adjacent to escape bytes."""
+    rng = np.random.default_rng(23)
+    cases = [
+        b"",
+        b"\xff" * 7,  # odd run of escapes/literals
+        b"\xff\xff" * 8,  # even run
+        bytes(range(256)) * 3,
+    ]
+    for trial in range(30):
+        n = int(rng.integers(0, 2000))
+        # mix text-like bytes with bursts of 0xFF so escape runs occur
+        data = rng.integers(0, 8, n).astype(np.uint8) + ord("a")
+        ff = rng.random(n) < 0.15
+        data[ff] = 0xFF
+        cases.append(data.tobytes())
+    for blob in cases:
+        symbols = fsst.train(blob)
+        enc = fsst.encode(blob, symbols)
+        assert fsst.decode(enc, symbols) == fsst._decode_loop(enc, symbols)
+        assert fsst.decode(enc, symbols) == blob
+    # malformed: stream ending inside an escape must fail loudly
+    with pytest.raises(ValueError, match="truncated escape"):
+        fsst.decode(b"\xff", [])
+    with pytest.raises(ValueError, match="out of symbol-table range"):
+        fsst.decode(b"\x05", [b"ab"])
