@@ -294,6 +294,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LLM training-data layout: GPT-style concat-and-chunk sequence packing
     # via the distributed two-level prefix sum (no single-partition window)
     q["sequence_pack_plan"] = lambda s, d: CP.sequence_pack_plan(_docs(s, d))
+
+    # MATERIALIZED packing: the actual fixed-length array<int32> training
+    # rows, assembled from the closed-form corpus; gated by per-sequence
+    # order-sensitive checksums (membership AND in-sequence order)
+    def sequence_pack_materialized(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.packing import (
+            pack_sequences,
+            packed_sequence_checksums,
+        )
+
+        return packed_sequence_checksums(
+            pack_sequences(_corpus(spark, sf_dir), seq_len=512)
+        )
+
+    q["sequence_pack_materialized"] = sequence_pack_materialized
+
+    # streaming decode, oracle-gated: blocks replayed through a REAL
+    # Structured Streaming query (availableNow, idempotent batch_id sink),
+    # then per-doc checksums of the STREAMED output vs the closed-form
+    # oracle — the same gate class as the batch paths. The tiny collect/
+    # createDataFrame shuttle exists only so the work dir can be cleaned
+    # before returning (metadata rows, never token arrays).
+    def streaming_decode_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.streaming.decode_stream import (
+            start_decode_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_sdq_")
+        try:
+            blocks_pq = f"{work}/blocks"
+            encode_dataframe(_corpus(spark, sf_dir), EncodeOptions()) \
+                .write.parquet(blocks_pq)
+            static = spark.read.parquet(blocks_pq)
+            stream = spark.readStream.schema(static.schema).parquet(blocks_pq)
+            sq = start_decode_stream(
+                stream, f"{work}/decoded", f"{work}/stream_ck"
+            )
+            sq.awaitTermination()
+            res = _per_doc_result(
+                spark.read.parquet(f"{work}/decoded").drop("batch_id")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_decode_roundtrip"] = streaming_decode_roundtrip
     return q
 
 
@@ -365,4 +414,10 @@ def oracle_sql() -> dict[str, str]:
     o["size_weighted_buckets_plan"] = CP.size_weighted_buckets_sql()
     o["resume_pending_anti_join"] = CP.RESUME_ANTI_SQL
     o["sequence_pack_plan"] = CP.sequence_pack_plan_sql()
+    from mapbox_vector_tile_spark.functions.packing import (
+        packed_sequence_checksums_sql,
+    )
+
+    o["sequence_pack_materialized"] = packed_sequence_checksums_sql(512)
+    o["streaming_decode_roundtrip"] = per_doc
     return o

@@ -239,9 +239,10 @@ def size_weighted_exchange(
         for d in os.listdir(out_path):
             if d.startswith("bucket="):
                 shutil.rmtree(os.path.join(out_path, d), ignore_errors=True)
-        success = os.path.join(out_path, "_SUCCESS")
-        if os.path.exists(success):
-            os.remove(success)
+        for marker in ("_SUCCESS", "_manifest.json"):
+            p = os.path.join(out_path, marker)
+            if os.path.exists(p):
+                os.remove(p)
     if cuts is None:
         cuts = plan_weighted_cuts(
             spark, files, num_buckets, key_fn, key_cols, weight_col
@@ -314,6 +315,12 @@ def size_weighted_exchange(
         fn, "task_id int, bucket int, n_rows long, n_tok long, path string"
     ).collect()
     os.makedirs(out_path, exist_ok=True)
+    from ..sources.parquet_direct import write_file_manifest
+
+    write_file_manifest(
+        out_path,
+        {os.path.relpath(r.path, out_path): int(r.n_rows) for r in manifest},
+    )
     with open(os.path.join(out_path, "_SUCCESS"), "w"):
         pass
     per_bucket: dict[int, int] = {}

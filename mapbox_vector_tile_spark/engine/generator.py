@@ -152,9 +152,16 @@ def write_corpus_parquet_direct(
                 )
 
     written = tasks.mapInArrow(fn, "task_id int, n_rows long").collect()
+    from ..sources.parquet_direct import write_file_manifest
+
+    row_counts = {
+        f"part-{r.task_id:05d}.parquet": int(r.n_rows) for r in written
+    }
+    write_file_manifest(out_path, row_counts)
     with open(os.path.join(out_path, "_SUCCESS"), "w"):
         pass
     if checksums_path is not None:
+        write_file_manifest(checksums_path, row_counts)
         with open(os.path.join(checksums_path, "_SUCCESS"), "w"):
             pass
     return sum(r.n_rows for r in written)

@@ -29,6 +29,85 @@ from ..engine.encode import (
 )
 
 
+def write_file_manifest(root: str, row_counts: dict[str, int]) -> None:
+    """Write-side fragment manifest (``_manifest.json``): per-file row
+    counts keyed by path relative to the dataset root — the seam where a
+    table format's manifest column metrics (Iceberg ``record_count``) plug
+    in. Readers plan row-range splits from it without opening parquet
+    footers. Atomic tmp+rename; name starts with ``_`` so Spark/DuckDB
+    data scans ignore it."""
+    import json
+
+    path = os.path.join(root, "_manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"row_counts": row_counts}, fh)
+    os.replace(tmp, path)
+
+
+def _manifest_row_counts(files: list[str]) -> dict[str, int] | None:
+    """Per-file row counts from ``_manifest.json`` sidecars, or ``None``
+    when any file is uncovered. Checks each file's directory, then one
+    level up (hive ``bucket=N/`` layouts keep fragments below the root)."""
+    import json
+
+    cache: dict[str, dict | None] = {}
+    counts: dict[str, int] = {}
+    for f in files:
+        found = None
+        d = os.path.dirname(f)
+        for root in (d, os.path.dirname(d)):
+            if root not in cache:
+                try:
+                    with open(os.path.join(root, "_manifest.json")) as fh:
+                        cache[root] = json.load(fh).get("row_counts", {})
+                except (OSError, ValueError):
+                    cache[root] = None
+            rc = cache[root]
+            if rc is not None:
+                rel = os.path.relpath(f, root)
+                if rel in rc:
+                    found = int(rc[rel])
+                    break
+        if found is None:
+            return None
+        counts[f] = found
+    return counts
+
+
+def _footer_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    """Distributed footer scan: workers read ``num_rows`` from their share
+    of the file list — never a driver loop over footers (at 100 TB even
+    listing-adjacent metadata reads belong on executors)."""
+    df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            paths = b.column("path").to_pylist()
+            if not paths:
+                continue
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "path": paths,
+                    "n": [pq.read_metadata(p).num_rows for p in paths],
+                },
+                schema=pa.schema([("path", pa.string()), ("n", pa.int64())]),
+            )
+
+    return {
+        r.path: int(r.n)
+        for r in df.mapInArrow(fn, "path string, n long").collect()
+    }
+
+
+def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    """Manifest sidecar when every file is covered, else distributed
+    footer reads."""
+    return _manifest_row_counts(files) or _footer_row_counts(spark, files)
+
+
 def list_parquet_files(path: str) -> list[str]:
     return sorted(
         os.path.join(dp, f)
@@ -79,10 +158,11 @@ def block_task_dataframe(
     spark: SparkSession, files: list[str], n_tasks: int | None = None
 ) -> DataFrame:
     """Task planning with sub-file splits: when there are fewer files than
-    ``n_tasks``, large files are split into row ranges (footer row counts;
-    at 100 TB these come from the table format's manifest column metrics),
-    so DECODE parallelism is decoupled from however many files the encode
-    side happened to write. ``hi == -1`` means "to end of file"."""
+    ``n_tasks``, large files are split into row ranges (row counts from the
+    write-side ``_manifest.json`` when present — the table-format manifest
+    seam — else a distributed footer scan; the driver never loops over
+    footers), so DECODE parallelism is decoupled from however many files
+    the encode side happened to write. ``hi == -1`` means "to end"."""
     if n_tasks is None or len(files) >= n_tasks:
         groups = (
             [[f] for f in files] if n_tasks is None
@@ -92,7 +172,7 @@ def block_task_dataframe(
             (i, g, [0] * len(g), [-1] * len(g)) for i, g in enumerate(groups)
         ]
     else:
-        counts = {f: pq.read_metadata(f).num_rows for f in files}
+        counts = file_row_counts(spark, files)
         total = sum(counts.values())
         per = max(1, -(-total // n_tasks))
         specs = [
@@ -129,17 +209,34 @@ def _read_block_batches(
     path: str, cols: list[str], lo: int = 0, hi: int = -1, batch_size: int = 64
 ):
     """Record batches for a (possibly row-sliced) parquet file. Whole-file
-    reads stream via ``iter_batches``; sliced reads materialize the file
-    table once and slice (block rows are MB-sized payloads, so the extra
-    columnar read is small next to the decode itself; a production blocks
-    writer sizes row groups to a few rows so slices prune at RG level)."""
+    reads stream via ``iter_batches``; sliced reads prune at ROW-GROUP
+    level first — ``[lo, hi)`` maps to the overlapping row groups via the
+    footer, only those are read, then the exact row slice is taken — so k
+    slices of one file cost ~one file's IO total, not k full-file reads."""
     if lo == 0 and hi == -1:
         pf = pq.ParquetFile(path)
         yield from pf.iter_batches(batch_size=batch_size, columns=cols)
     else:
-        t = pq.read_table(path, columns=cols)
-        length = (hi - lo) if hi >= 0 else None
-        yield from t.slice(lo, length).to_batches(max_chunksize=batch_size)
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        hi = md.num_rows if hi < 0 else min(hi, md.num_rows)
+        if hi <= lo:
+            return
+        rg_start, keep = 0, []
+        base = None
+        for i in range(md.num_row_groups):
+            rg_end = rg_start + md.row_group(i).num_rows
+            if rg_start < hi and rg_end > lo:
+                if base is None:
+                    base = rg_start
+                keep.append(i)
+            rg_start = rg_end
+        if not keep:
+            return
+        t = pf.read_row_groups(keep, columns=cols)
+        yield from t.slice(lo - base, hi - lo).to_batches(
+            max_chunksize=batch_size
+        )
 
 
 def encode_parquet_direct(
@@ -276,7 +373,9 @@ def decode_stats_direct(
                             )
                             n_rows += int(lengths.size)
                             n_values += int(values.size)
-                            cks = (cks + int(values.astype(np.int64).sum() % MOD)) % MOD
+                            # int64-accumulator sum, no astype copy (saves
+                            # 8 B/token of traffic on the pure-decode path)
+                            cks = (cks + int(values.sum(dtype=np.int64) % MOD)) % MOD
                 yield pa.RecordBatch.from_pydict(
                     {
                         "n_rows": [n_rows],
@@ -368,6 +467,14 @@ def decode_to_parquet_direct(
                 )
 
     written = tasks.mapInArrow(fn, "task_id int, n_rows long").collect()
+    write_file_manifest(
+        out_path,
+        {
+            f"part-{r.task_id:05d}.parquet": int(r.n_rows)
+            for r in written
+            if r.n_rows
+        },
+    )
     with open(os.path.join(out_path, "_SUCCESS"), "w"):
         pass
     return sum(r.n_rows for r in written)

@@ -139,6 +139,64 @@ def test_write_corpus_checksum_sidecar_matches_scan(spark, tmp_path):
     assert side == scan
 
 
+def test_file_manifest_and_row_counts(spark, tmp_path):
+    """Direct sinks write a ``_manifest.json`` with per-fragment row counts;
+    readers take counts from it without touching footers, and fall back to a
+    distributed footer scan for datasets written by other engines."""
+    import json
+    import os
+
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        _footer_row_counts,
+        _manifest_row_counts,
+        file_row_counts,
+        list_parquet_files,
+    )
+
+    out = str(tmp_path / "tokens")
+    G.write_corpus_parquet_direct(spark, 300, out, num_partitions=3)
+    files = list_parquet_files(out)
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        man = json.load(fh)["row_counts"]
+    assert sum(man.values()) == 300 and len(man) == 3
+    via_manifest = _manifest_row_counts(files)
+    via_footers = _footer_row_counts(spark, files)
+    assert via_manifest == via_footers
+    assert file_row_counts(spark, files) == via_footers
+
+    # a Spark-written dataset has no manifest -> footer fallback
+    plain = str(tmp_path / "plain")
+    G.corpus_dataframe(spark, 100, num_partitions=2).write.parquet(plain)
+    pf = list_parquet_files(plain)
+    assert _manifest_row_counts(pf) is None
+    assert sum(file_row_counts(spark, pf).values()) == 100
+
+
+def test_row_sliced_read_prunes_row_groups(tmp_path):
+    """Row-sliced block reads must touch only the overlapping row groups
+    and return exactly the requested rows, for every slice position."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        _read_block_batches,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    n = 57
+    t = pa.table({"x": list(range(n))})
+    pq.write_table(t, path, row_group_size=10)  # 6 row groups
+    assert pq.ParquetFile(path).metadata.num_row_groups == 6
+    for lo, hi in [(0, -1), (0, 10), (5, 25), (10, 20), (33, 34), (50, 57),
+                   (0, 57), (56, -1), (57, -1), (20, 15)]:
+        got = []
+        for b in _read_block_batches(path, ["x"], lo, hi, batch_size=7):
+            got.extend(b.column("x").to_pylist())
+        end = n if hi < 0 else min(hi, n)
+        assert got == list(range(lo, max(lo, end))), (lo, hi)
+
+
 def test_decode_to_parquet_direct_roundtrip(spark, tmp_path):
     from mapbox_vector_tile_spark.engine import generator as G
     from mapbox_vector_tile_spark.engine.encode import EncodeOptions
