@@ -90,6 +90,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_auto_per_doc"] = roundtrip_auto_per_doc
     q["roundtrip_auto_by_regime"] = roundtrip_auto_by_regime
 
+    # zone-map-pruned selective decode: only chunks whose [min_doc_id,
+    # max_doc_id] span intersects the range are decoded; checksums of the
+    # range's docs must still match the formula oracle exactly
+    def selective_decode_doc_range(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.decode import decode_doc_range
+
+        blocks = encode_dataframe(_corpus(spark, sf_dir))
+        decoded = decode_doc_range(blocks, "doc-00000150", "doc-00000350")
+        return _per_doc_result(decoded)
+
+    q["selective_decode_doc_range"] = selective_decode_doc_range
+
     # every codec forced end-to-end (per-regime rollup granularity)
     for codec in _CODECS:
         def rt(spark, sf_dir, _c=codec):
@@ -353,6 +365,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_per_doc_checksums": per_doc,
         "roundtrip_auto_per_doc": per_doc,
         "roundtrip_auto_by_regime": by_regime,
+        "selective_decode_doc_range": C.per_doc_checksum_sql(
+            "documents WHERE doc_id >= 150 AND doc_id < 350",
+            string_doc_id=True,
+        ),
     }
     for codec in _CODECS:
         o[f"roundtrip_{codec}_by_regime"] = by_regime

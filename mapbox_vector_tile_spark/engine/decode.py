@@ -119,3 +119,30 @@ def decode_dataframe(
     schema_str = TOKENS_SRC_OUT_SPARK_SCHEMA if with_source else TOKENS_OUT_SPARK_SCHEMA
     out = blocks_df.select(*cols).mapInArrow(fn, schema_str)
     return transform(out) if transform is not None else out
+
+
+def decode_doc_range(blocks_df, lo: str, hi: str, **decode_kwargs):
+    """Selective decode of ``doc_id in [lo, hi)`` via zone-map pruning.
+
+    Chunks whose ``[min_doc_id, max_doc_id]`` span does not intersect the
+    requested range are dropped BEFORE decode by a Catalyst filter on the
+    blocks scan — on a parquet/Iceberg blocks table the predicate reaches
+    the reader (``PushedFilters``), so pruned row groups never read their
+    ``payload`` bytes at all. Surviving chunks decode normally and a row
+    filter trims boundary chunks that straddle the range.
+
+    The point-lookup / range-scan analog of the reference decoding a single
+    requested layer out of a multi-layer tile rather than the whole tile
+    (/root/reference/mapbox_vector_tile/decoder.py:146-160): both use
+    stored per-container metadata to touch only the containers a query
+    needs. At 100 TB this is the difference between a metadata-bounded scan
+    (chunks overlapping the range, typically one bucket's worth for a
+    clustered table) and a full-corpus decode.
+    """
+    from pyspark.sql import functions as F
+
+    pruned = blocks_df.filter(
+        (F.col("max_doc_id") >= lo) & (F.col("min_doc_id") < hi)
+    )
+    out = decode_dataframe(pruned, **decode_kwargs)
+    return out.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))

@@ -113,3 +113,30 @@ def test_checksum_detects_corruption(tokens_df, spark):
     row = blocks.filter(F.col("n_values") > 0).first()
     with pytest.raises(ValueError, match="checksum"):
         decode_block_row(row.payload + b"x", row.lengths_blob, row.checksum)
+
+
+def test_decode_doc_range_zone_map_pruning(tokens_df, spark):
+    from mapbox_vector_tile_spark.engine.decode import decode_doc_range
+
+    # small chunks so the doc range covers a strict subset of chunks
+    blocks = encode_dataframe(tokens_df, EncodeOptions(max_chunk_values=10_000))
+    blocks.cache()
+    lo, hi = "doc-00000100", "doc-00000200"
+    got = decode_doc_range(blocks, lo, hi)
+    rows = {r.doc_id: r for r in got.collect()}
+    want = {
+        r.doc_id: r
+        for r in decode_dataframe(blocks)
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .collect()
+    }
+    assert set(rows) == set(want) and len(rows) == 100
+    for d, r in rows.items():
+        assert r.tokens == want[d].tokens, d
+    # the zone-map filter must actually prune chunks, not just rows
+    n_all = blocks.count()
+    n_kept = blocks.filter(
+        (F.col("max_doc_id") >= lo) & (F.col("min_doc_id") < hi)
+    ).count()
+    assert 0 < n_kept < n_all
+    blocks.unpersist()
