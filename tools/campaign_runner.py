@@ -1,23 +1,31 @@
 """Opportunistic scaling-campaign runner.
 
 The north rule's scaling gate (>=0.8 efficiency N -> 4N) is measured on a VM
-whose host backs guest RAM lazily: right after boot (or under host reclaim),
-first-touch of a fresh page runs at 15-60 MB/s while warm pages sustain
-multi-GB/s — a 50-100x swing that has nothing to do with the engine. Campaign
-numbers taken in a bad window are noise (BENCH/BASELINE.md, round-3 analysis).
+whose host backs guest RAM lazily AND unbacks pages the guest frees
+(free-page hinting): first-touch bandwidth swings between ~25 MB/s and
+multi-GB/s on minute scales, orthogonal to the engine. Campaign numbers
+taken in a bad window are noise (BENCH/BASELINE.md, round-3 analysis;
+re-measured 2026-08-17 after a VM reboot: 2 GB buffer touched at 25 MB/s,
+same buffer pattern at 2 GB/s forty minutes later).
 
-This runner probes the host before spending a campaign: it measures
-first-touch bandwidth on a fresh anonymous buffer and only launches
-``bench_scaling.py`` when the window is clean. Every probe and campaign is
-appended to ``BENCH/host_probe.log`` so the judge can see the gating
-evidence, and each campaign writes its own ``BENCH/scaling_r4_auto_cN.json``.
+A single-buffer probe is not sufficient: this session recorded a 1.6 GB/s
+single-process probe followed by a campaign that ran 3x slower than the same
+code a few hours earlier (BENCH/scaling_r4_auto_c1.json, encode 14.5 M tok/s
+at 8 cores vs 45.6 M in scaling_r4_c1_2_8.json). The binding resource during
+a campaign is SUSTAINED MULTI-PROCESS first-touch, so the probe now forks
+``PROBE_PROCS`` children that each touch a fresh buffer simultaneously and
+gates on the AGGREGATE bandwidth, with two consecutive clean probes required
+before a campaign is spent. Campaigns are also kept short (mult=200, ~550 M
+tokens) so one fits inside a realistic window. Every probe and campaign is
+appended to ``BENCH/host_probe.log``.
 
-Usage: python tools/campaign_runner.py [max_campaigns] [probe_mb_s_threshold]
+Usage: python tools/campaign_runner.py [max_campaigns] [agg_mb_s_threshold]
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import subprocess
 import sys
@@ -26,18 +34,35 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "BENCH", "host_probe.log")
 
+PROBE_PROCS = 4
+PROBE_MB = 640  # per process
 
-def probe_first_touch(mb: int = 384) -> float:
-    """MB/s writing one byte per 4 KiB page of a fresh buffer (forces the
-    host to back every page; warm-page speed is not the bottleneck here)."""
+
+def _touch(mb: int, q) -> None:
     import numpy as np
 
     t = time.time()
     a = np.zeros(mb * 1024 * 1024, dtype=np.uint8)
     a[::4096] = 1
-    dt = time.time() - t
+    q.put(time.time() - t)
     del a
-    return mb / dt
+
+
+def probe_sustained() -> float:
+    """Aggregate MB/s of PROBE_PROCS processes first-touching fresh buffers
+    simultaneously — the load shape a campaign's executor pool presents."""
+    q = mp.Queue()
+    procs = [
+        mp.Process(target=_touch, args=(PROBE_MB, q)) for _ in range(PROBE_PROCS)
+    ]
+    t0 = time.time()
+    for p in procs:
+        p.start()
+    times = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    wall = max(max(times), time.time() - t0)
+    return PROBE_PROCS * PROBE_MB / wall
 
 
 def log(msg: str) -> None:
@@ -48,13 +73,15 @@ def log(msg: str) -> None:
         f.write(line + "\n")
 
 
-def run_campaign(idx: int, lo: int = 2, hi: int = 8, reps: int = 2) -> dict | None:
+def run_campaign(
+    idx: int, lo: int = 2, hi: int = 8, reps: int = 2, mult: int = 200
+) -> dict | None:
     out = os.path.join(REPO, "BENCH", f"scaling_r4_auto_c{idx}.json")
     env = dict(os.environ, SPARK_GRAFT_SCALING_OUT=out)
     t = time.time()
     r = subprocess.run(
-        [sys.executable, "bench_scaling.py", "/root/testdata/sf0.1", "400",
-         str(reps), str(lo), str(hi)],
+        [sys.executable, "bench_scaling.py", "/root/testdata/sf0.1",
+         str(mult), str(reps), str(lo), str(hi)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=7200,
     )
     if r.returncode != 0 or not os.path.exists(out):
@@ -63,7 +90,7 @@ def run_campaign(idx: int, lo: int = 2, hi: int = 8, reps: int = 2) -> dict | No
     with open(out) as f:
         res = json.load(f)
     log(
-        f"campaign c{idx} ({lo}->{hi}) done in {time.time()-t:.0f}s: "
+        f"campaign c{idx} ({lo}->{hi}, mult={mult}) done in {time.time()-t:.0f}s: "
         f"encode_eff={res['scaling_efficiency_encode']} "
         f"decode_eff={res['scaling_efficiency_decode']} "
         f"enc_hi={res['encode_tokens_per_sec_high']/1e6:.1f}M "
@@ -74,17 +101,16 @@ def run_campaign(idx: int, lo: int = 2, hi: int = 8, reps: int = 2) -> dict | No
 
 def main() -> int:
     max_campaigns = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 700.0
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 3500.0
     done = 0
     met = 0
-    streak = 0  # consecutive clean probes; one can be a transient (seen
-    # 2026-08-17: probe 1760 MB/s, bulk work at 25 MB/s ten minutes later)
+    streak = 0
     while done < max_campaigns:
-        bw = probe_first_touch()
+        bw = probe_sustained()
         clean = bw >= threshold
         streak = streak + 1 if clean else 0
         log(
-            f"probe first_touch={bw:.0f} MB/s -> "
+            f"probe sustained({PROBE_PROCS}x{PROBE_MB}MB)={bw:.0f} MB/s -> "
             f"{'CLEAN' if clean else 'dirty'} (streak {streak}/2)"
         )
         if streak < 2:
