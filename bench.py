@@ -42,6 +42,11 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "40"))
     num_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", str(cpus)))
+    # best-of rep count for the timed encode/decode phases. Reps inside one
+    # bench invocation reuse the warm JVM + python workers, so extra reps
+    # are the cheapest way to sample past this host's minute-scale slow
+    # episodes (BENCH/BASELINE.md); scaling campaigns raise it to 3.
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from pyspark.sql import functions as F
@@ -134,7 +139,7 @@ def main() -> int:
             best = None
             # 2*cpus writer tasks: sizes the blocks file count for the
             # decode side's parallelism (decode tasks = file groups)
-            for _ in range(2):
+            for _ in range(n_reps):
                 t = time.time()
                 exchange_encode_fused(
                     spark, tokens_pq, num_buckets, EncodeOptions(),
@@ -157,7 +162,7 @@ def main() -> int:
             )
 
             best = None
-            for _ in range(2):
+            for _ in range(n_reps):
                 t = time.time()
                 encode_parquet_direct(spark, bucketed_pq, EncodeOptions(),
                                       bucket_from_dir=True, n_tasks=4 * cpus) \
@@ -188,7 +193,7 @@ def main() -> int:
             )
 
             best = None
-            for _ in range(2):
+            for _ in range(n_reps):
                 t = time.time()
                 dec_tokens = decode_stats_direct(
                     spark, blocks_pq, n_tasks=2 * cpus
@@ -209,11 +214,11 @@ def main() -> int:
             # write); best-of-2 keeps the honest minimum.
             dec = None
             best = None
-            for rep in range(2):
+            for rep in range(n_reps):
                 df = decoded_doc_checksums_direct(
                     spark, blocks_pq, n_tasks=2 * cpus
                 )
-                if rep == 1:
+                if rep == n_reps - 1:
                     df = df.persist()
                 t = time.time()
                 dec_tokens = df.agg(F.sum("n_tok")).first()[0]

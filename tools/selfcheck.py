@@ -4,7 +4,11 @@ Runs entry(spark) as a smoke check, then each queries()[name] at sf0.01 and
 compares against oracle_sql()[name] via DuckDB: row count, column names, and
 an order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/selfcheck.py [sf_dir]
+Usage: python tools/selfcheck.py [sf_dir] [query_substr ...]
+
+Optional ``query_substr`` arguments restrict the run to queries whose name
+contains any of them (entry() smoke check is skipped then) — the per-query
+drive the verify skill uses after touching a single operator.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def value_repr(df):
     return rows
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *name_filters: str) -> int:
     import duckdb
 
     import __spark_entry__ as E
@@ -52,11 +56,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
     spark = get_spark(app_name="selfcheck", cpus=8, shuffle_partitions=8)
 
-    t0 = time.time()
-    res = E.entry(spark)
-    n = res.count()
-    print(f"entry(): {n} rows, schema {res.columns} [{time.time()-t0:.1f}s]")
-    assert n >= 0
+    if not name_filters:
+        t0 = time.time()
+        res = E.entry(spark)
+        n = res.count()
+        print(f"entry(): {n} rows, schema {res.columns} [{time.time()-t0:.1f}s]")
+        assert n >= 0
 
     con = duckdb.connect()
     for t in TABLES:
@@ -65,6 +70,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         )
 
     qs = E.queries()
+    if name_filters:
+        qs = {k: v for k, v in qs.items() if any(f in k for f in name_filters)}
+        if not qs:
+            print(f"no queries match {name_filters}")
+            return 1
     oracles = E.oracle_sql()
     failures = []
     for name, fn in qs.items():
