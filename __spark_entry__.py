@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures"] = lambda s, d: T.minhash_signatures(_docs(s, d))
     q["lsh_candidate_pairs"] = lambda s, d: T.lsh_candidate_pairs(_docs(s, d))
     q["near_dup_jaccard"] = lambda s, d: T.near_dup_jaccard(_docs(s, d))
+    # connected components over confirmed near-dup pairs: iterative
+    # min-label propagation (Spark) vs recursive-CTE closure (DuckDB)
+    q["dedup_clusters"] = lambda s, d: T.dedup_clusters(_docs(s, d))
     q["simhash32"] = lambda s, d: T.simhash32(_docs(s, d))
     q["lang_id"] = lambda s, d: T.lang_id(_docs(s, d))
     q["quality_scores"] = lambda s, d: T.quality_scores(_docs(s, d))
@@ -407,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_signatures"] = T.minhash_signatures_sql()
     o["lsh_candidate_pairs"] = T.lsh_candidate_pairs_sql()
     o["near_dup_jaccard"] = T.near_dup_jaccard_sql()
+    o["dedup_clusters"] = T.dedup_clusters_sql()
     o["simhash32"] = T.simhash32_sql()
     o["lang_id"] = T.lang_id_sql()
     o["quality_scores"] = T.QUALITY_SQL

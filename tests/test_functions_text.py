@@ -102,3 +102,27 @@ def test_doc_fingerprint(docs, con):
 
 def test_token_count_bpe(docs, con):
     assert_parity(T.token_count_bpe(docs), con, T.token_count_bpe_sql())
+
+
+def test_dedup_clusters_parity(docs, con):
+    assert_parity(T.dedup_clusters(docs), con, T.dedup_clusters_sql())
+
+
+def test_dedup_clusters_invariants(docs):
+    rows = T.dedup_clusters(docs).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # every doc labeled exactly once; labels are component minima
+    assert len(by_doc) == len(rows)
+    for r in rows:
+        assert r.cluster_id <= r.doc_id
+        assert by_doc[r.cluster_id].cluster_id == r.cluster_id  # head is own head
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+    # exactly one canonical member per cluster
+    heads = [r for r in rows if r.is_canonical]
+    assert len(heads) == len({r.cluster_id for r in rows})
+    # cluster_size agrees with membership counts
+    from collections import Counter
+
+    counts = Counter(r.cluster_id for r in rows)
+    for r in rows:
+        assert r.cluster_size == counts[r.cluster_id]

@@ -58,9 +58,18 @@ def probe_sustained() -> float:
     t0 = time.time()
     for p in procs:
         p.start()
-    times = [q.get() for _ in procs]
+    times = []
+    try:
+        for _ in procs:
+            # a killed child must not deadlock the runner: treat a missing
+            # result as a (very) dirty probe
+            times.append(q.get(timeout=600))
+    except Exception:
+        times.append(600.0)
     for p in procs:
-        p.join()
+        p.join(timeout=10)
+        if p.is_alive():
+            p.kill()
     wall = max(max(times), time.time() - t0)
     return PROBE_PROCS * PROBE_MB / wall
 
