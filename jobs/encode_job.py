@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
                         "columnar scans (token arrays never cross the JVM "
                         "row boundary); --sort-col must be doc_id or "
                         "regime|doc_id")
+    p.add_argument("--fused", action="store_true",
+                   help="flagship path: fused exchange+encode, worker-side "
+                        "sink, resume at task (file-group) granularity; "
+                        "--sort-col must be doc_id or regime|doc_id; "
+                        "--fail-after counts tasks")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     from mapbox_vector_tile_spark.engine.checkpoint import (
         encode_with_checkpoint,
         encode_with_checkpoint_direct,
+        encode_with_checkpoint_fused,
     )
     from mapbox_vector_tile_spark.engine.encode import EncodeOptions
 
@@ -57,7 +63,18 @@ def main(argv: list[str] | None = None) -> int:
         codec=None if args.codec in (None, "auto") else args.codec,
         validate=args.validate,
     )
-    if args.direct:
+    if args.fused:
+        summary = encode_with_checkpoint_fused(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            num_buckets=args.num_buckets,
+            options=opts,
+            fail_after_tasks=args.fail_after,
+            key_name=args.sort_col,
+        )
+    elif args.direct:
         summary = encode_with_checkpoint_direct(
             spark,
             args.input,

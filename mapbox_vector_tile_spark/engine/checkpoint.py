@@ -298,3 +298,157 @@ def encode_with_checkpoint_direct(
         "buckets_pending": len(pending),
         "buckets_processed": len(pending),
     }
+
+
+FUSED_CHECKPOINT_SCHEMA = (
+    "task_id int, run_id string, status string, n_rows long, n_values long, "
+    "bytes_raw long, bytes_enc long, bytes_ref long, n_chunks long, "
+    "path string, wall_ms long, finished_at double"
+)
+
+
+def done_tasks(spark: SparkSession, ckpt_dir: str) -> set[int]:
+    try:
+        ck = spark.read.parquet(ckpt_dir)
+    except AnalysisException:
+        return set()
+    return {
+        r.task_id
+        for r in ck.filter(F.col("status") == "done")
+        .select("task_id")
+        .distinct()
+        .collect()
+    }
+
+
+def encode_with_checkpoint_fused(
+    spark: SparkSession,
+    tokens_path: str,
+    out_dir: str,
+    ckpt_dir: str,
+    num_buckets: int = 32,
+    options: EncodeOptions | None = None,
+    run_id: str | None = None,
+    fail_after_tasks: int | None = None,
+    key_name: str = "doc_id",
+    n_tasks: int | None = None,
+) -> dict:
+    """Resumable form of the FLAGSHIP fused pipeline (exchange+encode in one
+    worker pass, worker-side parquet sink): resume granularity is the task
+    (one input file group -> one blocks fragment).
+
+    The persisted plan pins cuts, bucket count, cluster key AND the file
+    grouping — a resume on a different cluster size must encode the same
+    fragments the first run planned, or the done-markers would describe
+    different row sets. Each finished task appends one lineage/metrics row
+    (bytes in/enc/ref, chunk count, fragment path, wall ms, run_id); a
+    rerun left-anti-joins the plan against done lineage rows and encodes
+    only pending tasks. Fragment writes are atomic with deterministic
+    names, so a task that died mid-write is simply redone in place. When
+    the last task lands, the job writes the dataset ``_manifest.json``
+    (per-fragment row counts, from lineage) and ``_SUCCESS``.
+    """
+    from .exchange import (
+        _fused_direct_run,
+        doc_id_key,
+        plan_weighted_cuts,
+        regime_doc_key,
+    )
+    from ..sources.parquet_direct import (
+        group_files_by_size,
+        list_parquet_files,
+        write_file_manifest,
+    )
+
+    key_fns = {"doc_id": doc_id_key, "regime|doc_id": regime_doc_key}
+    if key_name not in key_fns:
+        raise ValueError(
+            f"unknown key_name {key_name!r}; valid: {sorted(key_fns)}"
+        )
+    opts = options or EncodeOptions()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    plan = _read_plan(ckpt_dir)
+    if plan is None:
+        files = list_parquet_files(tokens_path)
+        if not files:
+            raise ValueError(f"no parquet files under {tokens_path}")
+        cuts = plan_weighted_cuts(
+            spark, files, num_buckets, key_fn=key_fns[key_name]
+        )
+        groups = group_files_by_size(
+            files, n_tasks or spark.sparkContext.defaultParallelism
+        )
+        plan = {
+            "kind": "fused",
+            "cuts": cuts,
+            "num_partitions": num_buckets,
+            "sort_col": key_name,
+            "groups": groups,
+        }
+        _write_plan(ckpt_dir, plan)
+    else:
+        if (
+            plan.get("kind") != "fused"
+            or plan["num_partitions"] != num_buckets
+            or plan["sort_col"] != key_name
+        ):
+            raise ValueError(
+                "checkpoint plan mismatch: recorded "
+                f"(kind={plan.get('kind')!r}, "
+                f"num_partitions={plan['num_partitions']}, "
+                f"sort_col={plan['sort_col']!r}) but caller supplied "
+                f"(kind='fused', num_partitions={num_buckets}, "
+                f"sort_col={key_name!r}); resume must reuse the original plan"
+            )
+    groups = plan["groups"]
+    cuts = plan["cuts"]
+    total = len(groups)
+    done = done_tasks(spark, ckpt_dir)
+    pending = [
+        (i, g) for i, g in enumerate(groups) if i not in done
+    ]
+    if fail_after_tasks is not None:
+        pending = pending[:fail_after_tasks]
+    processed = 0
+    if pending:
+        t0 = time.time()
+        manifest = _fused_direct_run(
+            spark, pending, out_dir, opts, cuts,
+            key_fns[key_name], ("doc_id",), opts.max_chunk_values // 4,
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        now = time.time()
+        rows = [
+            (
+                int(r.task_id), run_id, "done", int(r.n_rows),
+                int(r.n_values), int(r.bytes_raw), int(r.bytes_enc),
+                int(r.bytes_ref), int(r.n_chunks), r.path, wall_ms, now,
+            )
+            for r in manifest
+        ]
+        spark.createDataFrame(rows, FUSED_CHECKPOINT_SCHEMA).write.mode(
+            "append"
+        ).parquet(ckpt_dir)
+        processed = len(rows)
+    if len(done_tasks(spark, ckpt_dir)) == total:
+        ck = spark.read.parquet(ckpt_dir)
+        frag = {
+            r.path: int(r.n_chunks)
+            for r in ck.filter(
+                (F.col("status") == "done") & (F.col("path") != "")
+            )
+            .select("path", "n_chunks")
+            .collect()
+        }
+        write_file_manifest(
+            out_dir,
+            {os.path.relpath(p, out_dir): n for p, n in frag.items()},
+        )
+        with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+            pass
+    return {
+        "run_id": run_id,
+        "tasks_total": total,
+        "tasks_pending": len(pending),
+        "tasks_processed": processed,
+    }

@@ -624,16 +624,57 @@ def exchange_encode_fused_direct(
         cuts = plan_weighted_cuts(
             spark, files, num_buckets, key_fn, key_cols, weight_col
         )
-    cuts_b, cuts_w = _cuts_fixed_bytes(cuts)
     if n_tasks is None:
         n_tasks = spark.sparkContext.defaultParallelism
     if os.path.isdir(out_path):
         shutil.rmtree(out_path, ignore_errors=True)
+    groups = list(enumerate(_group_files(files, n_tasks)))
+    manifest = _fused_direct_run(
+        spark, groups, out_path, opts, cuts, key_fn, key_cols,
+        min_chunk_values,
+    )
+    write_file_manifest(
+        out_path,
+        {
+            os.path.relpath(r.path, out_path): int(r.n_chunks)
+            for r in manifest
+            if r.path
+        },
+    )
+    with open(os.path.join(out_path, "_SUCCESS"), "w"):
+        pass
+    return {
+        "n_fragments": sum(1 for r in manifest if r.path),
+        "n_chunks": sum(r.n_chunks for r in manifest),
+        "n_rows": sum(r.n_rows for r in manifest),
+        "n_values": sum(r.n_values for r in manifest),
+        "bytes_raw": sum(r.bytes_raw for r in manifest),
+        "bytes_enc": sum(r.bytes_enc for r in manifest),
+        "bytes_ref": sum(r.bytes_ref for r in manifest),
+        "cuts": cuts,
+    }
+
+
+def _fused_direct_run(
+    spark: SparkSession,
+    groups: list[tuple[int, list[str]]],
+    out_path: str,
+    opts,
+    cuts: list[str],
+    key_fn: Callable[[pa.Table], pa.Array],
+    key_cols: tuple[str, ...],
+    min_chunk_values: int,
+) -> list:
+    """Run fused encode for explicit ``(task_id, paths)`` groups, one
+    worker-written fragment per task (atomic rename, deterministic name —
+    a task retry or a resumed run overwrites, never duplicates). Returns
+    the collected per-task manifest rows. Shared by the one-shot direct
+    sink and the checkpoint-resumable job, which passes only its PENDING
+    task groups."""
+    cuts_b, cuts_w = _cuts_fixed_bytes(cuts)
     os.makedirs(out_path, exist_ok=True)
-    groups = _group_files(files, n_tasks)
     tasks = spark.createDataFrame(
-        [(i, g) for i, g in enumerate(groups)],
-        "task_id int, paths array<string>",
+        groups, "task_id int, paths array<string>"
     ).repartition(len(groups), "task_id")
     read_cols = list(dict.fromkeys([*key_cols, "doc_id", "tokens"]))
 
@@ -684,28 +725,8 @@ def exchange_encode_fused_direct(
                     ),
                 )
 
-    manifest = tasks.mapInArrow(
+    return tasks.mapInArrow(
         fn,
         "task_id int, path string, n_chunks long, n_rows long, "
         "n_values long, bytes_raw long, bytes_enc long, bytes_ref long",
     ).collect()
-    write_file_manifest(
-        out_path,
-        {
-            os.path.relpath(r.path, out_path): int(r.n_chunks)
-            for r in manifest
-            if r.path
-        },
-    )
-    with open(os.path.join(out_path, "_SUCCESS"), "w"):
-        pass
-    return {
-        "n_fragments": sum(1 for r in manifest if r.path),
-        "n_chunks": sum(r.n_chunks for r in manifest),
-        "n_rows": sum(r.n_rows for r in manifest),
-        "n_values": sum(r.n_values for r in manifest),
-        "bytes_raw": sum(r.bytes_raw for r in manifest),
-        "bytes_enc": sum(r.bytes_enc for r in manifest),
-        "bytes_ref": sum(r.bytes_ref for r in manifest),
-        "cuts": cuts,
-    }

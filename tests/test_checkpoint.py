@@ -144,3 +144,58 @@ def test_rerun_of_done_bucket_is_idempotent(spark, tokens_df, tmp_path):
         tokens_df, decode_dataframe(spark.read.parquet(out))
     ).first()
     assert res.n_mismatch == 0 and res.n_docs == N_DOCS
+
+
+def test_fused_resume_equals_uninterrupted(spark, tokens_df, tmp_path):
+    """Fused flagship path: crash after 2 tasks, resume, third run is a
+    no-op; final table byte-identical to an uninterrupted run."""
+    import json
+    import os
+
+    from mapbox_vector_tile_spark.engine.checkpoint import (
+        encode_with_checkpoint_fused,
+    )
+
+    tokens_pq = str(tmp_path / "tokens")
+    tokens_df.write.parquet(tokens_pq, mode="overwrite")
+
+    out1, ck1 = str(tmp_path / "b1"), str(tmp_path / "c1")
+    s1 = encode_with_checkpoint_fused(
+        spark, tokens_pq, out1, ck1, N_BUCKETS, n_tasks=4
+    )
+    assert s1["tasks_total"] == s1["tasks_processed"] == 4
+
+    out2, ck2 = str(tmp_path / "b2"), str(tmp_path / "c2")
+    s2a = encode_with_checkpoint_fused(
+        spark, tokens_pq, out2, ck2, N_BUCKETS, n_tasks=4, fail_after_tasks=2
+    )
+    assert s2a["tasks_processed"] == 2
+    assert not os.path.exists(os.path.join(out2, "_SUCCESS"))
+    s2b = encode_with_checkpoint_fused(
+        spark, tokens_pq, out2, ck2, N_BUCKETS, n_tasks=4
+    )
+    assert s2b["tasks_processed"] == s2a["tasks_total"] - 2
+    s2c = encode_with_checkpoint_fused(
+        spark, tokens_pq, out2, ck2, N_BUCKETS, n_tasks=4
+    )
+    assert s2c["tasks_processed"] == 0
+    assert os.path.exists(os.path.join(out2, "_SUCCESS"))
+    with open(os.path.join(out2, "_manifest.json")) as fh:
+        counts = json.load(fh)["row_counts"]
+    assert sum(counts.values()) == spark.read.parquet(out2).count()
+
+    # resumed result equals uninterrupted result, and decodes bit-identical
+    a = spark.read.parquet(out1)
+    b = spark.read.parquet(out2)
+    cols = ["chunk_id", "n_rows", "n_values", "checksum", "bytes_enc"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+    res = verify_roundtrip(tokens_df, decode_dataframe(b)).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
+
+    # plan mismatch fails fast
+    with pytest.raises(ValueError, match="plan mismatch"):
+        encode_with_checkpoint_fused(
+            spark, tokens_pq, out2, ck2, N_BUCKETS + 1, n_tasks=4
+        )
