@@ -257,6 +257,8 @@ def size_weighted_exchange(
     ).repartition(len(groups), "task_id")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sources.parquet_direct import write_parquet_atomic
+
         for tb in batches:
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
@@ -288,9 +290,8 @@ def size_weighted_exchange(
                     d = os.path.join(out_path, f"bucket={bucket}")
                     os.makedirs(d, exist_ok=True)
                     final = os.path.join(d, f"part-{task_id:05d}.parquet")
-                    tmp = os.path.join(d, f".part-{task_id:05d}.tmp")
-                    pq.write_table(frag, tmp)
-                    os.replace(tmp, final)  # atomic: retries overwrite
+                    # atomic + retry/speculation-safe (unique tmp per attempt)
+                    write_parquet_atomic(frag, final)
                     out_rows["bucket"].append(bucket)
                     out_rows["n_rows"].append(b - a)
                     out_rows["n_tok"].append(int(w_cum[b] - w_cum[a]))
@@ -679,6 +680,8 @@ def _fused_direct_run(
     read_cols = list(dict.fromkeys([*key_cols, "doc_id", "tokens"]))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sources.parquet_direct import write_parquet_atomic
+
         for tb in batches:
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
@@ -691,9 +694,7 @@ def _fused_direct_run(
                 b_raw = b_enc = b_ref = 0
                 final = os.path.join(out_path, f"part-{task_id:05d}.parquet")
                 if out is not None:
-                    tmp = os.path.join(out_path, f".part-{task_id:05d}.tmp")
-                    pq.write_table(pa.Table.from_batches([out]), tmp)
-                    os.replace(tmp, final)
+                    write_parquet_atomic(pa.Table.from_batches([out]), final)
                     n_chunks = out.num_rows
                     n_rows = sum(r["n_rows"] for r in em.rows)
                     n_values = sum(r["n_values"] for r in em.rows)

@@ -110,10 +110,11 @@ def write_corpus_parquet_direct(
         from ..sources.parquet_direct import _CKS_ARROW, _doc_cks_batch
 
         def write_atomic(table: pa.Table, d: str, task_id: int) -> None:
-            tmp = os.path.join(d, f".part-{task_id:05d}.tmp")
-            final = os.path.join(d, f"part-{task_id:05d}.parquet")
-            pq.write_table(table, tmp)
-            os.replace(tmp, final)
+            from ..sources.parquet_direct import write_parquet_atomic
+
+            write_parquet_atomic(
+                table, os.path.join(d, f"part-{task_id:05d}.parquet")
+            )
 
         for tb in batches:
             for task_id, start, end in zip(

@@ -29,6 +29,22 @@ from ..engine.encode import (
 )
 
 
+def write_parquet_atomic(table: pa.Table, final: str) -> None:
+    """Worker-side atomic parquet write: unique per-attempt tmp name (pid +
+    random suffix, leading dot so data scans skip it) then ``os.replace``.
+    A fixed tmp name races when two attempts of the same task overlap
+    (speculation / stage retry): the first rename consumes the shared tmp
+    and the second crashes with FileNotFoundError — observed in a 2-core
+    scaling campaign. Unique tmp names make concurrent attempts each
+    rename their own file; last rename wins, content is identical."""
+    import uuid
+
+    d, name = os.path.split(final)
+    tmp = os.path.join(d, f".{name}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
 def write_file_manifest(root: str, row_counts: dict[str, int]) -> None:
     """Write-side fragment manifest (``_manifest.json``): per-file row
     counts keyed by path relative to the dataset root — the seam where a
@@ -453,12 +469,10 @@ def decode_to_parquet_direct(
                 n_rows = sum(p.num_rows for p in parts)
                 if parts:
                     table = pa.Table.from_batches(parts, D._OUT_ARROW_SCHEMA)
-                    tmp = os.path.join(out_path, f".part-{task_id:05d}.tmp")
                     final = os.path.join(
                         out_path, f"part-{task_id:05d}.parquet"
                     )
-                    pq.write_table(table, tmp)
-                    os.replace(tmp, final)
+                    write_parquet_atomic(table, final)
                 yield pa.RecordBatch.from_pydict(
                     {"task_id": [task_id], "n_rows": [n_rows]},
                     schema=pa.schema(
