@@ -343,22 +343,64 @@ def bucketed_tokens_dataframe(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.option("basePath", out_path).parquet(out_path)
 
 
-class _FusedChunkEmitter:
-    """Streams per-file sorted row groups into encoded chunks with a bounded
-    carry — the memory contract of the fused path.
+class _BucketAcc:
+    """One bucket's pending (file x bucket) runs, kept as parallel part
+    lists so every part junction is a known distribution boundary (a PAGED
+    segment bound if the chunk ends up mixed)."""
 
-    Each :meth:`add_file` call hands over ONE file's rows, already sorted by
-    the cluster key, with their bucket assignments. Chunks are cut inside the
-    file (bucket transitions + value budget); only a sub-``min_chunk``
-    trailing chunk is carried (as detached copies, <= min_chunk values) into
-    the next file, where the carry/file junction becomes a PAGED segment
-    boundary. High-water memory is therefore O(one file + min_chunk), never
-    O(task file group) — the property that lets encode scale when tasks/core
-    shrink and file groups grow (the round-3 encode-scaling wall was the
-    task-wide ``concat_tables + take`` materialization).
+    __slots__ = ("docs", "lens", "vals", "n_values")
+
+    def __init__(self):
+        self.docs: list[pa.Array] = []
+        self.lens: list[np.ndarray] = []
+        self.vals: list[np.ndarray] = []
+        self.n_values = 0
+
+
+class _FusedChunkEmitter:
+    """Streams per-file sorted row groups into encoded chunks through
+    PER-BUCKET accumulators — the memory AND compression contract of the
+    fused path.
+
+    Each :meth:`add_file` call hands over ONE file's rows, already sorted
+    by the cluster key, with their bucket assignments. Runs are split at
+    bucket transitions and appended to that bucket's accumulator; a bucket
+    emits a chunk only once it has accrued ``opts.max_chunk_values`` —
+    so a bucket's runs from CONSECUTIVE FILES merge into one bucket-pure
+    chunk, and whole-chunk codec state (one dictionary, one FOR frame) is
+    amortized across the per-file segments instead of duplicated per
+    segment. Round 4's first per-file form cut chunks inside each file,
+    which regressed compressed size 0.6659 -> 0.6744 at sf0.1: every
+    (file x bucket) crossing restarted codec state. File junctions inside
+    an emitted chunk are still recorded as PAGED segment bounds, so the
+    selector keeps the exact choice between one shared whole-chunk codec
+    and per-segment re-selection (codec/select.candidate_sizes evaluates
+    both and takes the min).
+
+    Memory contract: token values held by an accumulator are detached
+    copies (``values`` views of the current file are copied at the end of
+    each :meth:`add_file`, so a file's token buffer is never pinned past
+    its own call); doc-id / length parts stay zero-copy slices (they pin
+    only the ~16 B/doc id column, not the token payload). Total buffered
+    values are capped by ``buffer_budget_values`` — when exceeded, the
+    largest accumulators are drained early as sub-max chunks (slightly
+    worse compression under pressure, bounded memory always). High-water
+    memory is therefore O(one file + budget), never O(task file group).
+
+    At :meth:`flush` (end of task) each bucket's sub-``min_chunk`` tail
+    that cannot stand alone is merged with neighbouring buckets' tails
+    into a mixed chunk carrying ``[bucket, bucket_max]`` and per-tail
+    segment bounds — at most one mixed chunk per ~``min_chunk`` values,
+    instead of one fragment per (file x bucket) crossing.
     """
 
-    def __init__(self, opts, task_id: int, min_chunk_values: int):
+    def __init__(
+        self,
+        opts,
+        task_id: int,
+        min_chunk_values: int,
+        buffer_budget_values: int = 1 << 25,
+    ):
         from .encode import _encode_chunk, chunk_row_starts
 
         self._encode_chunk = _encode_chunk
@@ -366,93 +408,192 @@ class _FusedChunkEmitter:
         self.opts = opts
         self.task_id = task_id
         self.min_chunk = min_chunk_values
+        self.budget = max(int(buffer_budget_values), opts.max_chunk_values)
         self.seq = 0
         self.rows: list[dict] = []
         self.chunk_docs: list[pa.Array] = []
-        # carry: (doc_ids, lengths, values, buckets, seg_rows) — seg_rows are
-        # row indices of absorbed distribution boundaries within the carry
-        self._pend: tuple | None = None
+        self._accs: dict[int, _BucketAcc] = {}
+        self._buffered = 0
 
     def add_file(self, doc_ids, lengths, values, buckets) -> None:
-        self._ingest(doc_ids, lengths, values, buckets, hold_tail=True)
-
-    def flush(self) -> None:
-        """Encode the carry (end of task): no more input to merge it with."""
-        if self._pend is not None:
-            empty = pa.array([], type=self._pend[0].type)
-            z = np.zeros(0, dtype=np.int64)
-            self._ingest(empty, z, z.astype(np.int32), z, hold_tail=False)
-
-    def _ingest(self, doc_ids, lengths, values, buckets, hold_tail) -> None:
-        if self._pend is not None:
-            pdoc, plen, pval, pbuck, pseg = self._pend
-            self._pend = None
-            junction = np.array([plen.size], dtype=np.int64)
-            doc_ids = pa.concat_arrays([pdoc, doc_ids])
-            lengths = np.concatenate([plen, lengths])
-            values = np.concatenate([pval, values])
-            buckets = np.concatenate([pbuck, buckets])
-            extra = np.concatenate([pseg, junction])
-        else:
-            extra = np.empty(0, dtype=np.int64)
         n = int(lengths.size)
         if n == 0:
             return
         val_off = np.concatenate(([0], np.cumsum(lengths)))
         trans = np.flatnonzero(np.diff(buckets) != 0) + 1
-        forced_all = np.unique(np.concatenate([trans, extra])) if extra.size else trans
-        forced_all = forced_all[(forced_all > 0) & (forced_all < n)]
-        forced = forced_all
-        if forced_all.size and self.min_chunk > 0:
-            # keep a boundary cut only once the running chunk has accrued
-            # min_chunk values: one iteration per boundary, not per row
-            kept, last = [], 0
-            for f in forced_all:
-                if val_off[f] - val_off[last] >= self.min_chunk:
-                    kept.append(int(f))
-                    last = int(f)
-            forced = np.asarray(kept, dtype=np.int64)
-        row_starts = self._chunk_row_starts(
-            lengths, self.opts.max_chunk_values, forced
+        bounds = [0, *(int(x) for x in trans), n]
+        max_chunk = self.opts.max_chunk_values
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            b = int(buckets[s])
+            acc = self._accs.get(b)
+            if acc is None:
+                acc = self._accs[b] = _BucketAcc()
+            acc.docs.append(doc_ids.slice(s, e - s))
+            acc.lens.append(lengths[s:e])
+            acc.vals.append(values[val_off[s] : val_off[e]])
+            nv = int(val_off[e] - val_off[s])
+            acc.n_values += nv
+            self._buffered += nv
+            if acc.n_values >= max_chunk:
+                self._drain(b, acc, hold_tail=True)
+        # detach retained token values from this file's buffer (copies only
+        # what stays buffered; already-owned tail parts are left alone)
+        for acc in self._accs.values():
+            for i, v in enumerate(acc.vals):
+                if v.base is not None:
+                    acc.vals[i] = v.copy()
+        while self._buffered > self.budget:
+            b = max(self._accs, key=lambda k: self._accs[k].n_values)
+            self._drain(b, self._accs[b], hold_tail=False)
+
+    def flush(self) -> None:
+        """End of task: emit every bucket's tail. Tails of at least
+        ``min_chunk`` values stand alone (bucket-pure); smaller tails are
+        merged with neighbouring buckets into mixed chunks."""
+        pending: list[tuple[int, _BucketAcc]] = []
+        for b in sorted(self._accs):
+            acc = self._accs[b]
+            if acc.n_values <= 0:
+                continue
+            if acc.n_values >= self.min_chunk or self.min_chunk <= 0:
+                self._drain(b, acc, hold_tail=False)
+            else:
+                pending.append((b, acc))
+        group: list[tuple[int, _BucketAcc]] = []
+        gsize = 0
+        for b, acc in pending:
+            group.append((b, acc))
+            gsize += acc.n_values
+            if gsize >= self.min_chunk:
+                self._emit_merged(group)
+                group, gsize = [], 0
+        if group:
+            self._emit_merged(group)
+        self._accs.clear()
+        self._buffered = 0
+
+    def _drain(self, bucket: int, acc: _BucketAcc, hold_tail: bool) -> None:
+        """Cut full chunks from one bucket's accumulated runs; when
+        ``hold_tail`` keep the sub-max trailing rows buffered (as detached
+        per-part copies, preserving junctions)."""
+        lengths = (
+            acc.lens[0] if len(acc.lens) == 1 else np.concatenate(acc.lens)
         )
-        pairs = [
-            (a, b) for a, b in zip(row_starts[:-1], row_starts[1:]) if a < b
-        ]
-        if (
-            hold_tail
-            and pairs
-            and val_off[pairs[-1][1]] - val_off[pairs[-1][0]] < self.min_chunk
-        ):
-            a = pairs.pop()[0]
-            # detached copies: the carry must not pin the file's buffers
-            self._pend = (
-                pa.concat_arrays([doc_ids.slice(a, n - a)]),
-                lengths[a:].copy(),
-                values[val_off[a] :].copy(),
-                buckets[a:].copy(),
-                forced_all[(forced_all > a) & (forced_all < n)] - a,
-            )
+        n = int(lengths.size)
+        if n == 0:
+            return
+        val_off = np.concatenate(([0], np.cumsum(lengths)))
+        starts = self._chunk_row_starts(
+            lengths, self.opts.max_chunk_values, None
+        )
+        pairs = [(a, b) for a, b in zip(starts[:-1], starts[1:]) if a < b]
+        tail_start = n
+        if hold_tail and pairs:
+            a, b = pairs[-1]
+            if val_off[b] - val_off[a] < self.opts.max_chunk_values:
+                pairs.pop()
+                tail_start = a
+        if not pairs:
+            return
+        sizes = np.array([x.size for x in acc.lens], dtype=np.int64)
+        pbounds = np.concatenate(([0], np.cumsum(sizes)))  # part row bounds
+        junctions = pbounds[1:-1]
         for a, b in pairs:
-            # absorbed boundaries -> PAGED segment bounds (value offsets)
-            inner = forced_all[(forced_all > a) & (forced_all < b)]
-            seg = val_off[inner] - val_off[a] if inner.size else None
-            self.rows.append(
-                self._encode_chunk(
-                    doc_ids.slice(a, b - a),
-                    lengths[a:b],
-                    values[val_off[a] : val_off[b]],
-                    self.opts,
-                    self.task_id,
-                    self.seq,
-                    # true min/max: a carry-merged chunk is sorted per
-                    # segment, not globally, so first/last rows won't do
-                    int(buckets[a:b].min()),
-                    seg_values=seg,
-                    bucket_max=int(buckets[a:b].max()),
-                )
+            docs_c = self._gather_docs(acc, pbounds, a, b)
+            vals_c = self._gather_vals(acc, pbounds, val_off, a, b)
+            inner = junctions[(junctions > a) & (junctions < b)]
+            seg = (val_off[inner] - val_off[a]) if inner.size else None
+            self._emit(docs_c, lengths[a:b], vals_c, bucket, bucket, seg)
+        old = acc.n_values
+        self._rebuild_tail(acc, pbounds, val_off, lengths, tail_start, n)
+        self._buffered += acc.n_values - old
+
+    def _gather_docs(self, acc, pbounds, a, b) -> pa.Array:
+        i = int(np.searchsorted(pbounds, a, side="right")) - 1
+        j = int(np.searchsorted(pbounds, b, side="left")) - 1
+        if i == j:
+            return acc.docs[i].slice(a - pbounds[i], b - a)
+        pieces = []
+        for p in range(i, j + 1):
+            s = max(a, int(pbounds[p])) - int(pbounds[p])
+            e = min(b, int(pbounds[p + 1])) - int(pbounds[p])
+            if e > s:
+                pieces.append(acc.docs[p].slice(s, e - s))
+        return pa.concat_arrays(pieces)
+
+    def _gather_vals(self, acc, pbounds, val_off, a, b) -> np.ndarray:
+        i = int(np.searchsorted(pbounds, a, side="right")) - 1
+        j = int(np.searchsorted(pbounds, b, side="left")) - 1
+        va, vb = int(val_off[a]), int(val_off[b])
+        pv = int(val_off[pbounds[i]])
+        if i == j:
+            return acc.vals[i][va - pv : vb - pv]
+        pieces = []
+        for p in range(i, j + 1):
+            ps = int(val_off[pbounds[p]])
+            pe = int(val_off[pbounds[p + 1]])
+            s, e = max(va, ps) - ps, min(vb, pe) - ps
+            if e > s:
+                pieces.append(acc.vals[p][s:e])
+        return np.concatenate(pieces)
+
+    def _rebuild_tail(
+        self, acc, pbounds, val_off, lengths, tail_start, n
+    ) -> None:
+        """Replace the accumulator's parts with detached copies of rows
+        [tail_start, n), keeping per-part splits (future segment bounds)."""
+        docs, lens, vals = [], [], []
+        nv = 0
+        for p in range(len(acc.lens)):
+            rs, re = int(pbounds[p]), int(pbounds[p + 1])
+            s, e = max(rs, tail_start), re
+            if s >= e:
+                continue
+            docs.append(acc.docs[p].slice(s - rs, e - s))
+            lens.append(lengths[s:e].copy())
+            ps = int(val_off[pbounds[p]])
+            piece = acc.vals[p][int(val_off[s]) - ps : int(val_off[e]) - ps]
+            vals.append(piece.copy() if piece.base is not None else piece)
+            nv += int(val_off[e] - val_off[s])
+        acc.docs, acc.lens, acc.vals, acc.n_values = docs, lens, vals, nv
+
+    def _emit_merged(self, group: list[tuple[int, _BucketAcc]]) -> None:
+        """One mixed chunk from several buckets' sub-min_chunk tails:
+        every part junction (bucket or file) becomes a segment bound;
+        ``bucket``/``bucket_max`` record the true range."""
+        docs = [d for _, acc in group for d in acc.docs]
+        lens = [x for _, acc in group for x in acc.lens]
+        vals = [v for _, acc in group for v in acc.vals]
+        lengths = lens[0] if len(lens) == 1 else np.concatenate(lens)
+        values = vals[0] if len(vals) == 1 else np.concatenate(vals)
+        sizes = np.array([v.size for v in vals], dtype=np.int64)
+        seg_all = np.cumsum(sizes)[:-1]
+        seg = seg_all[(seg_all > 0) & (seg_all < int(values.size))]
+        self._emit(
+            pa.concat_arrays(docs) if len(docs) > 1 else docs[0],
+            lengths,
+            values,
+            group[0][0],
+            group[-1][0],
+            seg if seg.size else None,
+        )
+
+    def _emit(self, docs, lengths, values, bucket, bucket_max, seg) -> None:
+        self.rows.append(
+            self._encode_chunk(
+                docs,
+                lengths,
+                values,
+                self.opts,
+                self.task_id,
+                self.seq,
+                int(bucket),
+                seg_values=seg,
+                bucket_max=int(bucket_max),
             )
-            self.chunk_docs.append(doc_ids.slice(a, b - a))
-            self.seq += 1
+        )
+        self.chunk_docs.append(docs)
+        self.seq += 1
 
     def batch(self) -> pa.RecordBatch | None:
         from .encode import _BLOCKS_ARROW_SCHEMA
@@ -494,21 +635,24 @@ def exchange_encode_fused(
     allocation traffic was the encode-scaling wall. Per-file processing
     keeps the allocation profile flat across parallelism levels.
 
-    Chunks never span files outright; a sub-``min_chunk_values`` trailing
-    chunk is carried into the next file (:class:`_FusedChunkEmitter`), and
-    the junction becomes a PAGED segment boundary — segment-aligned PAGED
-    re-picks codecs per segment, so per-file sorting costs no compression
-    (each segment is internally key-sorted and delta-local).
+    Chunk composition comes from PER-BUCKET accumulators
+    (:class:`_FusedChunkEmitter`): each bucket's per-file runs merge into
+    bucket-pure chunks of up to ``max_chunk_values``, so whole-chunk codec
+    state (one dictionary, one FOR frame) is shared across files instead of
+    restarting at every (file x bucket) crossing — per-file sorting costs
+    no compression vs a task-global sort (measured 0.6647 vs 0.6659 at
+    sf0.1). File junctions inside a chunk stay recorded as PAGED segment
+    bounds, so the selector can still re-pick codecs per segment when that
+    is smaller.
 
-    ``min_chunk_values`` (default ``max_chunk_values // 4``) merges
-    sub-budget bucket segments: a bucket-transition chunk cut is kept only
-    once the running chunk holds at least this many values. Without it every
-    (file x bucket) crossing forces its own chunk and decode pays the
-    per-block fixed cost that many times. A merged chunk's ``bucket`` is the
-    lowest bucket its rows span and ``bucket_max`` the highest — readers
-    filtering by bucket must use the ``[bucket, bucket_max]`` range (or pass
-    ``min_chunk_values=0`` for strict chunk/bucket homogeneity, e.g.
-    ``write.partitionBy("bucket")`` products).
+    ``min_chunk_values`` (default ``max_chunk_values // 4``) governs
+    end-of-task tails: a bucket tail at least this large stands alone;
+    smaller tails merge with neighbouring buckets into mixed chunks. A
+    mixed chunk's ``bucket`` is the lowest bucket its rows span and
+    ``bucket_max`` the highest — readers filtering by bucket must use the
+    ``[bucket, bucket_max]`` range (or pass ``min_chunk_values=0`` for
+    strict chunk/bucket homogeneity, e.g. ``write.partitionBy("bucket")``
+    products).
 
     Trade recorded, not hidden: chunks cannot span tasks, so n_chunks >=
     n_tasks, and there is no bucketed table for other readers — use the
