@@ -348,12 +348,13 @@ class _BucketAcc:
     lists so every part junction is a known distribution boundary (a PAGED
     segment bound if the chunk ends up mixed)."""
 
-    __slots__ = ("docs", "lens", "vals", "n_values")
+    __slots__ = ("docs", "lens", "vals", "serials", "n_values")
 
     def __init__(self):
         self.docs: list[pa.Array] = []
         self.lens: list[np.ndarray] = []
         self.vals: list[np.ndarray] = []
+        self.serials: list[int] = []  # add_file serial each part came from
         self.n_values = 0
 
 
@@ -377,15 +378,20 @@ class _FusedChunkEmitter:
     and per-segment re-selection (codec/select.candidate_sizes evaluates
     both and takes the min).
 
-    Memory contract: token values held by an accumulator are detached
-    copies (``values`` views of the current file are copied at the end of
-    each :meth:`add_file`, so a file's token buffer is never pinned past
-    its own call); doc-id / length parts stay zero-copy slices (they pin
-    only the ~16 B/doc id column, not the token payload). Total buffered
-    values are capped by ``buffer_budget_values`` — when exceeded, the
-    largest accumulators are drained early as sub-max chunks (slightly
-    worse compression under pressure, bounded memory always). High-water
-    memory is therefore O(one file + budget), never O(task file group).
+    Memory contract — zero-copy with a pinned-file window: accumulator
+    parts are VIEWS into the source files' Arrow buffers (no copy on the
+    encode hot path; the host-bandwidth ceiling is the encode-scaling
+    wall, so every avoided byte of traffic counts). A view pins its whole
+    file's token buffer, so pinning is bounded two ways: (a)
+    ``pin_window`` — after each file, any accumulator still holding parts
+    from more than ``pin_window`` files ago is drained in full (its
+    views, and therefore those old file buffers, are released); (b)
+    ``buffer_budget_values`` — when total buffered values exceed the
+    budget, the largest accumulators are drained early as sub-max chunks.
+    High-water memory is therefore O(pin_window files + budget), never
+    O(task file group). The only payload copy in the path is the
+    per-chunk gather when an emitted chunk spans multiple parts (a
+    contiguous buffer is what the codec kernels encode from).
 
     At :meth:`flush` (end of task) each bucket's sub-``min_chunk`` tail
     that cannot stand alone is merged with neighbouring buckets' tails
@@ -400,6 +406,7 @@ class _FusedChunkEmitter:
         task_id: int,
         min_chunk_values: int,
         buffer_budget_values: int = 1 << 25,
+        pin_window: int = 8,
     ):
         from .encode import _encode_chunk, chunk_row_starts
 
@@ -409,11 +416,13 @@ class _FusedChunkEmitter:
         self.task_id = task_id
         self.min_chunk = min_chunk_values
         self.budget = max(int(buffer_budget_values), opts.max_chunk_values)
+        self.pin_window = max(1, int(pin_window))
         self.seq = 0
         self.rows: list[dict] = []
         self.chunk_docs: list[pa.Array] = []
         self._accs: dict[int, _BucketAcc] = {}
         self._buffered = 0
+        self._serial = 0
 
     def add_file(self, doc_ids, lengths, values, buckets) -> None:
         n = int(lengths.size)
@@ -423,6 +432,8 @@ class _FusedChunkEmitter:
         trans = np.flatnonzero(np.diff(buckets) != 0) + 1
         bounds = [0, *(int(x) for x in trans), n]
         max_chunk = self.opts.max_chunk_values
+        serial = self._serial
+        self._serial += 1
         for s, e in zip(bounds[:-1], bounds[1:]):
             b = int(buckets[s])
             acc = self._accs.get(b)
@@ -431,17 +442,19 @@ class _FusedChunkEmitter:
             acc.docs.append(doc_ids.slice(s, e - s))
             acc.lens.append(lengths[s:e])
             acc.vals.append(values[val_off[s] : val_off[e]])
+            acc.serials.append(serial)
             nv = int(val_off[e] - val_off[s])
             acc.n_values += nv
             self._buffered += nv
             if acc.n_values >= max_chunk:
                 self._drain(b, acc, hold_tail=True)
-        # detach retained token values from this file's buffer (copies only
-        # what stays buffered; already-owned tail parts are left alone)
-        for acc in self._accs.values():
-            for i, v in enumerate(acc.vals):
-                if v.base is not None:
-                    acc.vals[i] = v.copy()
+        # pinned-file window: release views into files older than the
+        # window by draining the accumulators that still hold them
+        horizon = self._serial - self.pin_window
+        if horizon > 0:
+            for b, acc in self._accs.items():
+                if acc.serials and acc.serials[0] < horizon:
+                    self._drain(b, acc, hold_tail=False)
         while self._buffered > self.budget:
             b = max(self._accs, key=lambda k: self._accs[k].n_values)
             self._drain(b, self._accs[b], hold_tail=False)
@@ -540,9 +553,12 @@ class _FusedChunkEmitter:
     def _rebuild_tail(
         self, acc, pbounds, val_off, lengths, tail_start, n
     ) -> None:
-        """Replace the accumulator's parts with detached copies of rows
-        [tail_start, n), keeping per-part splits (future segment bounds)."""
-        docs, lens, vals = [], [], []
+        """Replace the accumulator's parts with rows [tail_start, n),
+        keeping per-part splits (future segment bounds) and part serials
+        (the pin-window bound). Value pieces stay views — the pin window /
+        budget own the memory bound, not copies. Length pieces are copied
+        (8 B/row) so the concatenated cutting temp is not pinned."""
+        docs, lens, vals, serials = [], [], [], []
         nv = 0
         for p in range(len(acc.lens)):
             rs, re = int(pbounds[p]), int(pbounds[p + 1])
@@ -552,10 +568,13 @@ class _FusedChunkEmitter:
             docs.append(acc.docs[p].slice(s - rs, e - s))
             lens.append(lengths[s:e].copy())
             ps = int(val_off[pbounds[p]])
-            piece = acc.vals[p][int(val_off[s]) - ps : int(val_off[e]) - ps]
-            vals.append(piece.copy() if piece.base is not None else piece)
+            vals.append(
+                acc.vals[p][int(val_off[s]) - ps : int(val_off[e]) - ps]
+            )
+            serials.append(acc.serials[p])
             nv += int(val_off[e] - val_off[s])
         acc.docs, acc.lens, acc.vals, acc.n_values = docs, lens, vals, nv
+        acc.serials = serials
 
     def _emit_merged(self, group: list[tuple[int, _BucketAcc]]) -> None:
         """One mixed chunk from several buckets' sub-min_chunk tails:
