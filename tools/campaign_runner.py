@@ -85,7 +85,7 @@ def log(msg: str) -> None:
 def run_campaign(
     idx: int, lo: int = 2, hi: int = 8, reps: int = 2, mult: int = 150
 ) -> dict | None:
-    out = os.path.join(REPO, "BENCH", f"scaling_r4_auto_c{idx}.json")
+    out = os.path.join(REPO, "BENCH", f"scaling_r4b_auto_c{idx}.json")
     # 3 internal best-of reps per timed phase x `reps` alternating JVM
     # invocations per level = 6 samples/level/campaign: this host's slow
     # episodes last minutes, so sampling density beats campaign length
@@ -120,6 +120,12 @@ def main() -> int:
     done = 0
     met = 0
     streak = 0
+    # Alternate cluster-size pairs; mult=300 (~820 M tokens). Round-4
+    # experience: mult=150 campaigns lost their window mid-run (c1 8-core
+    # reps 20 min apart differed 3.5x) while the one mult=400 campaign
+    # measured encode 0.775 — longer phases average over the host's
+    # minute-scale episodes better than denser sampling of short ones.
+    pairs = [(1, 4), (2, 8)]
     while done < max_campaigns:
         bw = probe_sustained()
         clean = bw >= threshold
@@ -132,7 +138,8 @@ def main() -> int:
             time.sleep(60 if clean else 150)
             continue
         streak = 0
-        res = run_campaign(done + 1)
+        lo, hi = pairs[done % len(pairs)]
+        res = run_campaign(done + 1, lo=lo, hi=hi, mult=300)
         done += 1
         if res and (
             res["scaling_efficiency_encode"] >= 0.8
