@@ -276,6 +276,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d)
     )
 
+    # lossless float32 embedding codec (ALP decimal / byte-stream split,
+    # codec/floats.py): encode -> decode -> order-sensitive fixed-point
+    # checksums; DuckDB computes the same sums from the SOURCE table, so a
+    # hash match gates the float value stream position-for-position
+    def float_codec_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import float_codec as FCD
+
+        return FCD.embedding_codec_roundtrip(_emb(spark, sf_dir))
+
+    q["embedding_codec_roundtrip"] = float_codec_roundtrip
+
     # multimodal columns (first-class, oracle-gated): closed-form synthetic
     # assets -> REAL BMP/WAV decode -> integer-exact content statistics.
     # The DuckDB oracle regenerates the pixels/samples in SQL, so a hash
@@ -424,6 +435,9 @@ def oracle_sql() -> dict[str, str]:
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["embedding_quantize"] = SIM.embedding_quantize_stats_sql()
+    from mapbox_vector_tile_spark.functions import float_codec as FCD
+
+    o["embedding_codec_roundtrip"] = FCD.embedding_codec_roundtrip_sql()
     from mapbox_vector_tile_spark.functions import multimodal as MM
 
     o["multimodal_content_stats"] = MM.content_stats_sql(500)
