@@ -130,7 +130,7 @@ def chunk_stats(a: np.ndarray, analysis: ChunkAnalysis | None = None) -> ChunkSt
     return ChunkStats(
         n=an.n,
         card_estimate=an.card_sample,
-        n_runs=int(an.runs[0].size),
+        n_runs=an.n_runs,  # one boolean reduction; never builds run arrays
         width_zz=an.width_zz,
         width_range=an.width_range,
         width_delta_zz=an.width_delta_zz,
