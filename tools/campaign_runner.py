@@ -82,10 +82,33 @@ def log(msg: str) -> None:
         f.write(line + "\n")
 
 
+SNAPSHOT = "/tmp/mvt_campaign_snapshot"
+SENTINEL = "/tmp/mvt_campaign_active"
+OUT_PREFIX = os.environ.get("SPARK_GRAFT_CAMPAIGN_PREFIX", "scaling_r4c_auto")
+
+
+def _snapshot_head() -> str:
+    """Materialize the repo's committed HEAD into SNAPSHOT and return the
+    short hash. Campaigns run from the snapshot so concurrent working-tree
+    edits cannot change the code mid-campaign — every recorded number maps
+    to exactly one commit."""
+    sha = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    subprocess.run(["rm", "-rf", SNAPSHOT], check=True)
+    os.makedirs(SNAPSHOT)
+    ar = subprocess.run(
+        ["git", "-C", REPO, "archive", "HEAD"], capture_output=True, check=True
+    )
+    subprocess.run(["tar", "-x", "-C", SNAPSHOT], input=ar.stdout, check=True)
+    return sha
+
+
 def run_campaign(
     idx: int, lo: int = 2, hi: int = 8, reps: int = 2, mult: int = 150
 ) -> dict | None:
-    out = os.path.join(REPO, "BENCH", f"scaling_r4b_auto_c{idx}.json")
+    out = os.path.join(REPO, "BENCH", f"{OUT_PREFIX}_c{idx}.json")
     # 3 internal best-of reps per timed phase x `reps` alternating JVM
     # invocations per level = 6 samples/level/campaign: this host's slow
     # episodes last minutes, so sampling density beats campaign length
@@ -93,19 +116,32 @@ def run_campaign(
     env = dict(
         os.environ, SPARK_GRAFT_SCALING_OUT=out, SPARK_GRAFT_BENCH_REPS="3"
     )
+    sha = _snapshot_head()
     t = time.time()
-    r = subprocess.run(
-        [sys.executable, "bench_scaling.py", "/root/testdata/sf0.1",
-         str(mult), str(reps), str(lo), str(hi)],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200,
-    )
+    with open(SENTINEL, "w") as f:
+        f.write(f"c{idx} {lo}->{hi} mult={mult} commit={sha} start={t:.0f}\n")
+    try:
+        r = subprocess.run(
+            [sys.executable, "bench_scaling.py", "/root/testdata/sf0.1",
+             str(mult), str(reps), str(lo), str(hi)],
+            cwd=SNAPSHOT, env=env, capture_output=True, text=True, timeout=7200,
+        )
+    finally:
+        try:
+            os.remove(SENTINEL)
+        except FileNotFoundError:
+            pass
     if r.returncode != 0 or not os.path.exists(out):
         log(f"campaign c{idx} FAILED rc={r.returncode}: {r.stderr[-500:]}")
         return None
     with open(out) as f:
         res = json.load(f)
+    res["commit"] = sha
+    with open(out, "w") as f:
+        json.dump(res, f)
     log(
-        f"campaign c{idx} ({lo}->{hi}, mult={mult}) done in {time.time()-t:.0f}s: "
+        f"campaign c{idx} ({lo}->{hi}, mult={mult}, commit={sha}) done in "
+        f"{time.time()-t:.0f}s: "
         f"encode_eff={res['scaling_efficiency_encode']} "
         f"decode_eff={res['scaling_efficiency_decode']} "
         f"enc_hi={res['encode_tokens_per_sec_high']/1e6:.1f}M "
