@@ -107,7 +107,12 @@ class ChunkAnalysis:
             d = np.empty_like(u)
             d[0:1] = u[0:1]
             np.subtract(u[1:], u[:-1], out=d[1:])
-            self._mvt = K.zigzag_encode(d.view(np.int32))
+            # zigzag in place on d: one sign temp, zero extra copies (the
+            # generic kernel allocates three temporaries per call)
+            sign = (d.view(np.int32) >> np.int32(31)).view(np.uint32)
+            np.left_shift(d, np.uint32(1), out=d)
+            np.bitwise_xor(d, sign, out=d)
+            self._mvt = d
         return self._mvt
 
     @property

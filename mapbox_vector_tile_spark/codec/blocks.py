@@ -137,7 +137,7 @@ def _dec_delta_zz_bitpack(buf: memoryview, n: int) -> np.ndarray:
 
 
 def _enc_delta_zz_varint(an: ChunkAnalysis) -> bytes:
-    return K.varint_encode(an.mvt_zz.astype(np.uint64))
+    return K.varint_encode(an.mvt_zz)  # uint32-native, no upcast copy
 
 
 def _dec_delta_zz_varint(buf: memoryview, n: int) -> np.ndarray:

@@ -251,31 +251,44 @@ def varint_encode(u: np.ndarray) -> bytes:
     Traffic-minimizing layout: values < 128 emit verbatim low bytes (one
     uint8 pass, the common case for clustered small deltas); otherwise the
     byte planes are laid out as an ``(n, max_b)`` row-major matrix via
-    sequential column writes and compacted with ONE boolean take. The
-    previous per-plane fancy scatter (``out[offsets[mask] + j] = ...``)
-    random-wrote the output and materialized ~3x more temp bytes per value;
-    on the bandwidth-starved host windows where scaling is decided, this
-    matrix form measured ~5x faster at identical output."""
-    u = np.ascontiguousarray(u, dtype=np.uint64)
+    sequential column writes and compacted with ONE boolean take. uint32
+    input is encoded natively (the flagship delta+zigzag stream) — no
+    uint64 upcast, so shifts read 4 B/value, not 8. Per-value byte counts
+    come from ``max_b - 1`` threshold comparisons written straight into the
+    keep matrix (a per-value binary search over the bounds table measured
+    ~2x the cost of the whole plane loop). The previous per-plane fancy
+    scatter (``out[offsets[mask] + j] = ...``) random-wrote the output and
+    materialized ~3x more temp bytes per value; the matrix form measured
+    ~5x faster at identical output."""
+    u = np.asarray(u)
+    if u.dtype != np.uint32:
+        u = np.ascontiguousarray(u, dtype=np.uint64)
     if u.size == 0:
         return b""
     hi = int(u.max())
     if hi < 0x80:
         return u.astype(np.uint8).tobytes()
     n = u.size
-    nbytes = _varint_nbytes(u).astype(np.uint8)
     max_b = int(hi.bit_length() + 6) // 7
+    # keep[i, j] == 1 iff value i emits a byte at plane j (j < nbytes_i);
+    # plane j carries a continuation bit iff a byte follows: keep[i, j+1]
+    keep = np.empty((n, max_b), dtype=np.uint8, order="F")
+    keep[:, 0] = 1
+    for j in range(1, max_b):
+        np.greater_equal(u, u.dtype.type(1 << (7 * j)), out=keep[:, j])
     mat = np.empty((n, max_b), dtype=np.uint8)
-    col = np.arange(max_b, dtype=np.uint8)
+    scratch = np.empty_like(u)
     for j in range(max_b):
-        plane = (u >> np.uint64(7 * j)).astype(np.uint8)
+        if j:
+            np.right_shift(u, u.dtype.type(7 * j), out=scratch)
+            mat[:, j] = scratch  # truncating cast keeps the low byte
+        else:
+            mat[:, 0] = u
         if j < max_b - 1:
-            plane &= np.uint8(0x7F)
-        mat[:, j] = plane
-    # continuation bit on every byte except each value's last
-    mat |= np.where(col[None, :] + 1 < nbytes[:, None], np.uint8(0x80), np.uint8(0))
-    keep = col[None, :] < nbytes[:, None]
-    return mat[keep].tobytes()
+            col = mat[:, j]
+            col &= np.uint8(0x7F)
+            col |= keep[:, j + 1] << np.uint8(7)
+    return mat[keep.view(bool)].tobytes()
 
 
 def varint_decode(buf: bytes | np.ndarray, n: int) -> np.ndarray:

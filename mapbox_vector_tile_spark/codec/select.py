@@ -160,9 +160,16 @@ def candidate_sizes(
     sizes[B.DELTA_ZZ_VARINT] = an.varint_size_mvt()
     best_so_far = min(sizes.values())
     # RLE: run count is one boolean reduction; only build the run arrays if
-    # the 2-bit/run lower bound could beat the best candidate so far
+    # a TIGHT lower bound could beat the best candidate so far. Every chunk
+    # value appears as some run's value, so the run-value span equals the
+    # chunk span — vw is exactly width_range; and max run length >= mean,
+    # so lw >= bit_width(ceil(n/r) - 1). (The previous 2-bit/run bound
+    # passed on high-entropy token chunks and built ~r*16 B of run arrays
+    # per chunk that RLE then always lost with.)
     r = an.n_runs
-    if 18 + (2 * r + 7) // 8 <= best_so_far:
+    lw_lb = (-(-n // r) - 1).bit_length() if r else 0
+    rle_lb = 18 + _nbits_bytes(r, lw_lb) + _nbits_bytes(r, an.width_range)
+    if rle_lb <= best_so_far:
         vals, lens = an.runs
         lw = K.bit_width(int(lens.max()) - 1)
         vw = (int(vals.max()) - int(vals.min())).bit_length()
@@ -175,13 +182,24 @@ def candidate_sizes(
         iw = K.bit_width(max(c - 1, 0))
         sizes[B.DICT_BITPACK] = 18 + _nbits_bytes(c, tw) + _nbits_bytes(n, iw)
     # DICT_ESCAPE: high cardinality but concentrated mass (zipf-shaped) —
-    # screen on the sampled top-255 mass before paying the exact passes
+    # screen on the sampled top-255 mass, then on a sampled size estimate,
+    # before paying the exact full-chunk passes (heavy() is a searchsorted
+    # over every value; on corpora where varint/bitpack wins it was pure
+    # selection overhead on every chunk)
     elif n >= 256:
         vals, counts = an.sample_uc
         top = np.sort(counts)[-255:]
-        if top.sum() * 10 >= counts.sum() * 3:  # >= 30% sampled head mass
-            k, c, hw, n_esc, ew = B.dict_escape_params(an)
-            sizes[B.DICT_ESCAPE] = B.dict_escape_sizes(n, c, hw, k, n_esc, ew)
+        csum = int(counts.sum())
+        if top.sum() * 10 >= csum * 3:  # >= 30% sampled head mass
+            # optimistic estimate: 8-bit codes + escapes at the chunk's FOR
+            # width, escape count from the sampled tail mass with 25% slack
+            est_esc = n * (csum - int(top.sum())) / max(csum, 1)
+            est = (
+                22 + n + int(0.75 * est_esc * an.width_range) // 8
+            )
+            if est <= best_so_far:
+                k, c, hw, n_esc, ew = B.dict_escape_params(an)
+                sizes[B.DICT_ESCAPE] = B.dict_escape_sizes(n, c, hw, k, n_esc, ew)
     # PAGED: per-page re-selection for multi-page chunks — exact size from
     # the cached page plans (reused by the encoder if PAGED wins). Covers
     # mixed-distribution chunks that arrive without a good cluster key.
