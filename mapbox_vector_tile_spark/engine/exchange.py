@@ -727,12 +727,21 @@ def _run_fused_task(
         if t.num_rows == 0:
             continue
         keys_b = _utf8_fixed_bytes(key_fn(t), cuts_w)
-        order = np.argsort(keys_b, kind="stable")
-        t = t.take(pa.array(order)).combine_chunks()
-        if cuts_b.size:
-            buckets = np.searchsorted(cuts_b, keys_b[order], side="left")
+        # corpora are commonly written key-sorted within each file (the
+        # generator's layout, and the natural shape of a resharded corpus);
+        # then the argsort is the identity and the row gather — a full copy
+        # of every token value — is skipped entirely
+        if keys_b.size < 2 or bool(np.all(keys_b[:-1] <= keys_b[1:])):
+            keys_sorted = keys_b
+            t = t.combine_chunks()
         else:
-            buckets = np.zeros(order.size, dtype=np.int64)
+            order = np.argsort(keys_b, kind="stable")
+            keys_sorted = keys_b[order]
+            t = t.take(pa.array(order)).combine_chunks()
+        if cuts_b.size:
+            buckets = np.searchsorted(cuts_b, keys_sorted, side="left")
+        else:
+            buckets = np.zeros(keys_b.size, dtype=np.int64)
         tokens_arr = t.column("tokens").chunk(0)
         doc_arr = t.column("doc_id").chunk(0)
         lengths = tokens_arr.value_lengths().to_numpy().astype(np.int64)
