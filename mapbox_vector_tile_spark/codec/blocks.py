@@ -141,9 +141,12 @@ def _enc_delta_zz_varint(an: ChunkAnalysis) -> bytes:
 
 
 def _dec_delta_zz_varint(buf: memoryview, n: int) -> np.ndarray:
-    zz = K.varint_decode(buf, n).astype(np.uint32)
-    d = K.zigzag_decode(zz)
-    return np.cumsum(d.view(np.uint32), dtype=np.uint32).view(np.int32)
+    zz = K.varint_decode(buf, n, dtype=np.uint32)
+    # zigzag-decode in place (zz is freshly owned): one sign temp
+    sign = np.uint32(0) - (zz & np.uint32(1))
+    np.right_shift(zz, np.uint32(1), out=zz)
+    np.bitwise_xor(zz, sign, out=zz)
+    return np.cumsum(zz, dtype=np.uint32).view(np.int32)
 
 
 _RLE = struct.Struct("<qBqB")  # n_runs, len_width, val_min, val_width

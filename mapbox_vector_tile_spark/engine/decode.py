@@ -86,9 +86,11 @@ def decode_dataframe(
             doc_ids_col = batch.column("doc_ids")
             src_col = batch.column("source_blob") if with_source else None
             for i in range(batch.num_rows):
+                # zero-copy views into the Arrow batch: the compressed
+                # stream is never duplicated on the decode hot path
                 lengths, values = decode_block_row(
-                    payloads[i].as_py(),
-                    lengths_blobs[i].as_py(),
+                    memoryview(payloads[i].as_buffer()),
+                    memoryview(lengths_blobs[i].as_buffer()),
                     checksums[i].as_py() if verify_checksum else None,
                 )
                 offsets = np.zeros(lengths.size + 1, dtype=np.int64)

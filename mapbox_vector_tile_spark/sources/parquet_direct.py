@@ -383,8 +383,8 @@ def decode_stats_direct(
                         ck = batch.column("checksum")
                         for i in range(batch.num_rows):
                             lengths, values = D.decode_block_row(
-                                payloads[i].as_py(),
-                                lb[i].as_py(),
+                                memoryview(payloads[i].as_buffer()),
+                                memoryview(lb[i].as_buffer()),
                                 ck[i].as_py() if verify_checksum else None,
                             )
                             n_rows += int(lengths.size)
@@ -444,8 +444,8 @@ def decode_to_parquet_direct(
                         dids = batch.column("doc_ids")
                         for i in range(batch.num_rows):
                             lengths, values = D.decode_block_row(
-                                payloads[i].as_py(),
-                                lb[i].as_py(),
+                                memoryview(payloads[i].as_buffer()),
+                                memoryview(lb[i].as_buffer()),
                                 cks[i].as_py() if verify_checksum else None,
                             )
                             offsets = np.zeros(lengths.size + 1, dtype=np.int64)
@@ -591,8 +591,8 @@ def decoded_doc_checksums_direct(
                         dids = batch.column("doc_ids")
                         for i in range(batch.num_rows):
                             lengths, values = D.decode_block_row(
-                                payloads[i].as_py(),
-                                lb[i].as_py(),
+                                memoryview(payloads[i].as_buffer()),
+                                memoryview(lb[i].as_buffer()),
                                 cks_col[i].as_py() if verify_checksum else None,
                             )
                             yield _doc_cks_batch(
@@ -668,8 +668,8 @@ def decode_blocks_direct(
                         dids = batch.column("doc_ids")
                         for i in range(batch.num_rows):
                             lengths, values = D.decode_block_row(
-                                payloads[i].as_py(),
-                                lb[i].as_py(),
+                                memoryview(payloads[i].as_buffer()),
+                                memoryview(lb[i].as_buffer()),
                                 cks[i].as_py() if verify_checksum else None,
                             )
                             acc_docs.append(dids[i].values)
