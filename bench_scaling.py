@@ -147,6 +147,29 @@ def main() -> int:
             str(k): [r["decode_tokens_per_sec"] for r in v] for k, v in runs.items()
         },
         "probe_mb_s_before_rep": {str(k): v for k, v in probes.items()},
+        # paired-rep efficiency: rep i at lo runs back-to-back with rep i
+        # at hi (alternation order), so pair i measures both levels under
+        # the SAME host window — the condition a real cluster provides by
+        # construction. Best-of-level (the headline fields above) is
+        # biased AGAINST efficiency on this host: the low level fits under
+        # almost any window so its best-of converges to capability, while
+        # the high level's best-of needs a rare clean window.
+        "paired_efficiency_encode": [
+            round(
+                runs[hi][i]["encode_tokens_per_sec"]
+                / ((hi / lo) * runs[lo][i]["encode_tokens_per_sec"]),
+                3,
+            )
+            for i in range(min(reps, hi_reps))
+        ],
+        "paired_efficiency_decode": [
+            round(
+                runs[hi][i]["decode_tokens_per_sec"]
+                / ((hi / lo) * runs[lo][i]["decode_tokens_per_sec"]),
+                3,
+            )
+            for i in range(min(reps, hi_reps))
+        ],
         "queries_low": b_lo_e["queries"],
         "queries_high": b_hi_e["queries"],
         "compression_ratio_vs_raw": b_hi_e["compression_ratio_vs_raw"],

@@ -145,7 +145,9 @@ def run_campaign(
         f"encode_eff={res['scaling_efficiency_encode']} "
         f"decode_eff={res['scaling_efficiency_decode']} "
         f"enc_hi={res['encode_tokens_per_sec_high']/1e6:.1f}M "
-        f"dec_hi={res['decode_tokens_per_sec_high']/1e6:.1f}M"
+        f"dec_hi={res['decode_tokens_per_sec_high']/1e6:.1f}M "
+        f"paired_enc={res.get('paired_efficiency_encode')} "
+        f"paired_dec={res.get('paired_efficiency_decode')}"
     )
     return res
 
@@ -161,7 +163,7 @@ def main() -> int:
     # reps 20 min apart differed 3.5x) while the one mult=400 campaign
     # measured encode 0.775 — longer phases average over the host's
     # minute-scale episodes better than denser sampling of short ones.
-    pairs = [(1, 4), (2, 8)]
+    pairs = [(2, 8), (1, 4)]
     while done < max_campaigns:
         bw = probe_sustained()
         clean = bw >= threshold
