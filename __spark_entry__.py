@@ -158,6 +158,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reoptimized_roundtrip"] = reoptimized_roundtrip
 
+    # chunk compaction (the Iceberg rewrite_data_files analog at chunk
+    # granularity): fragment the table with a tiny max_chunk_values, compact
+    # back to full chunks (junctions -> PAGED segment bounds), decode — the
+    # rewrite must be lossless per doc
+    def compacted_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.compact import compact_blocks
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(
+            tokens, EncodeOptions(max_chunk_values=1 << 12)
+        )
+        compacted = compact_blocks(blocks, EncodeOptions())
+        return regime_rollup(with_doc_checksums(decode_dataframe(compacted)))
+
+    q["compacted_roundtrip"] = compacted_roundtrip
+
     # custom transformer hook (T3): affine vocab remap before encode;
     # checksums of the decoded *remapped* tokens vs the formula oracle
     def transformed_roundtrip(spark, sf_dir):
@@ -388,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         o[f"roundtrip_{codec}_by_regime"] = by_regime
     o["roundtrip_source_rollup"] = C.per_source_checksum_sql("documents")
     o["reoptimized_roundtrip"] = by_regime
+    o["compacted_roundtrip"] = by_regime
     o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
         3, 7, 50263, "documents"
     )

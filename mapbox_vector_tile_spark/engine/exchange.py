@@ -825,6 +825,11 @@ def exchange_encode_fused_direct(
         "bytes_enc": sum(r.bytes_enc for r in manifest),
         "bytes_ref": sum(r.bytes_ref for r in manifest),
         "cuts": cuts,
+        # per-task wall spans (epoch sec): diagnosing scaling — worker busy
+        # time vs scheduling gaps / stragglers / driver-side serial work
+        "task_spans": sorted(
+            (round(r.t_start, 3), round(r.t_end, 3)) for r in manifest
+        ),
     }
 
 
@@ -852,11 +857,14 @@ def _fused_direct_run(
     read_cols = list(dict.fromkeys([*key_cols, "doc_id", "tokens"]))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import time as _time
+
         from ..sources.parquet_direct import write_parquet_atomic
 
         for tb in batches:
             task_ids = tb.column("task_id").to_pylist()
             for task_id, paths in zip(task_ids, tb.column("paths").to_pylist()):
+                t0 = _time.time()
                 em = _run_fused_task(
                     task_id, paths, opts, min_chunk_values,
                     cuts_b, cuts_w, key_fn, read_cols,
@@ -883,6 +891,11 @@ def _fused_direct_run(
                         "bytes_raw": [b_raw],
                         "bytes_enc": [b_enc],
                         "bytes_ref": [b_ref],
+                        # per-task wall span: lets callers separate worker
+                        # busy time from scheduling/stragglers/serial driver
+                        # work when diagnosing scaling (epoch seconds)
+                        "t_start": [t0],
+                        "t_end": [_time.time()],
                     },
                     schema=pa.schema(
                         [
@@ -894,6 +907,8 @@ def _fused_direct_run(
                             ("bytes_raw", pa.int64()),
                             ("bytes_enc", pa.int64()),
                             ("bytes_ref", pa.int64()),
+                            ("t_start", pa.float64()),
+                            ("t_end", pa.float64()),
                         ]
                     ),
                 )
@@ -901,5 +916,6 @@ def _fused_direct_run(
     return tasks.mapInArrow(
         fn,
         "task_id int, path string, n_chunks long, n_rows long, "
-        "n_values long, bytes_raw long, bytes_enc long, bytes_ref long",
+        "n_values long, bytes_raw long, bytes_enc long, bytes_ref long, "
+        "t_start double, t_end double",
     ).collect()

@@ -163,7 +163,12 @@ def main() -> int:
     # reps 20 min apart differed 3.5x) while the one mult=400 campaign
     # measured encode 0.775 — longer phases average over the host's
     # minute-scale episodes better than denser sampling of short ones.
-    pairs = [(2, 8), (1, 4)]
+    # 2->8 only: round-4 measurements show the 1->4 pair is structurally
+    # capped ~0.53-0.69 on this host (a SINGLE core runs contention-free at
+    # ~14 M tok/s while every multi-core level shares the memory subsystem
+    # at ~7.5-8.7 M tok/s/core), whereas 2->8 compares two already-
+    # contended levels — the shape a real cluster's N->4N comparison has.
+    pairs = [(2, 8)]
     while done < max_campaigns:
         bw = probe_sustained()
         clean = bw >= threshold
