@@ -155,6 +155,9 @@ def run_campaign(
 def main() -> int:
     max_campaigns = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 3500.0
+    # co-demonstrations still needed this invocation (prior sessions'
+    # campaigns already in BENCH/ count toward the round's total)
+    met_target = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     done = 0
     met = 0
     streak = 0
@@ -190,8 +193,8 @@ def main() -> int:
         ):
             met += 1
             log(f"GATE MET in campaign c{done} (encode AND decode >= 0.8)")
-            if met >= 2:
-                log("two co-demonstrations recorded; stopping")
+            if met >= met_target:
+                log(f"{met} co-demonstration(s) recorded; stopping")
                 return 0
         time.sleep(30)
     return 0
