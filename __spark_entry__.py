@@ -174,6 +174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["compacted_roundtrip"] = compacted_roundtrip
 
+    # codec-aware token search: which docs contain a probe value, answered
+    # against the ENCODED blocks (dict/FOR/zigzag params prune whole chunks
+    # and PAGED pages without materializing their value streams)
+    def token_search_pushdown(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.search import search_token
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return search_token(blocks, 10007)
+
+    q["token_search_pushdown"] = token_search_pushdown
+
     # custom transformer hook (T3): affine vocab remap before encode;
     # checksums of the decoded *remapped* tokens vs the formula oracle
     def transformed_roundtrip(spark, sf_dir):
@@ -405,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_source_rollup"] = C.per_source_checksum_sql("documents")
     o["reoptimized_roundtrip"] = by_regime
     o["compacted_roundtrip"] = by_regime
+    o["token_search_pushdown"] = C.token_search_sql(10007)
     o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
         3, 7, 50263, "documents"
     )

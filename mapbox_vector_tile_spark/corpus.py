@@ -256,6 +256,20 @@ ORDER BY 1
 """
 
 
+def token_search_sql(x: int, doc_source: str = "documents") -> str:
+    """Docs containing token ``x`` + hit counts — oracle for the codec-aware
+    search over encoded blocks (:mod:`.engine.search`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM t
+WHERE tok = {x}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def affine_tok_sql(a: int, b: int, m: int, inner: str = "tok") -> str:
     """SQL for the affine remap ``t -> (a*t+b) mod m`` (pmod semantics)."""
     return f"((({inner})*{a}+{b}) % {m} + {m}) % {m}"
