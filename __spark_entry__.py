@@ -186,6 +186,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_search_pushdown"] = token_search_pushdown
 
+    # merge-on-read equality deletes (Iceberg v2 analog): delete a
+    # deterministic doc subset via a sidecar relation, decode WITHOUT
+    # rewriting any chunk, roll up checksums of what survives
+    def merge_on_read_deletes(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.deletes import decode_with_deletes
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        dels = tokens.select("doc_id").filter(doc_num_expr() % 17 == 3)
+        decoded = decode_with_deletes(blocks, dels)
+        return regime_rollup(with_doc_checksums(decoded))
+
+    q["merge_on_read_deletes"] = merge_on_read_deletes
+
     # custom transformer hook (T3): affine vocab remap before encode;
     # checksums of the decoded *remapped* tokens vs the formula oracle
     def transformed_roundtrip(spark, sf_dir):
@@ -418,6 +432,9 @@ def oracle_sql() -> dict[str, str]:
     o["reoptimized_roundtrip"] = by_regime
     o["compacted_roundtrip"] = by_regime
     o["token_search_pushdown"] = C.token_search_sql(10007)
+    o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
+        "documents WHERE doc_id % 17 <> 3"
+    )
     o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
         3, 7, 50263, "documents"
     )
