@@ -200,6 +200,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_on_read_deletes"] = merge_on_read_deletes
 
+    # snapshot commits + time travel: three commits (append evens, append
+    # odds, equality-delete sidecar), then per-regime rollups of the decoded
+    # table AS OF each snapshot — history stays readable after later commits
+    def snapshot_time_travel(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+
+        work = tempfile.mkdtemp(prefix="mvt_snap_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            tokens = _corpus(spark, sf_dir)
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 0), EncodeOptions()
+                ),
+            )
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 1), EncodeOptions()
+                ),
+            )
+            S.commit_deletes(
+                root, tokens.select("doc_id").filter(doc_num_expr() % 17 == 3)
+            )
+            parts = [
+                regime_rollup(
+                    with_doc_checksums(S.decode_at(spark, root, sid))
+                ).withColumn("snapshot_ord", F.lit(sid).cast("long"))
+                for sid in (1, 2, 3)
+            ]
+            res = (
+                parts[0]
+                .unionByName(parts[1])
+                .unionByName(parts[2])
+                .orderBy("snapshot_ord", "regime")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["snapshot_time_travel"] = snapshot_time_travel
+
     # custom transformer hook (T3): affine vocab remap before encode;
     # checksums of the decoded *remapped* tokens vs the formula oracle
     def transformed_roundtrip(spark, sf_dir):
@@ -434,6 +482,13 @@ def oracle_sql() -> dict[str, str]:
     o["token_search_pushdown"] = C.token_search_sql(10007)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
+    )
+    o["snapshot_time_travel"] = C.snapshot_rollup_sql(
+        [
+            (1, "documents WHERE doc_id % 2 = 0"),
+            (2, "documents"),
+            (3, "documents WHERE doc_id % 17 <> 3"),
+        ]
     )
     o["transformed_roundtrip"] = C.per_regime_checksum_transformed_sql(
         3, 7, 50263, "documents"

@@ -270,6 +270,21 @@ ORDER BY doc_id
 """
 
 
+def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
+    """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
+    relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):
+    each snapshot is just the rollup over the doc set live at that commit."""
+    parts = [
+        f"SELECT CAST({ordinal} AS BIGINT) AS snapshot_ord, * FROM ({per_regime_checksum_sql(rel)})"
+        for ordinal, rel in snapshots
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY snapshot_ord, regime"
+    )
+
+
 def affine_tok_sql(a: int, b: int, m: int, inner: str = "tok") -> str:
     """SQL for the affine remap ``t -> (a*t+b) mod m`` (pmod semantics)."""
     return f"((({inner})*{a}+{b}) % {m} + {m}) % {m}"
