@@ -200,6 +200,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_on_read_deletes"] = merge_on_read_deletes
 
+    # bloom-sidecar search: forced DELTA_ZZ_VARINT makes every chunk
+    # param-opaque, so correctness of the hits rests on the per-chunk
+    # token blooms never producing a false negative
+    def token_search_bloom(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.search import (
+            search_token,
+            with_token_blooms,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = with_token_blooms(
+            encode_dataframe(tokens, EncodeOptions(codec="delta_zz_varint"))
+        )
+        return search_token(blocks, 509)
+
+    q["token_search_bloom"] = token_search_bloom
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -480,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
     o["reoptimized_roundtrip"] = by_regime
     o["compacted_roundtrip"] = by_regime
     o["token_search_pushdown"] = C.token_search_sql(10007)
+    o["token_search_bloom"] = C.token_search_sql(509)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

@@ -71,20 +71,70 @@ def _doc_counts(
     return hit, counts[hit]
 
 
-def search_token(blocks_df, x: int):
-    """Docs containing token ``x``: DataFrame ``(doc_id, n_hits)``.
+def with_token_blooms(blocks_df, bits_per_value: int = 10,
+                      max_bytes: int = 8192, k: int = 4):
+    """blocks + a ``token_bloom`` binary column (:mod:`..codec.bloom`).
 
-    Exact (hits come from the decoded-or-pruned streams themselves, never
-    an approximation); result rows are one per matching doc.
+    One extra ``mapInArrow`` pass at write/index time buys membership
+    pruning for the codecs whose params carry no value bound (``DELTA_*``,
+    ``RAW``) — the Parquet column-index-bloom analog stored chunk-side, so
+    no join is ever needed at query time. High-cardinality chunks store
+    NULL (a saturated filter is pure overhead); the search path treats
+    NULL as "must check".
     """
-    x = int(x)
+    from ..codec.bloom import build_bloom
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             payloads = batch.column("payload")
+            blooms = [
+                build_bloom(
+                    B.decode_block(memoryview(payloads[i].as_buffer())),
+                    bits_per_value, max_bytes, k,
+                )
+                for i in range(batch.num_rows)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(blooms, pa.binary())],
+                schema=batch.schema.append(pa.field("token_bloom", pa.binary())),
+            )
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    # fresh StructType — StructType.add would mutate blocks_df's own schema
+    out = StructType(
+        list(blocks_df.schema.fields) + [StructField("token_bloom", BinaryType())]
+    )
+    return blocks_df.mapInArrow(fn, out)
+
+
+def search_token(blocks_df, x: int):
+    """Docs containing token ``x``: DataFrame ``(doc_id, n_hits)``.
+
+    Exact (hits come from the decoded-or-pruned streams themselves, never
+    an approximation); result rows are one per matching doc. When the
+    blocks carry a ``token_bloom`` column (:func:`with_token_blooms`) the
+    filter is consulted first, so even param-opaque codecs skip their
+    payloads for absent probes.
+    """
+    x = int(x)
+    has_bloom = "token_bloom" in blocks_df.columns
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..codec.bloom import might_contain
+
+        for batch in batches:
+            payloads = batch.column("payload")
             lengths_blobs = batch.column("lengths_blob")
             doc_ids_col = batch.column("doc_ids")
+            blooms = batch.column("token_bloom") if has_bloom else None
             for i in range(batch.num_rows):
+                if blooms is not None and not might_contain(
+                    None if not blooms[i].is_valid
+                    else memoryview(blooms[i].as_buffer()),
+                    x,
+                ):
+                    continue
                 pos, _ = hit_positions(memoryview(payloads[i].as_buffer()), x)
                 if pos.size == 0:
                     continue
@@ -101,9 +151,10 @@ def search_token(blocks_df, x: int):
                     schema=_HITS_ARROW_SCHEMA,
                 )
 
-    out = blocks_df.select("doc_ids", "lengths_blob", "payload").mapInArrow(
-        fn, HITS_SPARK_SCHEMA
+    cols = ["doc_ids", "lengths_blob", "payload"] + (
+        ["token_bloom"] if has_bloom else []
     )
+    out = blocks_df.select(*cols).mapInArrow(fn, HITS_SPARK_SCHEMA)
     return out.orderBy("doc_id")
 
 
@@ -116,15 +167,28 @@ def search_token_stats(blocks_df, x: int):
     pushdown ratio.
     """
     x = int(x)
+    has_bloom = "token_bloom" in blocks_df.columns
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..codec.bloom import might_contain
+
         for batch in batches:
             payloads = batch.column("payload")
             codecs = batch.column("codec")
             n_values = batch.column("n_values")
+            blooms = batch.column("token_bloom") if has_bloom else None
             agg: dict[str, list[int]] = {}
             for i in range(batch.num_rows):
-                pos, dec = hit_positions(memoryview(payloads[i].as_buffer()), x)
+                if blooms is not None and not might_contain(
+                    None if not blooms[i].is_valid
+                    else memoryview(blooms[i].as_buffer()),
+                    x,
+                ):
+                    pos, dec = np.empty(0, np.int64), 0
+                else:
+                    pos, dec = hit_positions(
+                        memoryview(payloads[i].as_buffer()), x
+                    )
                 c = agg.setdefault(codecs[i].as_py(), [0, 0, 0, 0])
                 c[0] += 1
                 c[1] += n_values[i].as_py()
@@ -145,9 +209,10 @@ def search_token_stats(blocks_df, x: int):
 
     from pyspark.sql import functions as F
 
-    partial = blocks_df.select("payload", "codec", "n_values").mapInArrow(
-        fn, STATS_SPARK_SCHEMA
+    stat_cols = ["payload", "codec", "n_values"] + (
+        ["token_bloom"] if has_bloom else []
     )
+    partial = blocks_df.select(*stat_cols).mapInArrow(fn, STATS_SPARK_SCHEMA)
     return (
         partial.groupBy("codec")
         .agg(
