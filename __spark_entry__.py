@@ -265,6 +265,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_time_travel"] = snapshot_time_travel
 
+    # streaming ingest INTO the snapshot table: several micro-batches, one
+    # atomic commit each; the final table decodes to the full corpus
+    def streaming_snapshot_ingest(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+        from mapbox_vector_tile_spark.streaming.snapshot_sink import (
+            start_snapshot_commit_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_ssi_")
+        try:
+            tokens_pq = os.path.join(work, "tokens")
+            _corpus(spark, sf_dir).repartition(6).write.parquet(tokens_pq)
+            static = spark.read.parquet(tokens_pq)
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(tokens_pq)
+            )
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            sq = start_snapshot_commit_stream(
+                stream, root, os.path.join(work, "ck")
+            )
+            sq.awaitTermination()
+            res = regime_rollup(with_doc_checksums(S.decode_at(spark, root)))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_snapshot_ingest"] = streaming_snapshot_ingest
+
     # custom transformer hook (T3): affine vocab remap before encode;
     # checksums of the decoded *remapped* tokens vs the formula oracle
     def transformed_roundtrip(spark, sf_dir):
@@ -501,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )
+    o["streaming_snapshot_ingest"] = by_regime
     o["snapshot_time_travel"] = C.snapshot_rollup_sql(
         [
             (1, "documents WHERE doc_id % 2 = 0"),

@@ -73,7 +73,8 @@ def snapshot_log(root: str) -> list[dict]:
 
 
 def _commit(root: str, operation: str, new_data: list[str],
-            new_deletes: list[str], replace: bool = False) -> int:
+            new_deletes: list[str], replace: bool = False,
+            meta: dict | None = None) -> int:
     parent = current_snapshot_id(root)
     base = read_snapshot(root, parent) if parent is not None and not replace else {
         "data_files": [], "delete_files": [],
@@ -85,6 +86,7 @@ def _commit(root: str, operation: str, new_data: list[str],
         "operation": operation,
         "data_files": base["data_files"] + new_data,
         "delete_files": base["delete_files"] + new_deletes,
+        **(meta or {}),
     }
     os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
     # exclusive create: a concurrent committer racing to the same id loses
@@ -109,12 +111,24 @@ def _rel_parquet_files(root: str, subdir: str) -> list[str]:
     return sorted(out)
 
 
-def commit_append(root: str, blocks_df: DataFrame) -> int:
-    """Append freshly encoded blocks as a new snapshot; returns its id."""
-    sid = (current_snapshot_id(root) or 0) + 1
-    out_dir = os.path.join(root, "data", f"s{sid}")
+def commit_append(
+    root: str, blocks_df: DataFrame, meta: dict | None = None
+) -> int:
+    """Append freshly encoded blocks as a new snapshot; returns its id.
+
+    ``meta`` lands verbatim in the snapshot manifest (e.g. a streaming
+    sink's ``batch_id`` for exactly-once replay detection). ``meta`` may
+    carry ``"_subdir"`` to override the data directory name — a retried
+    writer must use a FRESH directory per attempt so a partial write from
+    a crashed attempt (unreferenced by any manifest — invisible to readers,
+    reaped by :func:`orphan_files`) can never collide with the retry."""
+    meta = dict(meta or {})
+    subdir = meta.pop("_subdir", None) or f"s{(current_snapshot_id(root) or 0) + 1}"
+    out_dir = os.path.join(root, "data", subdir)
     blocks_df.write.mode("error").parquet(out_dir)
-    return _commit(root, "append", _rel_parquet_files(root, f"data/s{sid}"), [])
+    return _commit(
+        root, "append", _rel_parquet_files(root, f"data/{subdir}"), [], meta=meta
+    )
 
 
 def commit_deletes(root: str, deletes_df: DataFrame) -> int:
