@@ -217,6 +217,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_search_bloom"] = token_search_bloom
 
+    # aggregate pushdown: whole-corpus count/sum/min/max computed INSIDE
+    # the encoded blocks (CONSTANT/RLE/dict answer from metadata)
+    def token_stats_pushdown(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import token_value_stats
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return token_value_stats(blocks)
+
+    q["token_stats_pushdown"] = token_stats_pushdown
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -533,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
     o["compacted_roundtrip"] = by_regime
     o["token_search_pushdown"] = C.token_search_sql(10007)
     o["token_search_bloom"] = C.token_search_sql(509)
+    o["token_stats_pushdown"] = C.value_stats_sql()
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

@@ -270,6 +270,19 @@ ORDER BY doc_id
 """
 
 
+def value_stats_sql(doc_source: str = "documents") -> str:
+    """Whole-corpus token stats — oracle for the codec-aware aggregate
+    pushdown (:mod:`.engine.stats`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT CAST(COUNT(tok) AS BIGINT) AS n_values,
+       CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       CAST(MIN(tok) AS BIGINT) AS tok_min,
+       CAST(MAX(tok) AS BIGINT) AS tok_max
+FROM t
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):

@@ -1,0 +1,151 @@
+"""Codec-aware aggregate pushdown: exact stats, metadata-bounded work.
+
+Unit layer: `value_stats` equals numpy reductions on the decoded array for
+every codec and corpus shape, and `values_decoded == 0` where the codec
+carries the answer (CONSTANT, RLE, dict min/max). Spark layer:
+`token_value_stats` matches a full-decode aggregate; the telemetry proves
+RLE/dict regimes never inflate for min/max."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.codec import blocks as B
+from mapbox_vector_tile_spark.codec.aggregate import value_stats
+from mapbox_vector_tile_spark.codec.analysis import ChunkAnalysis
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+from mapbox_vector_tile_spark.engine.encode import EncodeOptions, encode_dataframe
+from mapbox_vector_tile_spark.engine.stats import (
+    token_value_stats,
+    token_value_stats_by_codec,
+)
+
+RNG = np.random.default_rng(23)
+
+ALL_CODECS = [
+    B.RAW,
+    B.BITPACK_ZZ,
+    B.FOR_BITPACK,
+    B.DELTA_ZZ_BITPACK,
+    B.DELTA_ZZ_VARINT,
+    B.RLE,
+    B.DICT_BITPACK,
+]
+
+
+def _corpora():
+    return [
+        np.full(100, 42, dtype=np.int32),
+        np.full(7, -(2**31), dtype=np.int32),
+        RNG.integers(-50, 50, 500).astype(np.int32),
+        np.repeat(RNG.integers(0, 8, 40), RNG.integers(1, 30, 40)).astype(np.int32),
+        np.sort(RNG.integers(0, 10_000, 300)).astype(np.int32),
+        np.array([2**31 - 1, -(2**31), 0, -1, 1] * 20, np.int32),
+        RNG.integers(-(2**31), 2**31, 200, dtype=np.int64).astype(np.int32),
+    ]
+
+
+@pytest.mark.parametrize("codec_id", ALL_CODECS)
+def test_value_stats_matches_numpy_all_codecs(codec_id):
+    for a in _corpora():
+        if codec_id == B.BITPACK_ZZ and a.min() == -(2**31):
+            continue  # regime the encoder never selects for this input
+        try:
+            buf = B.encode_block(a, codec_id, ChunkAnalysis(a))
+        except Exception:
+            continue
+        n, s, mn, mx, dec = value_stats(buf)
+        a64 = a.astype(np.int64)
+        assert (n, s, mn, mx) == (a.size, int(a64.sum()), int(a.min()), int(a.max()))
+        assert 0 <= dec <= 2 * a.size
+
+
+def test_metadata_only_codecs_decode_nothing():
+    const = np.full(1000, -7, np.int32)
+    n, s, mn, mx, dec = value_stats(
+        B.encode_block(const, B.CONSTANT, ChunkAnalysis(const))
+    )
+    assert (n, s, mn, mx, dec) == (1000, -7000, -7, -7, 0)
+
+    runs = np.repeat(RNG.integers(-5, 5, 30), RNG.integers(1, 50, 30)).astype(np.int32)
+    n, s, mn, mx, dec = value_stats(B.encode_block(runs, B.RLE, ChunkAnalysis(runs)))
+    r64 = runs.astype(np.int64)
+    assert (n, s, mn, mx, dec) == (
+        runs.size, int(r64.sum()), int(runs.min()), int(runs.max()), 0
+    )
+
+    dictish = RNG.integers(0, 16, 400).astype(np.int32)
+    buf = B.encode_block(dictish, B.DICT_BITPACK, ChunkAnalysis(dictish))
+    # min/max only: the O(n) index stream is never touched
+    n, s, mn, mx, dec = value_stats(buf, need_sum=False)
+    assert (n, s, mn, mx, dec) == (400, None, int(dictish.min()), int(dictish.max()), 0)
+    # with sums the index stream is paid, and the sum is exact
+    n, s, mn, mx, dec = value_stats(buf, need_sum=True)
+    assert s == int(dictish.astype(np.int64).sum()) and dec == 400
+
+
+def test_paged_combines_pages():
+    a = np.concatenate(
+        [np.full(200, 5, np.int32), RNG.integers(-9, 9, 200).astype(np.int32)]
+    )
+    an = ChunkAnalysis(a)
+    try:
+        buf = B.encode_block(a, B.PAGED, an)
+    except Exception:
+        pytest.skip("PAGED not selectable for this input")
+    n, s, mn, mx, dec = value_stats(buf)
+    a64 = a.astype(np.int64)
+    assert (n, s, mn, mx) == (a.size, int(a64.sum()), int(a.min()), int(a.max()))
+
+
+def test_spark_stats_match_decode(spark):
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=3).cache()
+    blocks = encode_dataframe(corpus, EncodeOptions()).cache()
+    got = token_value_stats(blocks).first()
+    want = (
+        decode_dataframe(blocks)
+        .select(F.explode("tokens").alias("tok"))
+        .agg(
+            F.count("tok").alias("n_values"),
+            F.sum("tok").alias("sum_tok"),
+            F.min("tok").alias("tok_min"),
+            F.max("tok").alias("tok_max"),
+        )
+        .first()
+    )
+    assert (got.n_values, got.sum_tok, got.tok_min, got.tok_max) == tuple(want)
+
+    tele = token_value_stats_by_codec(blocks, need_sum=False).collect()
+    assert sum(r.n_values for r in tele) == got.n_values
+
+
+def test_pushdown_on_clustered_table(spark):
+    # regime-homogeneous chunks (the flagship's clustered shape) let the
+    # metadata-carrying codecs answer min/max with zero stream inflation
+    from mapbox_vector_tile_spark.engine.verify import doc_num_expr, regime_expr
+
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=3)
+    clustered = (
+        corpus.withColumn("bucket", regime_expr(doc_num_expr()).cast("int"))
+        .repartition(3, "bucket")
+        .sortWithinPartitions("bucket")
+    )
+    blocks = encode_dataframe(clustered, EncodeOptions(), bucket_col="bucket").cache()
+    got = token_value_stats(blocks, need_sum=False).first()
+    want = (
+        decode_dataframe(blocks)
+        .select(F.explode("tokens").alias("tok"))
+        .agg(F.min("tok"), F.max("tok"))
+        .first()
+    )
+    assert (got.tok_min, got.tok_max) == tuple(want)
+
+    tele = token_value_stats_by_codec(blocks, need_sum=False).collect()
+    by = {r.codec: r for r in tele}
+    for codec in ("constant", "rle", "dict_bitpack", "dict_escape"):
+        if codec in by:
+            assert by[codec].values_decoded == 0
+    assert any(r.values_decoded == 0 and r.n_values > 0 for r in tele)
+    assert sum(r.values_decoded for r in tele) < sum(r.n_values for r in tele)
