@@ -311,6 +311,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_snapshot_ingest"] = streaming_snapshot_ingest
 
+    # incremental (CDC) read: rollup of ONLY the docs inserted between two
+    # snapshots — the scan reads the delta's files, never the full table
+    def incremental_read_changes(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+
+        work = tempfile.mkdtemp(prefix="mvt_inc_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            tokens = _corpus(spark, sf_dir)
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 0), EncodeOptions()
+                ),
+            )
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 1), EncodeOptions()
+                ),
+            )
+            inserted, _removed = S.incremental_changes(spark, root, 1, 2)
+            res = regime_rollup(with_doc_checksums(inserted))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["incremental_read_changes"] = incremental_read_changes
+
     # custom transformer hook (T3): affine vocab remap before encode;
     # checksums of the decoded *remapped* tokens vs the formula oracle
     def transformed_roundtrip(spark, sf_dir):
@@ -549,6 +583,9 @@ def oracle_sql() -> dict[str, str]:
         "documents WHERE doc_id % 17 <> 3"
     )
     o["streaming_snapshot_ingest"] = by_regime
+    o["incremental_read_changes"] = C.per_regime_checksum_sql(
+        "documents WHERE doc_id % 2 = 1"
+    )
     o["snapshot_time_travel"] = C.snapshot_rollup_sql(
         [
             (1, "documents WHERE doc_id % 2 = 0"),

@@ -104,6 +104,39 @@ def test_rewrite_then_expire_strands_orphans(spark, corpus, table):
     )
 
 
+def test_incremental_changes(spark, corpus, tmp_path):
+    root = str(tmp_path / "inc")
+    os.makedirs(root)
+    first = corpus.filter(F.expr("substring(doc_id, 5, 8) < 180"))
+    second = corpus.filter(F.expr("substring(doc_id, 5, 8) >= 180"))
+    S.commit_append(root, encode_dataframe(first, EncodeOptions()))
+    S.commit_append(root, encode_dataframe(second, EncodeOptions()))
+    dels = corpus.select("doc_id").filter(
+        F.expr("substring(doc_id, 5, 8) % 17 = 3")
+    )
+    S.commit_deletes(root, dels)
+
+    ins, removed = S.incremental_changes(spark, root, 1, 2)
+    assert _ids(ins) == _expected_ids(corpus, "substring(doc_id, 5, 8) >= 180")
+    assert removed.count() == 0
+
+    ins, removed = S.incremental_changes(spark, root, 2)  # to current (3)
+    assert ins.count() == 0
+    assert sorted(r.doc_id for r in removed.collect()) == _expected_ids(
+        corpus, "substring(doc_id, 5, 8) % 17 = 3"
+    )
+
+    # consumer contract: snapshot-1 state + window changes == snapshot-3 read
+    base = set(_ids(S.decode_at(spark, root, 1)))
+    ins, removed = S.incremental_changes(spark, root, 1, 3)
+    got = (base | set(_ids(ins))) - {r.doc_id for r in removed.collect()}
+    assert sorted(got) == _ids(S.decode_at(spark, root, 3))
+
+    S.commit_rewrite(root, encode_dataframe(S.decode_at(spark, root), EncodeOptions()))
+    with pytest.raises(ValueError):
+        S.incremental_changes(spark, root, 2, 4)
+
+
 def test_expire_refuses_current(spark, table):
     with pytest.raises(ValueError):
         S.expire_snapshots(table, keep_last=0)
