@@ -228,6 +228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_stats_pushdown"] = token_stats_pushdown
 
+    # range-predicate pushdown: docs with any token in [lo, hi], answered
+    # against the encoded blocks (codec value domains prune chunks/pages)
+    def token_range_search(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.search import search_token_range
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return search_token_range(blocks, 40000, 40500)
+
+    q["token_range_search"] = token_range_search
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -579,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
     o["token_search_pushdown"] = C.token_search_sql(10007)
     o["token_search_bloom"] = C.token_search_sql(509)
     o["token_stats_pushdown"] = C.value_stats_sql()
+    o["token_range_search"] = C.token_range_search_sql(40000, 40500)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

@@ -231,3 +231,181 @@ _HIT_BODY = {
     DICT_ESCAPE: _hit_dict_escape,
     PAGED: _hit_paged,
 }
+
+
+# ---------------------------------------------------------------------------
+# range predicates: positions of values in [lo, hi] (inclusive)
+# ---------------------------------------------------------------------------
+
+def range_positions(
+    buf: bytes | memoryview, lo: int, hi: int
+) -> tuple[np.ndarray, int]:
+    """All positions with ``lo <= value <= hi`` + values decoded.
+
+    The BETWEEN analog of :func:`hit_positions`: FOR/dict/RLE/zigzag
+    parameters bound the chunk's value domain, so chunks (and PAGED pages)
+    disjoint from the probe interval are pruned without materializing
+    their streams; dictionary chunks answer from the table + index codes
+    without ever rebuilding absolute values.
+    """
+    lo, hi = int(lo), int(hi)
+    if hi < lo or hi < INT32_MIN or lo > INT32_MAX:
+        return _EMPTY, 0
+    lo, hi = max(lo, INT32_MIN), min(hi, INT32_MAX)
+    mv = memoryview(buf)
+    magic, version, codec_id, n = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError(f"bad block magic {magic!r}")
+    if version != VERSION:
+        raise ValueError(f"unsupported block version {version}")
+    if n == 0:
+        return _EMPTY, 0
+    return _RANGE_BODY[codec_id](mv[_HDR.size :], n, lo, hi)
+
+
+def _range_const(body, n, lo, hi):
+    (v,) = _CONST.unpack_from(body)
+    if lo <= v <= hi:
+        return np.arange(n, dtype=np.int64), 0
+    return _EMPTY, 0
+
+
+def _range_bitpack_zz(body, n, lo, hi):
+    (w,) = _BPZZ.unpack_from(body)
+    if w < 32:
+        # w-bit zigzag codes cover exactly [-(2^(w-1)), 2^(w-1)-1]... shifted:
+        # zz < 2^w  <=>  v in [-(2^(w-1)), 2^(w-1) - 1] for even/odd split
+        vmax = (1 << w) // 2 - 1 if w else 0
+        vmin = -((1 << w) // 2) if w else 0
+        if hi < vmin or lo > vmax:
+            return _EMPTY, 0
+    zz = K.bitunpack(body[_BPZZ.size :], w, n)
+    vals = K.zigzag_decode(zz)
+    return (
+        np.nonzero((vals >= np.int32(max(lo, INT32_MIN)))
+                   & (vals <= np.int32(min(hi, INT32_MAX))))[0].astype(np.int64),
+        n,
+    )
+
+
+def _range_for_bitpack(body, n, lo, hi):
+    base, w = _FOR.unpack_from(body)
+    dom_hi = base + ((1 << w) - 1 if w < 32 else 0xFFFFFFFF)
+    if hi < base or lo > dom_hi:
+        return _EMPTY, 0
+    rel = K.bitunpack(body[_FOR.size :], w, n).astype(np.int64)
+    # compare in relative space: absolute array never rebuilt
+    rlo, rhi = max(lo - base, 0), hi - base
+    return np.nonzero((rel >= rlo) & (rel <= rhi))[0].astype(np.int64), n
+
+
+def _range_rle(body, n, lo, hi):
+    r, lw, vmin, vw = _RLE.unpack_from(body)
+    dom_hi = vmin + ((1 << vw) - 1 if vw < 32 else 0xFFFFFFFF)
+    if hi < vmin or lo > dom_hi:
+        return _EMPTY, 0
+    off = _RLE.size
+    lens_end = off + _nbytes(r, lw)
+    vals = vmin + K.bitunpack(body[lens_end:], vw, r).astype(np.int64)
+    match = (vals >= lo) & (vals <= hi)
+    if not match.any():
+        return _EMPTY, 0
+    lens = K.bitunpack(body[off:lens_end], lw, r).astype(np.int64) + 1
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return _expand_runs(starts[match], lens[match]), 0
+
+
+def _range_dict_bitpack(body, n, lo, hi):
+    c, tmin, tw, iw = _DICT.unpack_from(body)
+    off = _DICT.size
+    table = tmin + K.bitunpack(body[off : off + _nbytes(c, tw)], tw, c).astype(
+        np.int64
+    )
+    codes = np.nonzero((table >= lo) & (table <= hi))[0]
+    if codes.size == 0:
+        return _EMPTY, 0
+    idx = K.bitunpack(body[off + _nbytes(c, tw) :], iw, n)
+    if codes.size == 1:
+        m = idx == np.uint32(codes[0])
+    else:
+        in_range = np.zeros(c, dtype=bool)
+        in_range[codes] = True
+        m = in_range[idx]
+    return np.nonzero(m)[0].astype(np.int64), n
+
+
+def _range_dict_escape(body, n, lo, hi):
+    k, c, n_esc, hmin, hw, emin, ew = _DESC.unpack_from(body)
+    off = _DESC.size
+    head_end = off + _nbytes(c, hw)
+    codes_end = head_end + _nbytes(n, k)
+    table = hmin + K.bitunpack(body[off:head_end], hw, c).astype(np.int64)
+    head_codes = np.nonzero((table >= lo) & (table <= hi))[0]
+    esc_match = None
+    if n_esc:
+        esc = emin + K.bitunpack(body[codes_end:], ew, n_esc).astype(np.int64)
+        m = (esc >= lo) & (esc <= hi)
+        if m.any():
+            esc_match = m
+    if head_codes.size == 0 and esc_match is None:
+        return _EMPTY, 0
+    codes = K.bitunpack(body[head_end:codes_end], k, n)
+    parts = []
+    if head_codes.size:
+        in_range = np.zeros(1 << k, dtype=bool)
+        in_range[head_codes] = True
+        parts.append(np.nonzero(in_range[codes])[0])
+    if esc_match is not None:
+        esc_pos = np.nonzero(codes == np.uint32((1 << k) - 1))[0]
+        parts.append(esc_pos[esc_match])
+    pos = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+    return pos.astype(np.int64), n
+
+
+def _range_decode(codec_id: int):
+    def fn(body, n, lo, hi):
+        a = _DECODERS[codec_id](body, n)
+        return (
+            np.nonzero((a >= np.int32(lo)) & (a <= np.int32(hi)))[0].astype(
+                np.int64
+            ),
+            n,
+        )
+
+    return fn
+
+
+def _range_paged(body, n, lo, hi):
+    _, n_pages = _PGD.unpack_from(body)
+    off = _PGD.size
+    lens = np.frombuffer(body, dtype="<u4", count=n_pages, offset=off)
+    off += 4 * n_pages
+    parts: list[np.ndarray] = []
+    value_off = 0
+    decoded = 0
+    for ln in lens:
+        frame = body[off : off + int(ln)]
+        off += int(ln)
+        _, _, _, page_n = _HDR.unpack_from(frame)
+        pos, dec = range_positions(frame, lo, hi)
+        decoded += dec
+        if pos.size:
+            parts.append(pos + value_off)
+        value_off += page_n
+    if not parts:
+        return _EMPTY, decoded
+    return np.concatenate(parts), decoded
+
+
+_RANGE_BODY = {
+    RAW: _range_decode(RAW),
+    CONSTANT: _range_const,
+    BITPACK_ZZ: _range_bitpack_zz,
+    FOR_BITPACK: _range_for_bitpack,
+    DELTA_ZZ_BITPACK: _range_decode(DELTA_ZZ_BITPACK),
+    DELTA_ZZ_VARINT: _range_decode(DELTA_ZZ_VARINT),
+    RLE: _range_rle,
+    DICT_BITPACK: _range_dict_bitpack,
+    DICT_ESCAPE: _range_dict_escape,
+    PAGED: _range_paged,
+}

@@ -298,6 +298,22 @@ def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     )
 
 
+def token_range_search_sql(
+    lo: int, hi: int, doc_source: str = "documents"
+) -> str:
+    """Docs with any token in ``[lo, hi]`` + hit counts — oracle for the
+    range-predicate pushdown (:func:`.engine.search.search_token_range`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM t
+WHERE tok BETWEEN {lo} AND {hi}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def affine_tok_sql(a: int, b: int, m: int, inner: str = "tok") -> str:
     """SQL for the affine remap ``t -> (a*t+b) mod m`` (pmod semantics)."""
     return f"((({inner})*{a}+{b}) % {m} + {m}) % {m}"

@@ -223,3 +223,46 @@ def search_token_stats(blocks_df, x: int):
         )
         .orderBy("codec")
     )
+
+
+def search_token_range(blocks_df, lo: int, hi: int):
+    """Docs containing any token in ``[lo, hi]``: ``(doc_id, n_hits)``.
+
+    The BETWEEN pushdown: chunks/pages whose codec-parameter value domain
+    is disjoint from the interval are pruned unread (:func:`..codec.search.
+    range_positions`); dictionary chunks answer from table + codes without
+    rebuilding values. Same one-pass, no-explode plan as
+    :func:`search_token`.
+    """
+    from ..codec.search import range_positions
+
+    lo, hi = int(lo), int(hi)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            doc_ids_col = batch.column("doc_ids")
+            for i in range(batch.num_rows):
+                pos, _ = range_positions(
+                    memoryview(payloads[i].as_buffer()), lo, hi
+                )
+                if pos.size == 0:
+                    continue
+                hit, counts = _doc_counts(
+                    pos, memoryview(lengths_blobs[i].as_buffer())
+                )
+                if hit.size == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids_col[i].values.take(pa.array(hit)),
+                        pa.array(counts, pa.int64()),
+                    ],
+                    schema=_HITS_ARROW_SCHEMA,
+                )
+
+    out = blocks_df.select("doc_ids", "lengths_blob", "payload").mapInArrow(
+        fn, HITS_SPARK_SCHEMA
+    )
+    return out.orderBy("doc_id")

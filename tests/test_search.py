@@ -192,3 +192,86 @@ def test_search_stats_prune_low_card_corpus(spark):
     assert sum(r["values_decoded"] for r in stats) == 0  # all pruned
     assert sum(r["n_hits"] for r in stats) == 0
     assert search_token(blocks, 9999).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# range predicates
+# ---------------------------------------------------------------------------
+
+def _brute_range(a: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    a64 = a.astype(np.int64)
+    return np.nonzero((a64 >= lo) & (a64 <= hi))[0].astype(np.int64)
+
+
+def test_range_positions_matches_brute_force_all_codecs():
+    from mapbox_vector_tile_spark.codec.search import range_positions
+
+    for a in _corpora():
+        amin, amax = int(a.min()), int(a.max())
+        intervals = [
+            (amin, amax),                      # everything
+            (amin - 10, amin - 1),             # below domain
+            (amax + 1, amax + 10),             # above domain
+            (amin, amin),                      # single value at edge
+            (amin + (amax - amin) // 3, amin + (amax - amin) // 2),
+            (5, -5),                           # empty interval
+            (-(2**40), 2**40),                 # beyond int32: clamps
+        ]
+        for codec_id in ALL_CODECS:
+            if codec_id == B.BITPACK_ZZ and a.min() == -(2**31):
+                continue
+            try:
+                buf = B.encode_block(a, codec_id, ChunkAnalysis(a))
+            except Exception:
+                continue
+            for lo, hi in intervals:
+                pos, dec = range_positions(buf, lo, hi)
+                np.testing.assert_array_equal(pos, _brute_range(a, lo, hi))
+                assert 0 <= dec <= 2 * a.size
+
+
+def test_range_pruning_skips_disjoint_domains():
+    from mapbox_vector_tile_spark.codec.search import range_positions
+
+    a = np.sort(RNG.integers(100, 200, 300)).astype(np.int32)
+    for codec_id in (B.FOR_BITPACK, B.RLE, B.DICT_BITPACK):
+        try:
+            buf = B.encode_block(a, codec_id, ChunkAnalysis(a))
+        except Exception:
+            continue
+        pos, dec = range_positions(buf, 10_000, 20_000)
+        assert pos.size == 0 and dec == 0
+    const = np.full(50, 7, np.int32)
+    buf = B.encode_block(const, B.CONSTANT, ChunkAnalysis(const))
+    assert range_positions(buf, 8, 100) == range_positions(buf, 8, 100)
+    pos, dec = range_positions(buf, 0, 100)
+    assert pos.size == 50 and dec == 0
+
+
+def test_search_token_range_spark(spark):
+    from pyspark.sql import functions as F
+
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.engine.encode import (
+        EncodeOptions,
+        encode_dataframe,
+    )
+    from mapbox_vector_tile_spark.engine.search import search_token_range
+
+    corpus = G.corpus_dataframe(spark, 200, num_partitions=2).cache()
+    blocks = encode_dataframe(corpus, EncodeOptions())
+    lo, hi = 100, 250
+    want = sorted(
+        (r.doc_id, r.n)
+        for r in corpus.select(
+            "doc_id",
+            F.size(
+                F.filter("tokens", lambda t: (t >= lo) & (t <= hi))
+            ).alias("n"),
+        ).filter("n > 0").collect()
+    )
+    got = sorted(
+        (r.doc_id, r.n_hits)
+        for r in search_token_range(blocks, lo, hi).collect()
+    )
+    assert got == want and len(got) > 0
