@@ -239,6 +239,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_range_search"] = token_range_search
 
+    # distinct-count pushdown: each chunk ships only its distinct set
+    # (dict chunks their table), the dedup shuffle never sees token streams
+    def distinct_token_pushdown(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import distinct_token_count
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return distinct_token_count(blocks)
+
+    q["distinct_token_pushdown"] = distinct_token_pushdown
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -591,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
     o["token_search_bloom"] = C.token_search_sql(509)
     o["token_stats_pushdown"] = C.value_stats_sql()
     o["token_range_search"] = C.token_range_search_sql(40000, 40500)
+    o["distinct_token_pushdown"] = C.distinct_count_sql()
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

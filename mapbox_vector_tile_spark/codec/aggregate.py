@@ -201,3 +201,65 @@ _STATS_BODY = {
     DICT_ESCAPE: _stats_dict_escape,
     PAGED: _stats_paged,
 }
+
+
+def distinct_values(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
+    """Sorted distinct int32 values of one framed block + values decoded.
+
+    The COUNT(DISTINCT) pushdown primitive: dictionary chunks return their
+    value table (O(table), zero stream decode), RLE returns unique run
+    values, CONSTANT its single value — only param-opaque codecs inflate.
+    """
+    mv = memoryview(buf)
+    magic, version, codec_id, n = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError(f"bad block magic {magic!r}")
+    if version != VERSION:
+        raise ValueError(f"unsupported block version {version}")
+    if n == 0:
+        return np.empty(0, np.int32), 0
+    body = mv[_HDR.size :]
+    if codec_id == CONSTANT:
+        (v,) = _CONST.unpack_from(body)
+        return np.array([v], np.int32), 0
+    if codec_id == RLE:
+        r, lw, vmin, vw = _RLE.unpack_from(body)
+        off = _RLE.size
+        lens_end = off + _nbytes(r, lw)
+        vals = vmin + K.bitunpack(body[lens_end:], vw, r).astype(np.int64)
+        return np.unique(vals).astype(np.int32), 0
+    if codec_id == DICT_BITPACK:
+        c, tmin, tw, _iw = _DICT.unpack_from(body)
+        off = _DICT.size
+        table = tmin + K.bitunpack(
+            body[off : off + _nbytes(c, tw)], tw, c
+        ).astype(np.int64)
+        # every table entry occurs (frequency-ordered build contract)
+        return np.sort(table).astype(np.int32), 0
+    if codec_id == DICT_ESCAPE:
+        k, c, n_esc, hmin, hw, emin, ew = _DESC.unpack_from(body)
+        off = _DESC.size
+        head_end = off + _nbytes(c, hw)
+        codes_end = head_end + _nbytes(n, k)
+        table = hmin + K.bitunpack(body[off:head_end], hw, c).astype(np.int64)
+        if n_esc:
+            esc = emin + K.bitunpack(body[codes_end:], ew, n_esc).astype(
+                np.int64
+            )
+            table = np.concatenate([table, esc])
+        return np.unique(table).astype(np.int32), (n_esc if n_esc else 0)
+    if codec_id == PAGED:
+        _, n_pages = _PGD.unpack_from(body)
+        off = _PGD.size
+        lens = np.frombuffer(body, dtype="<u4", count=n_pages, offset=off)
+        off += 4 * n_pages
+        parts = []
+        decoded = 0
+        for ln in lens:
+            frame = body[off : off + int(ln)]
+            off += int(ln)
+            vals, dec = distinct_values(frame)
+            parts.append(vals)
+            decoded += dec
+        return np.unique(np.concatenate(parts)), decoded
+    return np.unique(_DECODERS[codec_id](body, n)), n

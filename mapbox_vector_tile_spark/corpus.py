@@ -283,6 +283,14 @@ FROM t
 """
 
 
+def distinct_count_sql(doc_source: str = "documents") -> str:
+    """COUNT(DISTINCT token) — oracle for the distinct-count pushdown."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct FROM t
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):

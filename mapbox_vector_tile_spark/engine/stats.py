@@ -90,3 +90,41 @@ def token_value_stats_by_codec(
         )
         .orderBy("codec")
     )
+
+
+def distinct_token_count(blocks_df: DataFrame) -> DataFrame:
+    """One row ``(n_distinct,)``: COUNT(DISTINCT token) over the corpus.
+
+    Pushdown shape: each chunk ships only its per-chunk distinct set
+    (:func:`..codec.aggregate.distinct_values` — dictionary chunks ship
+    their value TABLE without touching the O(n) index stream, RLE its run
+    values, CONSTANT one value), so the dedup shuffle carries per-chunk
+    uniques, never the token streams. On a clustered corpus the shuffle
+    volume is bounded by chunk-vocabulary sums — the map-side-distinct
+    analog of partial aggregation.
+    """
+    from collections.abc import Iterator as _It
+
+    from ..codec.aggregate import distinct_values
+
+    def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in batches:
+            payloads = batch.column("payload")
+            parts = [
+                distinct_values(memoryview(payloads[i].as_buffer()))[0]
+                for i in range(batch.num_rows)
+            ]
+            if parts:
+                # batch-local dedup before anything hits the shuffle
+                vals = np.unique(np.concatenate(parts))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vals, pa.int32())],
+                    schema=pa.schema([("tok", pa.int32())]),
+                )
+
+    partial = blocks_df.select("payload").mapInArrow(fn, "tok int")
+    return partial.agg(
+        F.count_distinct("tok").cast("long").alias("n_distinct")
+    )

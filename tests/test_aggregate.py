@@ -149,3 +149,44 @@ def test_pushdown_on_clustered_table(spark):
             assert by[codec].values_decoded == 0
     assert any(r.values_decoded == 0 and r.n_values > 0 for r in tele)
     assert sum(r.values_decoded for r in tele) < sum(r.n_values for r in tele)
+
+
+def test_distinct_values_matches_numpy_all_codecs():
+    from mapbox_vector_tile_spark.codec.aggregate import distinct_values
+
+    for a in _corpora():
+        for codec_id in ALL_CODECS:
+            if codec_id == B.BITPACK_ZZ and a.min() == -(2**31):
+                continue
+            try:
+                buf = B.encode_block(a, codec_id, ChunkAnalysis(a))
+            except Exception:
+                continue
+            vals, dec = distinct_values(buf)
+            np.testing.assert_array_equal(vals, np.unique(a))
+            assert 0 <= dec <= 2 * a.size
+    # metadata-only codecs ship their tables without stream decode
+    dictish = RNG.integers(0, 16, 400).astype(np.int32)
+    _, dec = distinct_values(
+        B.encode_block(dictish, B.DICT_BITPACK, ChunkAnalysis(dictish))
+    )
+    assert dec == 0
+    runs = np.repeat(np.arange(5, dtype=np.int32), 40)
+    _, dec = distinct_values(B.encode_block(runs, B.RLE, ChunkAnalysis(runs)))
+    assert dec == 0
+
+
+def test_distinct_token_count_spark(spark):
+    from mapbox_vector_tile_spark.engine.stats import distinct_token_count
+
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=3).cache()
+    blocks = encode_dataframe(corpus, EncodeOptions())
+    got = distinct_token_count(blocks).first().n_distinct
+    want = (
+        decode_dataframe(blocks)
+        .select(F.explode("tokens").alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    assert got == want > 0
