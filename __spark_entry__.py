@@ -250,6 +250,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct_token_pushdown"] = distinct_token_pushdown
 
+    # GROUP-BY-value pushdown: exact histogram of a vocabulary range,
+    # RLE/dict chunks answering from run/code metadata
+    def token_histogram_pushdown(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import token_histogram
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return token_histogram(blocks, 0, 63)
+
+    q["token_histogram_pushdown"] = token_histogram_pushdown
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -603,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
     o["token_stats_pushdown"] = C.value_stats_sql()
     o["token_range_search"] = C.token_range_search_sql(40000, 40500)
     o["distinct_token_pushdown"] = C.distinct_count_sql()
+    o["token_histogram_pushdown"] = C.token_histogram_sql(0, 63)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

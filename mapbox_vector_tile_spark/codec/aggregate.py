@@ -263,3 +263,85 @@ def distinct_values(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
             decoded += dec
         return np.unique(np.concatenate(parts)), decoded
     return np.unique(_DECODERS[codec_id](body, n)), n
+
+
+def range_histogram(
+    buf: bytes | memoryview, lo: int, hi: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """``(values, counts, values_decoded)`` for ``lo <= value <= hi``.
+
+    The GROUP-BY-value pushdown primitive (vocabulary-distribution audits):
+    RLE aggregates run lengths by run value (O(runs)), CONSTANT is closed
+    form, dictionaries bincount their code stream against an in-range code
+    mask without rebuilding values, FOR histograms the relative stream.
+    ``values`` is sorted ascending; counts are exact.
+    """
+    lo, hi = int(lo), int(hi)
+    mv = memoryview(buf)
+    magic, version, codec_id, n = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError(f"bad block magic {magic!r}")
+    if version != VERSION:
+        raise ValueError(f"unsupported block version {version}")
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), 0)
+    if n == 0 or hi < lo:
+        return empty
+    body = mv[_HDR.size :]
+    if codec_id == CONSTANT:
+        (v,) = _CONST.unpack_from(body)
+        if lo <= v <= hi:
+            return np.array([v], np.int64), np.array([n], np.int64), 0
+        return empty
+    if codec_id == RLE:
+        r, lw, vmin, vw = _RLE.unpack_from(body)
+        off = _RLE.size
+        lens_end = off + _nbytes(r, lw)
+        vals = vmin + K.bitunpack(body[lens_end:], vw, r).astype(np.int64)
+        m = (vals >= lo) & (vals <= hi)
+        if not m.any():
+            return empty
+        lens = K.bitunpack(body[off:lens_end], lw, r).astype(np.int64) + 1
+        uv, inv = np.unique(vals[m], return_inverse=True)
+        counts = np.zeros(uv.size, np.int64)
+        np.add.at(counts, inv, lens[m])
+        return uv, counts, 0
+    if codec_id == DICT_BITPACK:
+        c, tmin, tw, iw = _DICT.unpack_from(body)
+        off = _DICT.size
+        table = tmin + K.bitunpack(
+            body[off : off + _nbytes(c, tw)], tw, c
+        ).astype(np.int64)
+        in_range = (table >= lo) & (table <= hi)
+        if not in_range.any():
+            return empty
+        idx = K.bitunpack(body[off + _nbytes(c, tw) :], iw, n)
+        code_counts = np.bincount(idx.astype(np.int64), minlength=c)[:c]
+        keep = in_range & (code_counts > 0)
+        order = np.argsort(table[keep], kind="stable")
+        return table[keep][order], code_counts[keep][order], n
+    if codec_id == PAGED:
+        _, n_pages = _PGD.unpack_from(body)
+        off = _PGD.size
+        lens = np.frombuffer(body, dtype="<u4", count=n_pages, offset=off)
+        off += 4 * n_pages
+        acc: dict[int, int] = {}
+        decoded = 0
+        for ln in lens:
+            frame = body[off : off + int(ln)]
+            off += int(ln)
+            uv, cnt, dec = range_histogram(frame, lo, hi)
+            decoded += dec
+            for v, c_ in zip(uv.tolist(), cnt.tolist()):
+                acc[v] = acc.get(v, 0) + c_
+        if not acc:
+            return np.empty(0, np.int64), np.empty(0, np.int64), decoded
+        keys = np.array(sorted(acc), np.int64)
+        return keys, np.array([acc[int(k)] for k in keys], np.int64), decoded
+    # generic: any codec with a registered decoder (incl. DICT_ESCAPE,
+    # FOR/zigzag — exact, O(n))
+    a = _DECODERS[codec_id](body, n).astype(np.int64)
+    m = (a >= lo) & (a <= hi)
+    if not m.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64), n
+    uv, cnt = np.unique(a[m], return_counts=True)
+    return uv, cnt.astype(np.int64), n

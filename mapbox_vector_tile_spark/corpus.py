@@ -291,6 +291,21 @@ SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct FROM t
 """
 
 
+def token_histogram_sql(
+    lo: int, hi: int, doc_source: str = "documents"
+) -> str:
+    """Exact per-value counts for tokens in ``[lo, hi]`` — oracle for the
+    GROUP-BY-value pushdown (:func:`.engine.stats.token_histogram`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT CAST(tok AS BIGINT) AS tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM t
+WHERE tok BETWEEN {lo} AND {hi}
+GROUP BY tok
+ORDER BY tok
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):

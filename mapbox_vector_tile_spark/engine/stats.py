@@ -128,3 +128,42 @@ def distinct_token_count(blocks_df: DataFrame) -> DataFrame:
     return partial.agg(
         F.count_distinct("tok").cast("long").alias("n_distinct")
     )
+
+
+def token_histogram(blocks_df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """``(tok, n)`` counts for every token value in ``[lo, hi]``.
+
+    Vocabulary-distribution audit with the same pushdown economics as the
+    other stats scans (:func:`..codec.aggregate.range_histogram`): RLE and
+    CONSTANT chunks contribute O(runs) work, dictionary chunks bincount
+    codes without rebuilding values, disjoint-domain chunks contribute
+    nothing. Partials are (value, count) pairs — the shuffle is bounded by
+    per-chunk in-range vocabulary, never token streams.
+    """
+    from collections.abc import Iterator as _It
+
+    from ..codec.aggregate import range_histogram
+
+    lo, hi = int(lo), int(hi)
+
+    def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            for i in range(batch.num_rows):
+                uv, cnt, _dec = range_histogram(
+                    memoryview(payloads[i].as_buffer()), lo, hi
+                )
+                if uv.size:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(uv, pa.int64()), pa.array(cnt, pa.int64())],
+                        schema=pa.schema(
+                            [("tok", pa.int64()), ("n", pa.int64())]
+                        ),
+                    )
+
+    partial = blocks_df.select("payload").mapInArrow(fn, "tok long, n long")
+    return (
+        partial.groupBy("tok")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("tok")
+    )

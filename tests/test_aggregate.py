@@ -190,3 +190,65 @@ def test_distinct_token_count_spark(spark):
         .count()
     )
     assert got == want > 0
+
+
+def test_range_histogram_matches_numpy_all_codecs():
+    from mapbox_vector_tile_spark.codec.aggregate import range_histogram
+
+    for a in _corpora():
+        amin, amax = int(a.min()), int(a.max())
+        intervals = [
+            (amin, amax),
+            (amin - 5, amin - 1),
+            (amin + (amax - amin) // 3, amin + (amax - amin) // 2),
+        ]
+        for codec_id in ALL_CODECS:
+            if codec_id == B.BITPACK_ZZ and a.min() == -(2**31):
+                continue
+            try:
+                buf = B.encode_block(a, codec_id, ChunkAnalysis(a))
+            except Exception:
+                continue
+            for lo, hi in intervals:
+                uv, cnt, dec = range_histogram(buf, lo, hi)
+                a64 = a.astype(np.int64)
+                sel = a64[(a64 >= lo) & (a64 <= hi)]
+                wu, wc = np.unique(sel, return_counts=True)
+                np.testing.assert_array_equal(uv, wu)
+                np.testing.assert_array_equal(cnt, wc)
+                assert 0 <= dec <= 2 * a.size
+
+
+def test_range_histogram_metadata_codecs_decode_nothing():
+    from mapbox_vector_tile_spark.codec.aggregate import range_histogram
+
+    runs = np.repeat(np.arange(10, dtype=np.int32) * 3, 25)
+    buf = B.encode_block(runs, B.RLE, ChunkAnalysis(runs))
+    uv, cnt, dec = range_histogram(buf, 0, 12)
+    np.testing.assert_array_equal(uv, [0, 3, 6, 9, 12])
+    assert cnt.sum() == 5 * 25 and dec == 0
+
+    const = np.full(70, 4, np.int32)
+    buf = B.encode_block(const, B.CONSTANT, ChunkAnalysis(const))
+    assert range_histogram(buf, 0, 10)[1].tolist() == [70]
+    assert range_histogram(buf, 5, 10)[0].size == 0
+
+
+def test_token_histogram_spark(spark):
+    from mapbox_vector_tile_spark.engine.stats import token_histogram
+
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=3).cache()
+    blocks = encode_dataframe(corpus, EncodeOptions())
+    lo, hi = 0, 63
+    got = [(r.tok, r.n) for r in token_histogram(blocks, lo, hi).collect()]
+    want = [
+        (r.tok, r.n)
+        for r in decode_dataframe(blocks)
+        .select(F.explode("tokens").alias("tok"))
+        .filter(f"tok between {lo} and {hi}")
+        .groupBy(F.col("tok").cast("long").alias("tok"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("tok")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
