@@ -261,6 +261,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_histogram_pushdown"] = token_histogram_pushdown
 
+    # vocabulary remap INSIDE encoded blocks: dict tables / run values /
+    # constants rewritten in place, index and length streams byte-verbatim;
+    # only param-free codecs pay a decode->re-encode
+    def vocab_remap_pushdown(spark, sf_dir):
+        from mapbox_vector_tile_spark.codec.remap import make_range_shift_map
+        from mapbox_vector_tile_spark.engine.remap import remap_blocks
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        remapped = remap_blocks(
+            blocks, make_range_shift_map(0, 255, 1_000_000)
+        )
+        return regime_rollup(with_doc_checksums(decode_dataframe(remapped)))
+
+    q["vocab_remap_pushdown"] = vocab_remap_pushdown
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -615,6 +631,9 @@ def oracle_sql() -> dict[str, str]:
     o["token_range_search"] = C.token_range_search_sql(40000, 40500)
     o["distinct_token_pushdown"] = C.distinct_count_sql()
     o["token_histogram_pushdown"] = C.token_histogram_sql(0, 63)
+    o["vocab_remap_pushdown"] = C.per_regime_checksum_mapped_sql(
+        "(CASE WHEN tok BETWEEN 0 AND 255 THEN tok + 1000000 ELSE tok END)"
+    )
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )
