@@ -277,6 +277,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_remap_pushdown"] = vocab_remap_pushdown
 
+    # exact heavy hitters: full-domain histogram partials from codec
+    # metadata, TakeOrderedAndProject top-k (no global sort)
+    def top_k_frequent_tokens(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import top_k_tokens
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return top_k_tokens(blocks, 20)
+
+    q["top_k_frequent_tokens"] = top_k_frequent_tokens
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -634,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
     o["vocab_remap_pushdown"] = C.per_regime_checksum_mapped_sql(
         "(CASE WHEN tok BETWEEN 0 AND 255 THEN tok + 1000000 ELSE tok END)"
     )
+    o["top_k_frequent_tokens"] = C.top_k_tokens_sql(20)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

@@ -306,6 +306,20 @@ ORDER BY tok
 """
 
 
+def top_k_tokens_sql(k: int, doc_source: str = "documents") -> str:
+    """Exact ``k`` most frequent tokens, ties broken by token id — oracle
+    for the heavy-hitter audit (:func:`.engine.stats.top_k_tokens`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT CAST(tok AS BIGINT) AS tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM t
+WHERE tok IS NOT NULL
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT {int(k)}
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):

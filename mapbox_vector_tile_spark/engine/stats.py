@@ -130,8 +130,8 @@ def distinct_token_count(blocks_df: DataFrame) -> DataFrame:
     )
 
 
-def token_histogram(blocks_df: DataFrame, lo: int, hi: int) -> DataFrame:
-    """``(tok, n)`` counts for every token value in ``[lo, hi]``.
+def _histogram_counts(blocks_df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Unordered ``(tok, n)`` counts for token values in ``[lo, hi]``.
 
     Vocabulary-distribution audit with the same pushdown economics as the
     other stats scans (:func:`..codec.aggregate.range_histogram`): RLE and
@@ -162,8 +162,23 @@ def token_histogram(blocks_df: DataFrame, lo: int, hi: int) -> DataFrame:
                     )
 
     partial = blocks_df.select("payload").mapInArrow(fn, "tok long, n long")
-    return (
-        partial.groupBy("tok")
-        .agg(F.sum("n").alias("n"))
-        .orderBy("tok")
-    )
+    return partial.groupBy("tok").agg(F.sum("n").alias("n"))
+
+
+def token_histogram(blocks_df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """``(tok, n)`` counts for every token value in ``[lo, hi]``, ascending."""
+    return _histogram_counts(blocks_df, lo, hi).orderBy("tok")
+
+
+def top_k_tokens(blocks_df: DataFrame, k: int) -> DataFrame:
+    """Exact ``k`` most frequent tokens ``(tok, n)`` — the vocabulary-audit
+    twin of :func:`token_histogram` over the full value domain.
+
+    Per-chunk partials come from the same codec pushdown (dict chunks
+    bincount codes, RLE aggregates runs); the global combine is a hash
+    aggregate whose shuffle is bounded by per-chunk vocabularies, and the
+    final ``ORDER BY n DESC LIMIT k`` compiles to TakeOrderedAndProject
+    (per-partition top-k heaps, no global sort). Ties break on the token
+    id, so the result is deterministic across parallelism levels."""
+    counts = _histogram_counts(blocks_df, -(2**31), 2**31 - 1)
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(int(k))

@@ -234,6 +234,27 @@ def test_range_histogram_metadata_codecs_decode_nothing():
     assert range_histogram(buf, 5, 10)[0].size == 0
 
 
+def test_top_k_tokens_spark(spark):
+    from mapbox_vector_tile_spark.engine.stats import top_k_tokens
+
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=3).cache()
+    blocks = encode_dataframe(corpus, EncodeOptions())
+    k = 15
+    plan = top_k_tokens(blocks, k)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+    got = [(r.tok, r.n) for r in top_k_tokens(blocks, k).collect()]
+    want = (
+        decode_dataframe(blocks)
+        .select(F.explode("tokens").alias("tok"))
+        .groupBy(F.col("tok").cast("long").alias("tok"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+        .collect()
+    )
+    assert got == [(r.tok, r.n) for r in want] and len(got) == k
+
+
 def test_token_histogram_spark(spark):
     from mapbox_vector_tile_spark.engine.stats import token_histogram
 
