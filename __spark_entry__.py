@@ -288,6 +288,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_k_frequent_tokens"] = top_k_frequent_tokens
 
+    # n-gram audit: windows expanded JVM-side (sequence/transform/explode),
+    # exact counts, TakeOrderedAndProject top-k — runs over the decoded
+    # table, so it also exercises the decode path end-to-end
+    def bigram_top_k(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.ngrams import top_k_ngrams
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return top_k_ngrams(decode_dataframe(blocks), 2, 25)
+
+    q["bigram_top_k"] = bigram_top_k
+
+    def trigram_top_k(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.ngrams import top_k_ngrams
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return top_k_ngrams(decode_dataframe(blocks), 3, 25)
+
+    q["trigram_top_k"] = trigram_top_k
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -646,6 +667,8 @@ def oracle_sql() -> dict[str, str]:
         "(CASE WHEN tok BETWEEN 0 AND 255 THEN tok + 1000000 ELSE tok END)"
     )
     o["top_k_frequent_tokens"] = C.top_k_tokens_sql(20)
+    o["bigram_top_k"] = C.top_k_ngrams_sql(2, 25)
+    o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

@@ -320,6 +320,34 @@ LIMIT {int(k)}
 """
 
 
+def top_k_ngrams_sql(n: int, k: int, doc_source: str = "documents") -> str:
+    """``k`` most frequent token ``n``-grams (ties by gram) — oracle for
+    the n-gram audit (:func:`.functions.ngrams.top_k_ngrams`)."""
+    leads = ",\n           ".join(
+        ["tok AS t0"]
+        + [
+            f"LEAD(tok, {d}) OVER (PARTITION BY doc_id ORDER BY j) AS t{d}"
+            for d in range(1, n)
+        ]
+    )
+    cols = ", ".join(f"t{d}" for d in range(n))
+    casts = ", ".join(f"CAST(t{d} AS BIGINT) AS t{d}" for d in range(n))
+    full = " AND ".join(f"t{d} IS NOT NULL" for d in range(n))
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  g AS (
+    SELECT {leads}
+    FROM t WHERE j IS NOT NULL
+  )
+SELECT {casts}, CAST(COUNT(*) AS BIGINT) AS n
+FROM g
+WHERE {full}
+GROUP BY {cols}
+ORDER BY n DESC, {cols}
+LIMIT {int(k)}
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):
