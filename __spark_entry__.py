@@ -309,6 +309,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trigram_top_k"] = trigram_top_k
 
+    # inverted token index: posting lists stored as the engine's own
+    # frames (d-gap delta/FOR compression), doc-range segment sharding
+    def _hot_index(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import build_token_index
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return build_token_index(decode_dataframe(blocks), lo=0, hi=63)
+
+    def inverted_index_lookup(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import lookup_token
+
+        return lookup_token(_hot_index(spark, sf_dir), 42)
+
+    q["inverted_index_lookup"] = inverted_index_lookup
+
+    def inverted_index_and_search(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import search_token_and
+
+        return search_token_and(_hot_index(spark, sf_dir), 3, 5)
+
+    q["inverted_index_and_search"] = inverted_index_and_search
+
+    # manifest-only stats: no posting blob decoded
+    def inverted_index_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import index_token_stats
+
+        return index_token_stats(_hot_index(spark, sf_dir))
+
+    q["inverted_index_stats"] = inverted_index_stats
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -669,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
     o["top_k_frequent_tokens"] = C.top_k_tokens_sql(20)
     o["bigram_top_k"] = C.top_k_ngrams_sql(2, 25)
     o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
+    o["inverted_index_lookup"] = C.token_search_sql(42)
+    o["inverted_index_and_search"] = C.and_search_sql(3, 5)
+    o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

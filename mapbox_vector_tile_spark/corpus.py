@@ -348,6 +348,39 @@ LIMIT {int(k)}
 """
 
 
+def index_token_stats_sql(
+    lo: int, hi: int, doc_source: str = "documents"
+) -> str:
+    """Per-token doc/hit counts for the indexed range — oracle for the
+    inverted-index manifest stats (:func:`.engine.index.index_token_stats`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+SELECT CAST(tok AS BIGINT) AS tok,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM t
+WHERE tok BETWEEN {lo} AND {hi}
+GROUP BY tok
+ORDER BY tok
+"""
+
+
+def and_search_sql(x: int, y: int, doc_source: str = "documents") -> str:
+    """Docs containing BOTH ``x`` and ``y`` with per-term hit counts —
+    oracle for the posting-list intersection
+    (:func:`.engine.index.search_token_and`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  a AS (SELECT doc_id, COUNT(*) AS n FROM t WHERE tok = {x} GROUP BY doc_id),
+  b AS (SELECT doc_id, COUNT(*) AS n FROM t WHERE tok = {y} GROUP BY doc_id)
+SELECT printf('doc-%08d', a.doc_id) AS doc_id,
+       CAST(a.n AS BIGINT) AS x_hits,
+       CAST(b.n AS BIGINT) AS y_hits
+FROM a JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):

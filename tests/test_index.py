@@ -1,0 +1,117 @@
+"""Inverted token index: build, lookup, intersection, manifest stats.
+
+Parity against brute-force explode/filter over the decoded corpus;
+segment sharding proven with a tiny segment width (results identical,
+multiple segments per token); posting compression proven by d-gap blobs
+beating RAW on dense doc lists."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.codec import blocks as B
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+from mapbox_vector_tile_spark.engine.encode import (
+    EncodeOptions,
+    encode_dataframe,
+)
+from mapbox_vector_tile_spark.engine.index import (
+    build_token_index,
+    index_token_stats,
+    lookup_token,
+    search_token_and,
+)
+
+
+def _decoded(spark, n=300):
+    corpus = G.corpus_dataframe(spark, n, num_partitions=3)
+    return decode_dataframe(encode_dataframe(corpus, EncodeOptions())).cache()
+
+
+def _brute_hits(decoded, x):
+    return {
+        r.doc_id: r.n
+        for r in decoded.select(
+            "doc_id", F.explode("tokens").alias("tok")
+        )
+        .filter(F.col("tok") == x)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_lookup_matches_brute_force(spark):
+    decoded = _decoded(spark)
+    idx = build_token_index(decoded, lo=0, hi=63).cache()
+    for x in (3, 42, 63):
+        got = {r.doc_id: r.n_hits for r in lookup_token(idx, x).collect()}
+        assert got == _brute_hits(decoded, x)
+        assert len(got) > 0
+
+
+def test_and_search_matches_brute_force(spark):
+    decoded = _decoded(spark)
+    idx = build_token_index(decoded, lo=0, hi=63).cache()
+    a, b = _brute_hits(decoded, 3), _brute_hits(decoded, 5)
+    want = {d: (a[d], b[d]) for d in a.keys() & b.keys()}
+    got = {
+        r.doc_id: (r.x_hits, r.y_hits)
+        for r in search_token_and(idx, 3, 5).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stats_from_manifest_only(spark):
+    decoded = _decoded(spark)
+    idx = build_token_index(decoded, lo=0, hi=15)
+    got = {(r.tok): (r.n_docs, r.n_hits) for r in index_token_stats(idx).collect()}
+    want = {}
+    rows = (
+        decoded.select("doc_id", F.explode("tokens").alias("tok"))
+        .filter((F.col("tok") >= 0) & (F.col("tok") <= 15))
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("d"),
+            F.count("*").alias("h"),
+        )
+        .collect()
+    )
+    for r in rows:
+        want[r.tok] = (r.d, r.h)
+    assert got == want and len(got) > 0
+
+
+def test_segment_sharding_preserves_results(spark):
+    decoded = _decoded(spark, n=200)
+    wide = build_token_index(decoded, lo=0, hi=15).cache()
+    narrow = build_token_index(decoded, lo=0, hi=15, segment_docs=8).cache()
+    # tiny segments really shard heavy tokens
+    seg_counts = (
+        narrow.groupBy("tok").agg(F.count("*").alias("segs")).collect()
+    )
+    assert max(r.segs for r in seg_counts) > 1
+    for x in (1, 7):
+        a = {r.doc_id: r.n_hits for r in lookup_token(wide, x).collect()}
+        b = {r.doc_id: r.n_hits for r in lookup_token(narrow, x).collect()}
+        assert a == b and len(a) > 0
+
+
+def test_postings_compress_as_dgaps(spark):
+    decoded = _decoded(spark)
+    idx = build_token_index(decoded, lo=0, hi=7)
+    row = (
+        idx.filter(F.col("n_docs") > 50)
+        .orderBy(F.desc("n_docs"))
+        .first()
+    )
+    info = B.block_info(row.doc_blob)
+    # sorted doc ids must pick a delta/FOR-family codec and beat RAW
+    assert info.codec in {
+        "delta_zz_varint", "delta_zz_bitpack", "for_bitpack", "rle",
+        "bitpack_zz", "dict_bitpack", "paged",
+    }
+    assert len(row.doc_blob) < B.header_size() + 4 * row.n_docs
+    docs = B.decode_block(row.doc_blob)
+    assert np.all(np.diff(docs) > 0)  # strictly increasing, no dup docs
