@@ -340,6 +340,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["inverted_index_stats"] = inverted_index_stats
 
+    # deterministic train/val/test split: pure function of doc identity
+    # (multiplicative hash), stable across reruns/parallelism — rollup of
+    # the decoded corpus per split proves exact membership
+    def deterministic_split_rollup(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.split import with_split
+
+        tokens = _corpus(spark, sf_dir)
+        decoded = decode_dataframe(encode_dataframe(tokens, EncodeOptions()))
+        d = with_split(
+            with_doc_checksums(decoded),
+            {"train": 980, "val": 10, "test": 10},
+        )
+        return (
+            d.groupBy("split")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("sum_n_tok"),
+                F.sum("tok_cks").cast("long").alias("sum_tok_cks"),
+            )
+            .orderBy("split")
+        )
+
+    q["deterministic_split_rollup"] = deterministic_split_rollup
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -703,6 +727,13 @@ def oracle_sql() -> dict[str, str]:
     o["inverted_index_lookup"] = C.token_search_sql(42)
     o["inverted_index_and_search"] = C.and_search_sql(3, 5)
     o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
+    from mapbox_vector_tile_spark.functions.split import split_sql
+
+    o["deterministic_split_rollup"] = C.per_split_checksum_sql(
+        split_sql(
+            {"train": 980, "val": 10, "test": 10}, "per_doc.doc_id"
+        )
+    )
     o["merge_on_read_deletes"] = C.per_regime_checksum_sql(
         "documents WHERE doc_id % 17 <> 3"
     )

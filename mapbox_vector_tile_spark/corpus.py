@@ -381,6 +381,29 @@ ORDER BY doc_id
 """
 
 
+def per_split_checksum_sql(
+    split_case: str, doc_source: str = "documents"
+) -> str:
+    """Rollup keyed by a deterministic split assignment (``split_case`` is
+    a SQL CASE over ``per_doc.doc_id``) — oracle for
+    :mod:`.functions.split`."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  per_doc AS (
+    SELECT doc_id, n_tok,
+           ((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS cks
+    FROM t GROUP BY doc_id, n_tok
+  )
+SELECT {split_case} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(SUM(cks) AS BIGINT) AS sum_tok_cks
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):
