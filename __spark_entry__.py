@@ -364,6 +364,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["deterministic_split_rollup"] = deterministic_split_rollup
 
+    # incremental index maintenance: base index over snapshot 1, CDC
+    # window (1 -> 3: append odds, delete %17==3) folded in WITHOUT
+    # re-reading the old corpus; stats must equal an index over the
+    # final live doc set
+    def incremental_index_maintenance(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+        from mapbox_vector_tile_spark.engine.index import (
+            build_token_index,
+            index_token_stats,
+            update_token_index,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_idx_cdc_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            tokens = _corpus(spark, sf_dir)
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 0), EncodeOptions()
+                ),
+            )
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 1), EncodeOptions()
+                ),
+            )
+            S.commit_deletes(
+                root, tokens.select("doc_id").filter(doc_num_expr() % 17 == 3)
+            )
+            base = build_token_index(S.decode_at(spark, root, 1), lo=0, hi=63)
+            inserted, deleted_ids = S.incremental_changes(spark, root, 1, 3)
+            updated = update_token_index(
+                base, inserted, deleted_ids, lo=0, hi=63
+            )
+            res = index_token_stats(updated)
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["incremental_index_maintenance"] = incremental_index_maintenance
+
     # snapshot commits + time travel: three commits (append evens, append
     # odds, equality-delete sidecar), then per-regime rollups of the decoded
     # table AS OF each snapshot — history stays readable after later commits
@@ -729,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
     o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.split import split_sql
 
+    o["incremental_index_maintenance"] = C.index_token_stats_sql(
+        0, 63, "documents WHERE doc_id % 17 <> 3"
+    )
     o["deterministic_split_rollup"] = C.per_split_checksum_sql(
         split_sql(
             {"train": 980, "val": 10, "test": 10}, "per_doc.doc_id"

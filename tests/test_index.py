@@ -98,6 +98,69 @@ def test_segment_sharding_preserves_results(spark):
         assert a == b and len(a) > 0
 
 
+def test_incremental_update_matches_rebuild(spark):
+    from mapbox_vector_tile_spark.engine.index import update_token_index
+    from mapbox_vector_tile_spark.engine.verify import doc_num_expr
+
+    decoded = _decoded(spark, n=300)
+    num = doc_num_expr()
+    base_docs = decoded.filter(num < 200)
+    inserted = decoded.filter(num >= 200)
+    deleted_ids = decoded.filter(
+        (num % 29 == 1) & (num < 64)  # all deletes live in segment 0
+    ).select("doc_id")
+
+    base = build_token_index(base_docs, lo=0, hi=15, segment_docs=64).cache()
+    updated = update_token_index(
+        base, inserted, deleted_ids, lo=0, hi=15, segment_docs=64
+    ).cache()
+    final_docs = decoded.join(deleted_ids, "doc_id", "left_anti")
+    scratch = build_token_index(
+        final_docs, lo=0, hi=15, segment_docs=64
+    ).cache()
+
+    got_stats = {
+        r.tok: (r.n_docs, r.n_hits)
+        for r in index_token_stats(updated).collect()
+    }
+    want_stats = {
+        r.tok: (r.n_docs, r.n_hits)
+        for r in index_token_stats(scratch).collect()
+    }
+    assert got_stats == want_stats and len(got_stats) > 0
+    for x in (1, 7, 15):
+        a = {r.doc_id: r.n_hits for r in lookup_token(updated, x).collect()}
+        b = {r.doc_id: r.n_hits for r in lookup_token(scratch, x).collect()}
+        assert a == b
+
+    # segments untouched by deletes or inserts pass through byte-verbatim
+    # (all deletes live in segment 0; inserts live in segments >= 3)
+    old_blobs = {
+        (r.tok, r.segment): (bytes(r.doc_blob), bytes(r.cnt_blob))
+        for r in base.filter(F.col("segment").isin([1, 2])).collect()
+    }
+    new_blobs = {
+        (r.tok, r.segment): (bytes(r.doc_blob), bytes(r.cnt_blob))
+        for r in updated.filter(F.col("segment").isin([1, 2])).collect()
+    }
+    assert old_blobs == new_blobs and len(old_blobs) > 0
+
+
+def test_incremental_update_rejects_duplicate_inserts(spark):
+    import pytest
+
+    from mapbox_vector_tile_spark.engine.index import update_token_index
+
+    decoded = _decoded(spark, n=100)
+    base = build_token_index(decoded, lo=0, hi=15, segment_docs=64)
+    empty_dels = decoded.select("doc_id").limit(0)
+    dup = update_token_index(
+        base, decoded.limit(5), empty_dels, lo=0, hi=15, segment_docs=64
+    )
+    with pytest.raises(Exception, match="duplicate doc"):
+        dup.collect()
+
+
 def test_postings_compress_as_dgaps(spark):
     decoded = _decoded(spark)
     idx = build_token_index(decoded, lo=0, hi=7)
