@@ -364,6 +364,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["deterministic_split_rollup"] = deterministic_split_rollup
 
+    # sequence-length distribution from lengths_blob alone: payload bytes
+    # pruned out of the scan entirely (O(docs), never O(tokens))
+    def doc_length_histogram_q(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import doc_length_histogram
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return doc_length_histogram(blocks)
+
+    q["doc_length_histogram"] = doc_length_histogram_q
+
     # incremental index maintenance: base index over snapshot 1, CDC
     # window (1 -> 3: append odds, delete %17==3) folded in WITHOUT
     # re-reading the old corpus; stats must equal an index over the
@@ -777,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
     o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.split import split_sql
 
+    o["doc_length_histogram"] = C.doc_length_histogram_sql()
     o["incremental_index_maintenance"] = C.index_token_stats_sql(
         0, 63, "documents WHERE doc_id % 17 <> 3"
     )

@@ -404,6 +404,19 @@ ORDER BY 1
 """
 
 
+def doc_length_histogram_sql(doc_source: str = "documents") -> str:
+    """Sequence-length distribution straight from the params CTE — oracle
+    for :func:`.engine.stats.doc_length_histogram` (lengths-only scan)."""
+    return f"""
+WITH{params_cte_sql(doc_source)}
+SELECT CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p
+GROUP BY n_tok
+ORDER BY n_tok
+"""
+
+
 def snapshot_rollup_sql(snapshots: list[tuple[int, str]]) -> str:
     """UNION ALL of per-regime rollups, one per (snapshot_ord, doc-source
     relation) — oracle for time-travel reads (:mod:`.engine.snapshots`):

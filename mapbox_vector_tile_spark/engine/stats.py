@@ -170,6 +170,51 @@ def token_histogram(blocks_df: DataFrame, lo: int, hi: int) -> DataFrame:
     return _histogram_counts(blocks_df, lo, hi).orderBy("tok")
 
 
+def doc_length_histogram(blocks_df: DataFrame) -> DataFrame:
+    """``(n_tok, n_docs)`` — the sequence-length distribution a training
+    pipeline sizes its packing/context-window decisions from.
+
+    Answered from ``lengths_blob`` alone: the per-doc length stream is its
+    own (tiny) encoded block, so the scan decodes O(docs) values and NEVER
+    touches ``payload`` — Catalyst prunes the token bytes out of the
+    parquet read entirely (the projection is the proof; see PLANS.md).
+    Partials are batch-local (length, count) pairs; the shuffle is bounded
+    by distinct lengths per batch."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    from ..codec.blocks import decode_block
+
+    def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for batch in batches:
+            blobs = batch.column("lengths_blob")
+            parts = [
+                decode_block(memoryview(blobs[i].as_buffer())).astype(
+                    np.int64
+                )
+                for i in range(batch.num_rows)
+            ]
+            if parts:
+                uv, cnt = np.unique(np.concatenate(parts), return_counts=True)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(uv, pa.int64()),
+                     pa.array(cnt.astype(np.int64), pa.int64())],
+                    schema=pa.schema(
+                        [("n_tok", pa.int64()), ("n_docs", pa.int64())]
+                    ),
+                )
+
+    partial = blocks_df.select("lengths_blob").mapInArrow(
+        fn, "n_tok long, n_docs long"
+    )
+    return (
+        partial.groupBy("n_tok")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .orderBy("n_tok")
+    )
+
+
 def top_k_tokens(blocks_df: DataFrame, k: int) -> DataFrame:
     """Exact ``k`` most frequent tokens ``(tok, n)`` — the vocabulary-audit
     twin of :func:`token_histogram` over the full value domain.

@@ -255,6 +255,35 @@ def test_top_k_tokens_spark(spark):
     assert got == [(r.tok, r.n) for r in want] and len(got) == k
 
 
+def test_doc_length_histogram_lengths_only_scan(spark, tmp_path):
+    from mapbox_vector_tile_spark.engine.stats import doc_length_histogram
+
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=3).cache()
+    blocks = encode_dataframe(corpus, EncodeOptions())
+    path = str(tmp_path / "blocks")
+    blocks.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    got = [(r.n_tok, r.n_docs) for r in doc_length_histogram(stored).collect()]
+    want = [
+        (r.n_tok, r.n)
+        for r in corpus.groupBy(F.col("n_tok").cast("long").alias("n_tok"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("n_tok")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # payload never read: column pruning reaches the parquet scan
+    plan = (
+        doc_length_histogram(stored)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lengths_blob" in plan and "payload" not in plan
+
+
 def test_token_histogram_spark(spark):
     from mapbox_vector_tile_spark.engine.stats import token_histogram
 
