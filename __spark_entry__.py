@@ -375,6 +375,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_length_histogram"] = doc_length_histogram_q
 
+    # eval decontamination: per-eval-doc count of distinct 5-grams that
+    # occur verbatim anywhere in the train split (exact tuple join; train
+    # side reduced to its distinct gram set before the join)
+    def ngram_contamination_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.ngrams import (
+            ngram_contamination,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        decoded = decode_dataframe(encode_dataframe(tokens, EncodeOptions()))
+        num = doc_num_expr()
+        train = decoded.filter(num % 10 != 0)
+        evals = decoded.filter(num % 10 == 0)
+        return ngram_contamination(train, evals, 5)
+
+    q["ngram_contamination_screen"] = ngram_contamination_screen
+
     # incremental index maintenance: base index over snapshot 1, CDC
     # window (1 -> 3: append odds, delete %17==3) folded in WITHOUT
     # re-reading the old corpus; stats must equal an index over the
@@ -789,6 +806,9 @@ def oracle_sql() -> dict[str, str]:
     from mapbox_vector_tile_spark.functions.split import split_sql
 
     o["doc_length_histogram"] = C.doc_length_histogram_sql()
+    o["ngram_contamination_screen"] = C.ngram_contamination_sql(
+        5, "doc_id % 10 <> 0", "doc_id % 10 = 0"
+    )
     o["incremental_index_maintenance"] = C.index_token_stats_sql(
         0, 63, "documents WHERE doc_id % 17 <> 3"
     )

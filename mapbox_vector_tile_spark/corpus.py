@@ -404,6 +404,43 @@ ORDER BY 1
 """
 
 
+def ngram_contamination_sql(
+    n: int, train_pred: str, eval_pred: str,
+    doc_source: str = "documents",
+) -> str:
+    """Per-eval-doc count of distinct ``n``-grams shared with the train
+    split — oracle for :func:`.functions.ngrams.ngram_contamination`.
+    ``train_pred``/``eval_pred`` are predicates over the numeric
+    ``doc_id``."""
+    leads = ",\n           ".join(
+        ["doc_id", "tok AS t0"]
+        + [
+            f"LEAD(tok, {d}) OVER (PARTITION BY doc_id ORDER BY j) AS t{d}"
+            for d in range(1, n)
+        ]
+    )
+    cols = ", ".join(f"t{d}" for d in range(n))
+    full = " AND ".join(f"t{d} IS NOT NULL" for d in range(n))
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  g AS (
+    SELECT {leads}
+    FROM t WHERE j IS NOT NULL
+  ),
+  train AS (
+    SELECT DISTINCT {cols} FROM g WHERE {full} AND ({train_pred})
+  ),
+  eval AS (
+    SELECT DISTINCT doc_id, {cols} FROM g WHERE {full} AND ({eval_pred})
+  )
+SELECT printf('doc-%08d', eval.doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM eval JOIN train USING ({cols})
+GROUP BY eval.doc_id
+ORDER BY doc_id
+"""
+
+
 def doc_length_histogram_sql(doc_source: str = "documents") -> str:
     """Sequence-length distribution straight from the params CTE — oracle
     for :func:`.engine.stats.doc_length_histogram` (lengths-only scan)."""

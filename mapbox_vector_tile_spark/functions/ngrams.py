@@ -48,3 +48,43 @@ def top_k_ngrams(decoded_df: DataFrame, n: int, k: int) -> DataFrame:
     counts = ngram_counts(decoded_df, n)
     order = [F.desc("n")] + [F.asc(f"t{d}") for d in range(n)]
     return counts.orderBy(*order).limit(int(k))
+
+
+def _distinct_grams(decoded_df: DataFrame, n: int) -> DataFrame:
+    """Per-document distinct ``n``-gram set: ``doc_id, t0..t{n-1}``."""
+    fields = ", ".join(
+        f"CAST(tokens[i+{d}] AS BIGINT) AS t{d}" for d in range(n)
+    )
+    windows = f"transform(sequence(0, n_tok - {n}), i -> struct({fields}))"
+    return (
+        decoded_df.filter(F.col("n_tok") >= n)
+        .select("doc_id", F.explode(F.expr(windows)).alias("g"))
+        .select("doc_id", "g.*")
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    train_df: DataFrame, eval_df: DataFrame, n: int = 8
+) -> DataFrame:
+    """Decontamination screen: for each eval document, how many of its
+    distinct ``n``-grams also occur anywhere in the training corpus —
+    ``(doc_id, n_shared)``, hit documents only.
+
+    The standard eval-contamination audit (verbatim n-gram overlap). Scale
+    shape: the TRAIN side reduces to its distinct gram set (hash aggregate
+    with map-side partials — the big-side scan happens once and shrinks
+    before any join); the EVAL side is typically orders of magnitude
+    smaller, so AQE broadcast-joins its gram set against the reduced train
+    grams; the final per-doc count is a tiny aggregate over join hits.
+    Exact (no hashing collisions): grams join on their literal token
+    tuples."""
+    train_grams = _distinct_grams(train_df, n).drop("doc_id").distinct()
+    eval_grams = _distinct_grams(eval_df, n)
+    keys = [f"t{d}" for d in range(n)]
+    hits = eval_grams.join(train_grams, keys)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )

@@ -58,6 +58,25 @@ def test_trigram_brute_force_parity(spark):
     assert got == dict(want) and len(got) > 0
 
 
+def test_contamination_screen(spark):
+    from mapbox_vector_tile_spark.functions.ngrams import ngram_contamination
+
+    train = _df(spark, [[1, 2, 3, 4], [9, 9, 9]])
+    evals = spark.createDataFrame(
+        [
+            ("doc-e1", [2, 3, 4, 9], 4),    # shares (2,3),(3,4); (4,9) no
+            ("doc-e2", [7, 8], 2),          # clean
+            ("doc-e3", [9, 9, 9, 9, 9], 5), # (9,9) counted once (distinct)
+        ],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in ngram_contamination(train, evals, 2).collect()
+    }
+    assert got == {"doc-e1": 2, "doc-e3": 1}
+
+
 def test_top_k_deterministic_and_jvm_side(spark):
     df = _df(spark, [[1, 2, 1, 2], [3, 4, 3, 4], [1, 2]])
     top = top_k_ngrams(df, 2, 2)
