@@ -392,6 +392,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_contamination_screen"] = ngram_contamination_screen
 
+    # streaming index maintenance: a real availableNow stream folds each
+    # micro-batch into the inverted index (delta build + blob merge),
+    # publishing an immutable version behind an atomic pointer per batch;
+    # final stats must equal an index built over the whole corpus
+    def streaming_index_ingest(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.index import index_token_stats
+        from mapbox_vector_tile_spark.streaming.index_sink import (
+            read_current_index,
+            start_index_maintenance_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_sidx_")
+        try:
+            tokens_pq = os.path.join(work, "tokens")
+            _corpus(spark, sf_dir).repartition(6).write.parquet(tokens_pq)
+            static = spark.read.parquet(tokens_pq)
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(tokens_pq)
+            )
+            root = os.path.join(work, "idx")
+            sq = start_index_maintenance_stream(
+                stream, root, os.path.join(work, "ck"), lo=0, hi=63
+            )
+            sq.awaitTermination()
+            res = index_token_stats(read_current_index(spark, root))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_index_ingest"] = streaming_index_ingest
+
     # incremental index maintenance: base index over snapshot 1, CDC
     # window (1 -> 3: append odds, delete %17==3) folded in WITHOUT
     # re-reading the old corpus; stats must equal an index over the
@@ -809,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
     o["ngram_contamination_screen"] = C.ngram_contamination_sql(
         5, "doc_id % 10 <> 0", "doc_id % 10 = 0"
     )
+    o["streaming_index_ingest"] = C.index_token_stats_sql(0, 63)
     o["incremental_index_maintenance"] = C.index_token_stats_sql(
         0, 63, "documents WHERE doc_id % 17 <> 3"
     )
