@@ -429,6 +429,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_index_ingest"] = streaming_index_ingest
 
+    # text -> tokens -> blocks -> decode: the full ingest bridge; per-doc
+    # checksums of the DECODED hash-token stream vs an oracle that
+    # replays the tokenizer straight from the text column
+    def tokenize_encode_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.tokenize import (
+            tokenize_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tok_df = tokenize_documents(docs)
+        decoded = decode_dataframe(encode_dataframe(tok_df, EncodeOptions()))
+        return (
+            with_doc_checksums(decoded)
+            .select(
+                "doc_id",
+                F.col("n_tok").cast("long").alias("n_tok"),
+                "tok_cks",
+                "tok_wcks",
+                "tok_min",
+                "tok_max",
+            )
+            .orderBy("doc_id")
+        )
+
+    q["tokenize_encode_roundtrip"] = tokenize_encode_roundtrip
+
     # incremental index maintenance: base index over snapshot 1, CDC
     # window (1 -> 3: append odds, delete %17==3) folded in WITHOUT
     # re-reading the old corpus; stats must equal an index over the
@@ -847,6 +873,11 @@ def oracle_sql() -> dict[str, str]:
         5, "doc_id % 10 <> 0", "doc_id % 10 = 0"
     )
     o["streaming_index_ingest"] = C.index_token_stats_sql(0, 63)
+    from mapbox_vector_tile_spark.functions.tokenize import (
+        tokenize_checksum_sql,
+    )
+
+    o["tokenize_encode_roundtrip"] = tokenize_checksum_sql()
     o["incremental_index_maintenance"] = C.index_token_stats_sql(
         0, 63, "documents WHERE doc_id % 17 <> 3"
     )
