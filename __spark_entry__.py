@@ -27,6 +27,10 @@ from mapbox_vector_tile_spark.engine.verify import (
     with_doc_checksums,
 )
 
+# corpus-mixing rates for the stratified-sample gate: one downweighted
+# stratum, one heavily cut, one dropped entirely, the rest kept at 100%
+_SAMPLE_RATES = {"web": 300, "books": 650, "forum": 0}
+
 _CODECS = [
     "raw",
     "bitpack_zz",
@@ -374,6 +378,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_length_histogram(blocks)
 
     q["doc_length_histogram"] = doc_length_histogram_q
+
+    # exact p50/p90/p99 of sequence length — the histogram partials plus a
+    # tiny cumulative step; integer compare, payload still never scanned
+    def doc_length_quantiles_q(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import (
+            doc_length_quantiles,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return doc_length_quantiles(blocks, (50, 90, 99))
+
+    q["doc_length_quantiles"] = doc_length_quantiles_q
+
+    # corpus mixing: deterministic per-source keep rates (web 30%, forum 0%,
+    # code 100%...) -> encode -> decode -> per-source checksum rollup; the
+    # sample membership is a pure hash of doc identity so the oracle
+    # reproduces it exactly, and the codec round trip is re-gated on an
+    # arbitrary doc subset
+    def stratified_sample_rollup(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sample import (
+            stratified_sample,
+        )
+
+        tokens = stratified_sample(_corpus(spark, sf_dir), _SAMPLE_RATES)
+        blocks = encode_dataframe(tokens, EncodeOptions(), string_col="source")
+        decoded = decode_dataframe(blocks, with_source=True)
+        out = with_doc_checksums(decoded)
+        return (
+            out.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("sum_n_tok"),
+                F.sum("tok_cks").alias("sum_tok_cks"),
+            )
+            .orderBy("source")
+        )
+
+    q["stratified_sample_rollup"] = stratified_sample_rollup
 
     # eval decontamination: per-eval-doc count of distinct 5-grams that
     # occur verbatim anywhere in the train split (exact tuple join; train
@@ -869,6 +912,14 @@ def oracle_sql() -> dict[str, str]:
     from mapbox_vector_tile_spark.functions.split import split_sql
 
     o["doc_length_histogram"] = C.doc_length_histogram_sql()
+    o["doc_length_quantiles"] = C.doc_length_quantiles_sql((50, 90, 99))
+    from mapbox_vector_tile_spark.functions.sample import (
+        stratified_sample_pred_sql,
+    )
+
+    o["stratified_sample_rollup"] = C.per_source_checksum_sql(
+        f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
+    )
     o["ngram_contamination_screen"] = C.ngram_contamination_sql(
         5, "doc_id % 10 <> 0", "doc_id % 10 = 0"
     )

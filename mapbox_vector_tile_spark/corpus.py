@@ -559,3 +559,24 @@ FROM per_doc
 GROUP BY regime
 ORDER BY regime
 """
+
+
+def doc_length_quantiles_sql(
+    pcts: tuple[int, ...] = (50, 90, 99), doc_source: str = "documents"
+) -> str:
+    """Exact discrete quantiles of the length distribution straight from the
+    params CTE — oracle for :func:`.engine.stats.doc_length_quantiles`.
+    Same integer compare (``100*cum >= total*pct``) as the engine."""
+    values = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+WITH{params_cte_sql(doc_source)},
+  hist AS (SELECT n_tok, COUNT(*) AS c FROM p GROUP BY n_tok),
+  cum AS (SELECT n_tok, SUM(c) OVER (ORDER BY n_tok) AS cum FROM hist),
+  tot AS (SELECT SUM(c) AS total FROM hist),
+  q(pct) AS (VALUES {values})
+SELECT CAST(pct AS BIGINT) AS pct, CAST(MIN(n_tok) AS BIGINT) AS n_tok
+FROM q, tot, cum
+WHERE cum * 100 >= total * pct
+GROUP BY pct
+ORDER BY pct
+"""

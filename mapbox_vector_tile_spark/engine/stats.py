@@ -227,3 +227,49 @@ def top_k_tokens(blocks_df: DataFrame, k: int) -> DataFrame:
     id, so the result is deterministic across parallelism levels."""
     counts = _histogram_counts(blocks_df, -(2**31), 2**31 - 1)
     return counts.orderBy(F.desc("n"), F.asc("tok")).limit(int(k))
+
+
+def doc_length_quantiles(
+    blocks_df: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Exact discrete quantiles ``(pct, n_tok)`` of the sequence-length
+    distribution — the numbers a pipeline picks context windows and packing
+    targets from (p50/p90/p99 of doc length).
+
+    Built on :func:`doc_length_histogram`, so only ``lengths_blob`` is ever
+    scanned (payload pruned). The histogram is tiny — bounded by the number
+    of DISTINCT lengths, not docs — so the cumulative window over it is a
+    few-KB single-partition step by construction (same documented pattern
+    as ``size_weighted_buckets_plan``). The quantile value is the smallest
+    ``n_tok`` whose cumulative count covers ``pct`` percent of docs; the
+    compare is kept in integers (``100*cum >= total*pct``) so it is exact
+    and reproducible by any SQL engine.
+    """
+    from pyspark.sql import Window
+
+    for p in pcts:
+        if not 1 <= int(p) <= 100:
+            raise ValueError(f"pct out of [1, 100]: {p}")
+    hist = doc_length_histogram(blocks_df)
+    w = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.col("n_tok"), F.sum("n_docs").over(w).alias("cum")
+    )
+    total = hist.agg(F.sum("n_docs").alias("total"))
+    pct_col = F.explode(
+        F.array(*[F.lit(int(p)) for p in pcts])
+    ).alias("pct")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select("n_tok", "cum", "total", pct_col)
+        .where(F.col("cum") * 100 >= F.col("total") * F.col("pct"))
+        .groupBy("pct")
+        .agg(F.min("n_tok").alias("n_tok"))
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+        )
+        .orderBy("pct")
+    )
