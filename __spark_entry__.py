@@ -418,6 +418,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample_rollup"] = stratified_sample_rollup
 
+    # intra-document repetition screen (Gopher-style repeated-trigram
+    # fraction, exact integers): per-row array_sort + neighbor scan, zero
+    # shuffle; rolled up per regime with the 20% flag threshold
+    def repetition_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.ngrams import (
+            ngram_repetition,
+            repetition_flag_expr,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        decoded = decode_dataframe(blocks)
+        per_doc = ngram_repetition(decoded, 3)
+        return (
+            per_doc.groupBy(
+                regime_expr(doc_num_expr()).alias("regime")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_windows").cast("long").alias("sum_windows"),
+                F.sum("n_rep_windows")
+                .cast("long")
+                .alias("sum_rep_windows"),
+                F.sum(repetition_flag_expr(20).cast("long"))
+                .cast("long")
+                .alias("n_flagged"),
+            )
+            .orderBy("regime")
+        )
+
+    q["repetition_screen"] = repetition_screen
+
+    # reproducible epoch shuffle: the epoch-3 global permutation of the
+    # corpus — a pure function of (doc identity, epoch), positions via the
+    # two-level distributed rank (no single-partition window over docs)
+    def epoch_shuffle_order(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.shuffle import epoch_shuffle
+
+        docs = _corpus(spark, sf_dir).select("doc_id")
+        return epoch_shuffle(docs, epoch=3).orderBy("pos")
+
+    q["epoch_shuffle_order"] = epoch_shuffle_order
+
     # eval decontamination: per-eval-doc count of distinct 5-grams that
     # occur verbatim anywhere in the train split (exact tuple join; train
     # side reduced to its distinct gram set before the join)
@@ -920,6 +963,10 @@ def oracle_sql() -> dict[str, str]:
     o["stratified_sample_rollup"] = C.per_source_checksum_sql(
         f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
     )
+    o["repetition_screen"] = C.ngram_repetition_sql(3, 20)
+    from mapbox_vector_tile_spark.functions.shuffle import epoch_shuffle_sql
+
+    o["epoch_shuffle_order"] = epoch_shuffle_sql(3)
     o["ngram_contamination_screen"] = C.ngram_contamination_sql(
         5, "doc_id % 10 <> 0", "doc_id % 10 = 0"
     )

@@ -580,3 +580,56 @@ WHERE cum * 100 >= total * pct
 GROUP BY pct
 ORDER BY pct
 """
+
+
+def ngram_repetition_sql(
+    n: int, thresh_pct: int, doc_source: str = "documents"
+) -> str:
+    """Per-regime rollup of the intra-document repetition screen — oracle
+    for :func:`.functions.ngrams.ngram_repetition` +
+    :func:`.functions.ngrams.repetition_flag_expr`. A window position is
+    "repeated" iff its gram occurs >1 time within the same doc, so the
+    per-doc repeated count is ``SUM(c) FILTER (c > 1)`` over per-(doc,
+    gram) counts; docs shorter than ``n`` report 0 windows and never
+    flag. All outputs BIGINT, same integer threshold compare as the
+    engine."""
+    leads = ",\n           ".join(
+        ["doc_id", "regime", "tok AS t0"]
+        + [
+            f"LEAD(tok, {d}) OVER (PARTITION BY doc_id ORDER BY j) AS t{d}"
+            for d in range(1, n)
+        ]
+    )
+    cols = ", ".join(f"t{d}" for d in range(n))
+    full = " AND ".join(f"t{d} IS NOT NULL" for d in range(n))
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  g AS (
+    SELECT {leads}
+    FROM t WHERE j IS NOT NULL
+  ),
+  gc AS (
+    SELECT doc_id, regime, COUNT(*) AS c
+    FROM g WHERE {full}
+    GROUP BY doc_id, regime, {cols}
+  ),
+  per_doc AS (
+    SELECT doc_id, regime, SUM(c) AS n_w,
+           COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS n_rep
+    FROM gc GROUP BY doc_id, regime
+  ),
+  full_docs AS (
+    SELECT p.regime, COALESCE(d.n_w, 0) AS n_w, COALESCE(d.n_rep, 0) AS n_rep
+    FROM p LEFT JOIN per_doc d USING (doc_id)
+  )
+SELECT CAST(regime AS BIGINT) AS regime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_w) AS BIGINT) AS sum_windows,
+       CAST(SUM(n_rep) AS BIGINT) AS sum_rep_windows,
+       CAST(COUNT(*) FILTER (
+         WHERE n_w > 0 AND n_rep * 100 >= n_w * {int(thresh_pct)}
+       ) AS BIGINT) AS n_flagged
+FROM full_docs
+GROUP BY regime
+ORDER BY regime
+"""

@@ -17,7 +17,7 @@ analytics instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def ngram_counts(decoded_df: DataFrame, n: int = 2) -> DataFrame:
@@ -61,6 +61,66 @@ def _distinct_grams(decoded_df: DataFrame, n: int) -> DataFrame:
         .select("doc_id", F.explode(F.expr(windows)).alias("g"))
         .select("doc_id", "g.*")
         .distinct()
+    )
+
+
+def ngram_repetition(decoded_df: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition audit: per doc, how many of its ``n``-gram
+    window positions carry a gram that occurs **more than once inside the
+    same document** — the Gopher-style "repeated n-gram fraction" quality
+    signal, kept as exact integers ``(doc_id, n_windows, n_rep_windows)``
+    so thresholding stays float-free.
+
+    Scale shape: entirely per-row — ``array_sort`` over the row's gram
+    structs, then one pass counting positions with an equal sorted
+    neighbor (a position's gram repeats iff it equals a neighbor after
+    sorting). O(w log w) per doc inside whole-stage codegen, ZERO shuffle,
+    no explode — the cross-doc n-gram machinery above is the wrong tool
+    here because repetition is a within-row property. Documents shorter
+    than ``n`` report ``(0, 0)`` windows.
+
+    Analog surface: the reference's per-feature command-run detection
+    (/root/reference/mapbox_vector_tile/geom_encoder.py collapses repeated
+    MoveTo/LineTo runs per feature); here repeated windows are *measured*
+    per document for corpus curation instead of collapsed.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    fields = ", ".join(f"tokens[i+{d}] AS t{d}" for d in range(n))
+    sorted_grams = (
+        f"array_sort(transform(sequence(0, n_tok - {n}), "
+        f"i -> struct({fields})))"
+    )
+    rep_count = (
+        "size(filter(sequence(0, size(s) - 1), j -> "
+        "(j > 0 AND s[j] = s[j-1]) OR "
+        "(j < size(s) - 1 AND s[j] = s[j+1])))"
+    )
+    staged = decoded_df.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.when(F.col("n_tok") >= n, F.expr(sorted_grams)).alias("s"),
+    )
+    return staged.select(
+        "doc_id",
+        F.when(F.col("n_tok") >= n, F.col("n_tok") - n + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.when(F.col("n_tok") >= n, F.expr(rep_count))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_rep_windows"),
+    )
+
+
+def repetition_flag_expr(thresh_pct: int) -> Column:
+    """Boolean: doc fails the repetition screen. Integer compare
+    (``100*rep >= pct*windows``) over :func:`ngram_repetition` columns;
+    zero-window docs never flag."""
+    return (F.col("n_windows") > 0) & (
+        F.col("n_rep_windows") * 100
+        >= F.col("n_windows") * F.lit(int(thresh_pct))
     )
 
 
