@@ -461,6 +461,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["epoch_shuffle_order"] = epoch_shuffle_order
 
+    # token-level dedup: cross-document duplicate 8-token spans
+    # (hash-candidate pass + exact tuple verify), rolled up per regime
+    def duplicate_span_audit(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.dedup_spans import (
+            duplicate_spans,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        decoded = decode_dataframe(blocks)
+        per_doc = duplicate_spans(decoded, 8)
+        return (
+            per_doc.groupBy(
+                regime_expr(doc_num_expr()).alias("regime")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_windows").cast("long").alias("sum_windows"),
+                F.sum("n_dup_windows")
+                .cast("long")
+                .alias("sum_dup_windows"),
+                F.sum((F.col("n_dup_windows") > 0).cast("long"))
+                .cast("long")
+                .alias("n_docs_hit"),
+            )
+            .orderBy("regime")
+        )
+
+    q["duplicate_span_audit"] = duplicate_span_audit
+
     # eval decontamination: per-eval-doc count of distinct 5-grams that
     # occur verbatim anywhere in the train split (exact tuple join; train
     # side reduced to its distinct gram set before the join)
@@ -964,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
     )
     o["repetition_screen"] = C.ngram_repetition_sql(3, 20)
+    o["duplicate_span_audit"] = C.duplicate_spans_sql(8)
     from mapbox_vector_tile_spark.functions.shuffle import epoch_shuffle_sql
 
     o["epoch_shuffle_order"] = epoch_shuffle_sql(3)

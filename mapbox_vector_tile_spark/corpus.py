@@ -633,3 +633,52 @@ FROM full_docs
 GROUP BY regime
 ORDER BY regime
 """
+
+
+def duplicate_spans_sql(w: int, doc_source: str = "documents") -> str:
+    """Per-regime rollup of the cross-document duplicate-span audit —
+    oracle for :func:`.functions.dedup_spans.duplicate_spans`. A window
+    position is "duplicated" iff its exact ``w``-token tuple occurs in
+    >= 2 distinct documents; every position of such a tuple counts, in
+    every document carrying it. Docs shorter than ``w`` contribute 0
+    windows but still count in ``n_docs``."""
+    leads = ",\n           ".join(
+        ["doc_id", "regime", "tok AS t0"]
+        + [
+            f"LEAD(tok, {d}) OVER (PARTITION BY doc_id ORDER BY j) AS t{d}"
+            for d in range(1, w)
+        ]
+    )
+    cols = ", ".join(f"t{d}" for d in range(w))
+    full = " AND ".join(f"t{d} IS NOT NULL" for d in range(w))
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  g AS (
+    SELECT {leads}
+    FROM t WHERE j IS NOT NULL
+  ),
+  gw AS (SELECT * FROM g WHERE {full}),
+  dup AS (
+    SELECT {cols} FROM gw GROUP BY {cols}
+    HAVING COUNT(DISTINCT doc_id) >= 2
+  ),
+  per_doc_dup AS (
+    SELECT gw.doc_id, COUNT(*) AS n_dup
+    FROM gw JOIN dup USING ({cols})
+    GROUP BY gw.doc_id
+  ),
+  full_docs AS (
+    SELECT p.regime,
+           CASE WHEN p.n_tok >= {w} THEN p.n_tok - {w} + 1 ELSE 0 END AS n_w,
+           COALESCE(d.n_dup, 0) AS n_dup
+    FROM p LEFT JOIN per_doc_dup d USING (doc_id)
+  )
+SELECT CAST(regime AS BIGINT) AS regime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_w) AS BIGINT) AS sum_windows,
+       CAST(SUM(n_dup) AS BIGINT) AS sum_dup_windows,
+       CAST(COUNT(*) FILTER (WHERE n_dup > 0) AS BIGINT) AS n_docs_hit
+FROM full_docs
+GROUP BY regime
+ORDER BY regime
+"""
