@@ -106,6 +106,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["selective_decode_doc_range"] = selective_decode_doc_range
 
+    # max-sequence-length truncation: decode only tokens[:64] per doc via
+    # the codec-aware positional gather (CONSTANT/RLE/PAGED chunks never
+    # inflate their full stream); n_tok stays the original length
+    def prefix_decode_truncation(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.decode import (
+            decode_prefix_dataframe,
+        )
+
+        blocks = encode_dataframe(_corpus(spark, sf_dir))
+        return _per_doc_result(decode_prefix_dataframe(blocks, 64))
+
+    q["prefix_decode_truncation"] = prefix_decode_truncation
+
     # every codec forced end-to-end (per-regime rollup granularity)
     for codec in _CODECS:
         def rt(spark, sf_dir, _c=codec):
@@ -960,6 +973,9 @@ def oracle_sql() -> dict[str, str]:
         "selective_decode_doc_range": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",
             string_doc_id=True,
+        ),
+        "prefix_decode_truncation": C.per_doc_checksum_sql(
+            "documents", string_doc_id=True, prefix_len=64
         ),
     }
     for codec in _CODECS:

@@ -193,28 +193,38 @@ def params_cte_sql(doc_source: str = "documents") -> str:
   )"""
 
 
-def tokens_cte_sql() -> str:
+def tokens_cte_sql(prefix_len: int | None = None) -> str:
     """CTE ``t(doc_id, regime, n_tok, j, tok)``; empty docs keep one row with
-    ``tok NULL`` via LEFT JOIN LATERAL so they survive aggregation."""
+    ``tok NULL`` via LEFT JOIN LATERAL so they survive aggregation.
+
+    ``prefix_len`` limits each doc to its first ``prefix_len`` tokens (the
+    oracle for truncation decode); ``n_tok`` stays the ORIGINAL length."""
+    rng = (
+        "p.n_tok" if prefix_len is None else f"LEAST(p.n_tok, {prefix_len})"
+    )
     return f"""
   t AS (
     SELECT p.doc_id, p.regime, p.n_tok, u.j, {_TOKEN_CASE_SQL} AS tok
-    FROM p LEFT JOIN LATERAL unnest(range(p.n_tok)) u(j) ON true
+    FROM p LEFT JOIN LATERAL unnest(range({rng})) u(j) ON true
   )"""
 
 
 def per_doc_checksum_sql(
-    doc_source: str = "documents", string_doc_id: bool = False
+    doc_source: str = "documents",
+    string_doc_id: bool = False,
+    prefix_len: int | None = None,
 ) -> str:
     """Full query: per-doc checksums straight from the generator formula.
 
     All numeric outputs cast to BIGINT (DuckDB SUM would return HUGEINT) so
     the value-hash compare against Spark ``long`` columns is exact. With
     ``string_doc_id`` the doc id is emitted in the engine's ``doc-%08d`` form.
+    ``prefix_len`` checksums only each doc's first ``prefix_len`` tokens
+    (truncation-decode oracle; ``n_tok`` stays the original length).
     """
     did = "printf('doc-%08d', doc_id)" if string_doc_id else "doc_id"
     return f"""
-WITH{params_cte_sql(doc_source)},{tokens_cte_sql()}
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql(prefix_len)}
 SELECT {did} AS doc_id,
        CAST(regime AS BIGINT) AS regime,
        CAST(n_tok AS BIGINT) AS n_tok,

@@ -148,3 +148,75 @@ def decode_doc_range(blocks_df, lo: str, hi: str, **decode_kwargs):
     )
     out = decode_dataframe(pruned, **decode_kwargs)
     return out.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+
+
+def decode_prefix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
+    """Max-sequence-length truncation decode: ``tokens[:k]`` per document.
+
+    The universal training-pipeline step "truncate every sequence to the
+    model's context length" without ever materializing the full arrays:
+    per chunk, the lengths stream gives each doc's flat start offset, the
+    first ``min(k, n_tok)`` positions of every doc become one sorted gather
+    index, and :func:`~..codec.gather.decode_block_gather` resolves them
+    codec-aware (CONSTANT/RLE/PAGED chunks never inflate their full value
+    stream; see that module for the per-codec cost table). ``n_tok`` in the
+    output is the ORIGINAL length, so downstream can tell truncated docs
+    (``size(tokens) < n_tok``) from short ones.
+
+    At 100 TB the win is twofold: sequential-codec chunks still decode once
+    but emit only O(k·docs) values into Arrow/JVM (materialization + transfer
+    dominate decode at >200 M tok/s kernel speed), and RLE/CONSTANT/PAGED
+    chunks skip the inflation entirely. The per-doc analog of the reference
+    decoding a single layer out of a multi-layer tile
+    (/root/reference/mapbox_vector_tile/decoder.py:146-160).
+    """
+    if k < 0:
+        raise ValueError("prefix length k must be >= 0")
+
+    from ..codec.gather import decode_block_gather
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            checksums = batch.column("checksum")
+            doc_ids_col = batch.column("doc_ids")
+            for i in range(batch.num_rows):
+                payload = memoryview(payloads[i].as_buffer())
+                if verify_checksum and zlib.crc32(payload) != checksums[
+                    i
+                ].as_py():
+                    raise ValueError(
+                        "payload checksum mismatch (corrupt block)"
+                    )
+                lengths = B.decode_block(
+                    memoryview(lengths_blobs[i].as_buffer())
+                ).astype(np.int64)
+                out_lens = np.minimum(lengths, k)
+                total_out = int(out_lens.sum())
+                if total_out:
+                    starts = np.zeros(lengths.size, dtype=np.int64)
+                    np.cumsum(lengths[:-1], out=starts[1:])
+                    out_starts = np.zeros(out_lens.size, dtype=np.int64)
+                    np.cumsum(out_lens[:-1], out=out_starts[1:])
+                    idx = np.arange(total_out, dtype=np.int64)
+                    idx += np.repeat(starts - out_starts, out_lens)
+                    values, _ = decode_block_gather(payload, idx)
+                else:
+                    values = np.zeros(0, dtype=np.int32)
+                offsets = np.zeros(out_lens.size + 1, dtype=np.int64)
+                np.cumsum(out_lens, out=offsets[1:])
+                tokens = pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+                ).cast(pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids_col[i].values,
+                        tokens,
+                        pa.array(lengths.astype(np.int32), pa.int32()),
+                    ],
+                    schema=_OUT_ARROW_SCHEMA,
+                )
+
+    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+    return blocks_df.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
