@@ -305,6 +305,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_k_frequent_tokens"] = top_k_frequent_tokens
 
+    # frequency quality screen: per-doc coverage by the corpus's hottest
+    # tokens — counts from codec metadata (no decode), scoring is one
+    # zero-shuffle projection against a literal lookup map
+    def unigram_commonness_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.stats import unigram_commonness
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        scored = unigram_commonness(blocks, tokens, k=512)
+        return scored.select(
+            "doc_id",
+            regime_expr(doc_num_expr()).alias("regime"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "n_hot",
+            "hot_cnt_sum",
+            "hot_permille",
+        ).orderBy("doc_id")
+
+    q["unigram_commonness_screen"] = unigram_commonness_screen
+
     # n-gram audit: windows expanded JVM-side (sequence/transform/explode),
     # exact counts, TakeOrderedAndProject top-k — runs over the decoded
     # table, so it also exercises the decode path end-to-end
@@ -993,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "(CASE WHEN tok BETWEEN 0 AND 255 THEN tok + 1000000 ELSE tok END)"
     )
     o["top_k_frequent_tokens"] = C.top_k_tokens_sql(20)
+    o["unigram_commonness_screen"] = C.unigram_commonness_sql(512)
     o["bigram_top_k"] = C.top_k_ngrams_sql(2, 25)
     o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
     o["inverted_index_lookup"] = C.token_search_sql(42)

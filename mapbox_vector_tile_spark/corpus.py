@@ -330,6 +330,33 @@ LIMIT {int(k)}
 """
 
 
+def unigram_commonness_sql(k: int, doc_source: str = "documents") -> str:
+    """Per-doc coverage by the corpus's ``k`` most frequent tokens — oracle
+    for the frequency quality screen
+    (:func:`.engine.stats.unigram_commonness`). Top-k ties break on the
+    token id exactly like the engine; all outputs are exact integers
+    (``hot_permille`` is integer division, NULL for empty docs)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  hot AS (
+    SELECT tok, COUNT(*) AS n
+    FROM t WHERE tok IS NOT NULL
+    GROUP BY tok ORDER BY n DESC, tok LIMIT {int(k)}
+  )
+SELECT printf('doc-%08d', t.doc_id) AS doc_id,
+       CAST(t.regime AS BIGINT) AS regime,
+       CAST(t.n_tok AS BIGINT) AS n_tok,
+       CAST(COUNT(hot.tok) AS BIGINT) AS n_hot,
+       CAST(COALESCE(SUM(hot.n), 0) AS BIGINT) AS hot_cnt_sum,
+       CASE WHEN t.n_tok > 0
+            THEN CAST((1000 * COUNT(hot.tok)) // t.n_tok AS BIGINT)
+       END AS hot_permille
+FROM t LEFT JOIN hot ON t.tok = hot.tok
+GROUP BY t.doc_id, t.regime, t.n_tok
+ORDER BY doc_id
+"""
+
+
 def top_k_ngrams_sql(n: int, k: int, doc_source: str = "documents") -> str:
     """``k`` most frequent token ``n``-grams (ties by gram) — oracle for
     the n-gram audit (:func:`.functions.ngrams.top_k_ngrams`)."""

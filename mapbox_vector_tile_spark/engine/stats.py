@@ -273,3 +273,65 @@ def doc_length_quantiles(
         )
         .orderBy("pct")
     )
+
+
+def unigram_commonness(
+    blocks_df: DataFrame, tokens_df: DataFrame, k: int = 512
+) -> DataFrame:
+    """Frequency-based quality screen: per-doc coverage by the corpus's
+    ``k`` most frequent tokens (the LM-free cousin of CCNet's language-model
+    filtering — documents made of rare tokens are disproportionately
+    garbled/boilerplate/noise).
+
+    The vocabulary statistics never decode the corpus: counts come from
+    :func:`top_k_tokens`, i.e. the codec-metadata histogram partials (dict
+    chunks bincount codes, RLE aggregates runs). The ``k``-row result is
+    planning-sized, collected once, and baked into a literal lookup map, so
+    the scoring pass is a pure per-row projection — zero shuffle, zero
+    Python, one ``F.aggregate`` over the token array. All outputs are exact
+    integers (``hot_permille`` uses integer division), so any SQL engine
+    reproduces them bit-for-bit.
+
+    ``k`` is bounded (default 512) so the in-row map stays cache-resident;
+    past ~10^4 hot tokens prefer explode + broadcast hash join + map-side
+    combined re-aggregation instead — the map literal is what keeps this
+    form shuffle-free.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hot = top_k_tokens(blocks_df, k).collect()  # k rows: planning-sized
+    keys = [int(r.tok) for r in hot]
+    vals = [int(r.n) for r in hot]
+    m = F.map_from_arrays(
+        F.array(*[F.lit(x) for x in keys]).cast("array<int>"),
+        F.array(*[F.lit(x) for x in vals]).cast("array<long>"),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("h"), F.lit(0).cast("long").alias("s")
+    )
+    acc = F.aggregate(
+        F.col("tokens"),
+        zero,
+        lambda a, x: F.struct(
+            (
+                a["h"]
+                + F.when(F.try_element_at(m, x).isNotNull(), 1).otherwise(0)
+            ).alias("h"),
+            (a["s"] + F.coalesce(F.try_element_at(m, x), F.lit(0))).alias(
+                "s"
+            ),
+        ),
+    )
+    return (
+        tokens_df.withColumn("_acc", acc)
+        .withColumn("n_hot", F.col("_acc.h"))
+        .withColumn("hot_cnt_sum", F.col("_acc.s"))
+        .withColumn(
+            "hot_permille",
+            F.expr(
+                "CASE WHEN n_tok > 0 THEN CAST((1000 * n_hot) DIV n_tok "
+                "AS BIGINT) END"
+            ),
+        )
+        .drop("_acc")
+    )
