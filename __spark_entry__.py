@@ -119,6 +119,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prefix_decode_truncation"] = prefix_decode_truncation
 
+    # point-lookup decode: an explicit scattered doc-id set (every 41st doc)
+    # resolved through three pruning layers — envelope filter (pushes to the
+    # scan), per-chunk zone-map containment, then an in-chunk positional
+    # gather that decodes ONLY the requested docs' spans
+    def point_lookup_decode(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.decode import decode_doc_ids
+
+        nums = [
+            int(r.doc_id)
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 41 == 3)
+            .select("doc_id")
+            .collect()  # point-lookup sized by construction (~n_docs/41)
+        ]
+        ids = [f"doc-{n:08d}" for n in nums]
+        blocks = encode_dataframe(_corpus(spark, sf_dir))
+        return _per_doc_result(decode_doc_ids(blocks, ids))
+
+    q["point_lookup_decode"] = point_lookup_decode
+
+    # length-grouped batching: padding-minimizing deterministic batch
+    # assignment from two tiny columns (token arrays untouched); per-batch
+    # padding-waste rollup is the gate
+    def length_grouped_batching(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.batching import (
+            batch_padding_rollup,
+            length_grouped_batches,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        return batch_padding_rollup(
+            length_grouped_batches(tokens, batch_size=32, epoch=1)
+        )
+
+    q["length_grouped_batching"] = length_grouped_batching
+
     # every codec forced end-to-end (per-regime rollup granularity)
     for codec in _CODECS:
         def rt(spark, sf_dir, _c=codec):
@@ -997,6 +1033,9 @@ def oracle_sql() -> dict[str, str]:
         "prefix_decode_truncation": C.per_doc_checksum_sql(
             "documents", string_doc_id=True, prefix_len=64
         ),
+        "point_lookup_decode": C.per_doc_checksum_sql(
+            "documents WHERE doc_id % 41 = 3", string_doc_id=True
+        ),
     }
     for codec in _CODECS:
         o[f"roundtrip_{codec}_by_regime"] = by_regime
@@ -1014,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["top_k_frequent_tokens"] = C.top_k_tokens_sql(20)
     o["unigram_commonness_screen"] = C.unigram_commonness_sql(512)
+    from mapbox_vector_tile_spark.functions.batching import length_grouped_sql
+
+    o["length_grouped_batching"] = length_grouped_sql(32, epoch=1)
     o["bigram_top_k"] = C.top_k_ngrams_sql(2, 25)
     o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
     o["inverted_index_lookup"] = C.token_search_sql(42)

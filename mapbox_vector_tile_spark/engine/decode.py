@@ -150,6 +150,122 @@ def decode_doc_range(blocks_df, lo: str, hi: str, **decode_kwargs):
     return out.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
 
 
+def decode_doc_ids(blocks_df, ids, verify_checksum: bool = True):
+    """Point-lookup decode: tokens of an explicit ``doc_id`` set.
+
+    The random-access read path of the store — "show me these training
+    examples" — without a corpus scan. Three pruning layers, cheapest
+    first:
+
+    1. a Catalyst range filter on the id set's global envelope
+       ``[min(ids), max(ids)]`` over the zone-map columns — this one is a
+       plain column predicate, so on a parquet/Iceberg blocks table it
+       reaches the scan (``PushedFilters``) and non-overlapping row groups
+       never read their ``payload`` bytes;
+    2. a per-chunk containment test of each requested id against
+       ``[min_doc_id, max_doc_id]`` (``F.exists`` over the literal id
+       array, O(|ids|) work per *chunk row*, zone-map-sized — prunes the
+       envelope's interior chunks when the set is scattered);
+    3. worker-side, the surviving chunk decodes ONLY the requested docs:
+       the lengths stream gives each doc's flat span and
+       :func:`~..codec.gather.decode_block_gather` resolves the positions
+       codec-aware (RLE/CONSTANT/PAGED chunks never inflate their full
+       value stream; a one-doc lookup in a sequential-codec chunk still
+       decodes once but ships one doc across Arrow/JVM).
+
+    ``ids`` must be point-lookup sized (the literal array and the broadcast
+    of it bound the driver plan; ~10^4 is comfortable). For bulk subsets
+    use :func:`decode_doc_range` (clustered) or a join after
+    :func:`decode_dataframe` (scan-shaped). The per-doc analog of the
+    reference decoding one requested layer out of a multi-layer tile
+    (/root/reference/mapbox_vector_tile/decoder.py:146-160).
+    """
+    from pyspark.sql import functions as F
+
+    from ..codec.gather import decode_block_gather
+
+    ids = sorted(set(ids))
+    if not ids:
+        raise ValueError("ids must be a non-empty collection of doc ids")
+    ids_np = np.array(ids, dtype=object)
+    want_set = pa.array(ids, pa.string())
+
+    id_arr = F.array(*[F.lit(d) for d in ids])
+    pruned = blocks_df.filter(
+        (F.col("max_doc_id") >= ids[0]) & (F.col("min_doc_id") <= ids[-1])
+    ).filter(
+        F.exists(
+            id_arr,
+            lambda d: (d >= F.col("min_doc_id")) & (d <= F.col("max_doc_id")),
+        )
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            checksums = batch.column("checksum")
+            doc_ids_col = batch.column("doc_ids")
+            mins = batch.column("min_doc_id")
+            maxs = batch.column("max_doc_id")
+            for i in range(batch.num_rows):
+                # re-narrow the sorted id set to this chunk's span so the
+                # membership test is against the few ids that can match
+                lo = int(np.searchsorted(ids_np, mins[i].as_py(), "left"))
+                hi = int(np.searchsorted(ids_np, maxs[i].as_py(), "right"))
+                if lo == hi:
+                    continue  # zone-map false positive at batch level
+                doc_ids = doc_ids_col[i].values
+                mask_pa = pc.is_in(doc_ids, value_set=want_set[lo:hi])
+                mask = mask_pa.to_numpy(zero_copy_only=False)
+                if not mask.any():
+                    continue
+                payload = memoryview(payloads[i].as_buffer())
+                if verify_checksum and zlib.crc32(payload) != checksums[
+                    i
+                ].as_py():
+                    raise ValueError(
+                        "payload checksum mismatch (corrupt block)"
+                    )
+                lengths = B.decode_block(
+                    memoryview(lengths_blobs[i].as_buffer())
+                ).astype(np.int64)
+                starts = np.zeros(lengths.size, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=starts[1:])
+                sel = np.flatnonzero(mask)
+                out_lens = lengths[sel]
+                total_out = int(out_lens.sum())
+                if total_out:
+                    out_starts = np.zeros(out_lens.size, dtype=np.int64)
+                    np.cumsum(out_lens[:-1], out=out_starts[1:])
+                    idx = np.arange(total_out, dtype=np.int64)
+                    idx += np.repeat(starts[sel] - out_starts, out_lens)
+                    values, _ = decode_block_gather(payload, idx)
+                else:
+                    values = np.zeros(0, dtype=np.int32)
+                offsets = np.zeros(out_lens.size + 1, dtype=np.int64)
+                np.cumsum(out_lens, out=offsets[1:])
+                tokens = pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+                ).cast(pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids.filter(mask_pa),
+                        tokens,
+                        pa.array(out_lens.astype(np.int32), pa.int32()),
+                    ],
+                    schema=_OUT_ARROW_SCHEMA,
+                )
+
+    cols = [
+        "doc_ids", "lengths_blob", "payload", "checksum",
+        "min_doc_id", "max_doc_id",
+    ]
+    return pruned.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
+
+
 def decode_prefix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
     """Max-sequence-length truncation decode: ``tokens[:k]`` per document.
 
