@@ -31,6 +31,10 @@ from mapbox_vector_tile_spark.engine.verify import (
 # stratum, one heavily cut, one dropped entirely, the rest kept at 100%
 _SAMPLE_RATES = {"web": 300, "books": 650, "forum": 0}
 
+# mixing weights for the upsampling gate: one fractional (2.5x), one just
+# over 1x, one dropped, the rest untouched (1.0x)
+_UPSAMPLE_WEIGHTS = {"web": 2500, "books": 1300, "forum": 0}
+
 _CODECS = [
     "raw",
     "bitpack_zz",
@@ -486,6 +490,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stratified_sample_rollup"] = stratified_sample_rollup
+
+    # fractional source upsampling (the other half of corpus mixing):
+    # per-mille weights -> floor copies + hash-gated extra copy, explode
+    # fan-out map-side; rep_sum only matches if copies enumerate 1..reps
+    def source_upsample_rollup(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sample import source_upsample
+
+        up = source_upsample(_corpus(spark, sf_dir), _UPSAMPLE_WEIGHTS)
+        return (
+            up.groupBy("source")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("rep").cast("long").alias("rep_sum"),
+                F.sum("n_tok").cast("long").alias("sum_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    q["source_upsample_rollup"] = source_upsample_rollup
+
+    # sliding-window context chunking: overlapping windows per doc, carved
+    # map-side from the decoded arrays; per-window order-sensitive
+    # checksums gate membership AND in-window order
+    def sliding_window_checksums(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.strides import (
+            sliding_window_chunks,
+            window_checksums,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        decoded = decode_dataframe(blocks)
+        return window_checksums(sliding_window_chunks(decoded, 96, 64))
+
+    q["sliding_window_checksums"] = sliding_window_checksums
 
     # intra-document repetition screen (Gopher-style repeated-trigram
     # fraction, exact integers): per-row array_sort + neighbor scan, zero
@@ -1069,6 +1109,13 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_pred_sql,
     )
 
+    from mapbox_vector_tile_spark.functions.sample import (
+        source_upsample_rollup_sql,
+    )
+    from mapbox_vector_tile_spark.functions.strides import window_checksums_sql
+
+    o["source_upsample_rollup"] = source_upsample_rollup_sql(_UPSAMPLE_WEIGHTS)
+    o["sliding_window_checksums"] = window_checksums_sql(96, 64)
     o["stratified_sample_rollup"] = C.per_source_checksum_sql(
         f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
     )

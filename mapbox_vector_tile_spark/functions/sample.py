@@ -66,6 +66,90 @@ def stratified_sample(
     )
 
 
+_UPSAMPLE_MULT = 16777619  # FNV-1a prime (public) — third independent hash
+
+
+def upsample_hash_expr(doc_id_col: str = "doc_id") -> Column:
+    """Per-mille upsampling coordinate — independent of both the split and
+    the downsampling hashes (distinct multiplier), so mixing weights never
+    correlate with split membership or subsample survival."""
+    return (doc_num_expr(doc_id_col) * F.lit(_UPSAMPLE_MULT)) % F.lit(_SPACE)
+
+
+def source_upsample(
+    df: DataFrame,
+    weights: dict[str, int],
+    default_weight: int = _SPACE,
+    source_col: str = "source",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fractional upsampling: repeat each doc per its source's
+    per-mille weight (2500 = 2.5x: two copies always, a third iff the doc's
+    hash falls under the fractional 500).
+
+    The other half of corpus mixing (:func:`stratified_sample` cuts,
+    this repeats — e.g. books x2.5, wiki x4 in most published LLM data
+    recipes). ``rep`` numbers the copies 1..reps so downstream epoch
+    shuffling can key on ``(doc_id, rep)`` and spread the copies apart.
+
+    Pure Catalyst: one projection computing ``reps`` from the hash, one
+    ``explode(sequence(1, reps))`` — rows fan out map-side with no shuffle
+    and docs with ``reps = 0`` (weight 0 sources' unlucky draws) vanish via
+    the empty-array explode, never a separate filter pass.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0: {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0: {default_weight}")
+    w: Column = F.lit(default_weight)
+    for s, r in weights.items():
+        w = F.when(F.col(source_col) == s, F.lit(r)).otherwise(w)
+    reps = (w / F.lit(_SPACE)).cast("int") + (
+        upsample_hash_expr(doc_id_col) < w % F.lit(_SPACE)
+    ).cast("int")
+    seq = F.when(reps >= 1, F.sequence(F.lit(1), reps)).otherwise(
+        F.array().cast("array<int>")
+    )  # guard: sequence(1, 0) would count DOWN, not produce empty
+    return df.withColumn("rep", F.explode(seq))
+
+
+def source_upsample_rollup_sql(
+    weights: dict[str, int],
+    default_weight: int = _SPACE,
+    doc_source: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`source_upsample` aggregated per source:
+    ``(source, n_docs, n_rows, rep_sum, sum_tokens)``. ``rep_sum`` is
+    ``sum(reps*(reps+1)/2)`` — it only matches if the engine really
+    enumerates copies ``1..reps``, not merely the right count."""
+    from .. import corpus as C
+    from ..corpus import params_cte_sql
+
+    cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in weights.items())
+    w = f"CASE {C.source_case_sql('doc_id')} {cases} ELSE {default_weight} END"
+    reps = (
+        f"(({w}) // {_SPACE}) + CASE WHEN ((doc_id * {_UPSAMPLE_MULT})"
+        f" % {_SPACE}) < (({w}) % {_SPACE}) THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH{params_cte_sql(doc_source)},
+  r AS (
+    SELECT {C.source_case_sql('doc_id')} AS source, n_tok, {reps} AS reps
+    FROM p
+  )
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE reps > 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(reps), 0) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(reps * (reps + 1) // 2), 0) AS BIGINT) AS rep_sum,
+       CAST(COALESCE(SUM(n_tok * reps), 0) AS BIGINT) AS sum_tokens
+FROM r
+GROUP BY source
+HAVING SUM(reps) > 0
+ORDER BY source
+"""
+
+
 def stratified_sample_pred_sql(
     rates: dict[str, int],
     default_rate: int = _SPACE,
