@@ -409,6 +409,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["inverted_index_and_search"] = inverted_index_and_search
 
+    # ranked retrieval: integer-exact BM25-family top-k served from the
+    # index (df from manifest columns, N/total from a payload-pruned
+    # lengths scan, candidate postings broadcast — corpus never shuffled)
+    def bm25_ranked_search(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import bm25_search
+        from mapbox_vector_tile_spark.engine.stats import doc_lengths
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return bm25_search(
+            _hot_index(spark, sf_dir), doc_lengths(blocks), [3, 42, 57], k=25
+        )
+
+    q["bm25_ranked_search"] = bm25_ranked_search
+
     # manifest-only stats: no posting blob decoded
     def inverted_index_stats(spark, sf_dir):
         from mapbox_vector_tile_spark.engine.index import index_token_stats
@@ -1099,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
     o["bigram_top_k"] = C.top_k_ngrams_sql(2, 25)
     o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
     o["inverted_index_lookup"] = C.token_search_sql(42)
+    o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
     o["inverted_index_and_search"] = C.and_search_sql(3, 5)
     o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.split import split_sql

@@ -357,6 +357,52 @@ ORDER BY doc_id
 """
 
 
+def bm25_search_sql(
+    terms,
+    k: int,
+    k1: int = 1200,
+    b: int = 750,
+    doc_source: str = "documents",
+) -> str:
+    """Top-``k`` ranked retrieval — oracle for the integer-exact
+    BM25-family scoring (:func:`.engine.index.bm25_search`). Every
+    arithmetic step mirrors the engine exactly (integral ``//`` on
+    non-negative operands == Spark ``DIV``); ties break on doc id."""
+    terms = sorted({int(t) for t in terms})
+    in_list = ", ".join(str(t) for t in terms)
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  const AS (
+    SELECT COUNT(*) AS n, SUM(n_tok) AS total FROM p
+  ),
+  tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf, MAX(n_tok) AS dl
+    FROM t WHERE tok IN ({in_list})
+    GROUP BY doc_id, tok
+  ),
+  df AS (
+    SELECT tok, COUNT(DISTINCT doc_id) AS df
+    FROM t WHERE tok IN ({in_list})
+    GROUP BY tok
+  ),
+  scored AS (
+    SELECT tf.doc_id,
+           (((1000000 * (const.n - df.df) + 500000) // (df.df + 1))
+            * ((tf.tf * {1000 + int(k1)} * 1000000)
+               // (tf.tf * 1000 + ({int(k1)} * ({1000 - int(b)}
+                   + ({int(b)} * tf.dl * const.n) // const.total)) // 1000)))
+           // 1000000 AS ts
+    FROM tf JOIN df USING (tok) CROSS JOIN const
+  )
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CAST(SUM(ts) AS BIGINT) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {int(k)}
+"""
+
+
 def top_k_ngrams_sql(n: int, k: int, doc_source: str = "documents") -> str:
     """``k`` most frequent token ``n``-grams (ties by gram) — oracle for
     the n-gram audit (:func:`.functions.ngrams.top_k_ngrams`)."""

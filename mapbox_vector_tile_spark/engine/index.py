@@ -184,6 +184,127 @@ def search_token_and(index_df: DataFrame, x: int, y: int) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _decode_postings_tok(index_df: DataFrame) -> DataFrame:
+    """Matched segments -> ``(tok long, doc long, n_hits long)`` rows —
+    the multi-term variant of :func:`_decode_postings` (scoring needs to
+    know which query term each posting belongs to)."""
+    schema = pa.schema(
+        [("tok", pa.int64()), ("doc", pa.int64()), ("n_hits", pa.int64())]
+    )
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            toks = batch.column("tok")
+            doc_blobs = batch.column("doc_blob")
+            cnt_blobs = batch.column("cnt_blob")
+            for i in range(batch.num_rows):
+                docs = B.decode_block(
+                    memoryview(doc_blobs[i].as_buffer())
+                ).astype(np.int64)
+                cnts = B.decode_block(
+                    memoryview(cnt_blobs[i].as_buffer())
+                ).astype(np.int64)
+                if docs.size:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                np.full(docs.size, toks[i].as_py(), np.int64)
+                            ),
+                            pa.array(docs),
+                            pa.array(cnts),
+                        ],
+                        schema=schema,
+                    )
+
+    return index_df.select("tok", "doc_blob", "cnt_blob").mapInArrow(
+        dec, "tok long, doc long, n_hits long"
+    )
+
+
+def bm25_search(
+    index_df: DataFrame,
+    lengths_df: DataFrame,
+    terms,
+    k: int = 20,
+    k1: int = 1200,
+    b: int = 750,
+) -> DataFrame:
+    """Ranked retrieval: top-``k`` docs for a multi-term query, scored by an
+    integer-exact BM25-family function served from the inverted index.
+
+    Every quantity is an exact integer, so any SQL engine reproduces the
+    ranking bit-for-bit (``k1``/``b`` are the standard BM25 parameters in
+    per-mille; all divisions are integral):
+
+    - ``idf_t   = (1_000_000*(N - df_t) + 500_000) // (df_t + 1)``
+    - ``norm_d  = 1000 - b + (b * dl_d * N) // total_tokens``
+    - ``tfn_td  = (tf * (1000 + k1) * 1_000_000)
+      // (tf * 1000 + (k1 * norm_d) // 1000)``
+    - ``score_d = sum_t (idf_t * tfn_td) // 1_000_000``
+
+    Scale shape: query-term ``df`` comes from the index MANIFEST columns
+    (no posting decoded for statistics); ``N`` / ``total_tokens`` are one
+    planning-sized aggregate over the lengths relation (use
+    :func:`..engine.stats.doc_lengths` — a payload-pruned scan); the
+    candidate postings (bounded by the query terms' document frequencies)
+    broadcast into a hash join against the lengths relation, so the corpus
+    is never shuffled; the finisher is ``ORDER BY score DESC LIMIT k`` —
+    TakeOrderedAndProject, per-partition heaps, no global sort. Ties break
+    on doc number so the ranking is total.
+
+    ``(b * dl * N)`` must fit int64: fine to ~10^9 docs at 8k context; past
+    that precompute the scaled average length instead (documented limit).
+    """
+    terms = sorted({int(t) for t in terms})
+    if not terms:
+        raise ValueError("terms must be a non-empty collection of tokens")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    row = lengths_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s")
+    ).first()
+    n_corpus, total_tok = int(row.n), int(row.s or 0)
+    if n_corpus == 0 or total_tok == 0:
+        raise ValueError("lengths relation is empty (no corpus statistics)")
+    matched = index_df.filter(F.col("tok").isin(terms))
+    dfs = {
+        int(r.tok): int(r.n_docs)
+        for r in matched.groupBy("tok")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()  # one row per query term: planning-sized
+    }
+    idf = {
+        t: (1_000_000 * (n_corpus - df) + 500_000) // (df + 1)
+        for t, df in dfs.items()
+    }
+    idf_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in idf]).cast("array<long>"),
+        F.array(*[F.lit(v) for v in idf.values()]).cast("array<long>"),
+    )
+    postings = _decode_postings_tok(matched)
+    joined = lengths_df.join(F.broadcast(postings), "doc").withColumn(
+        "idf", F.element_at(idf_map, F.col("tok"))
+    )
+    # integral DIV throughout (never float /): exactness is the contract
+    ts = (
+        f"(idf * ((n_hits * {1000 + k1} * 1000000) DIV"
+        f" (n_hits * 1000 + ({k1} * ({1000 - b} +"
+        f" ({b} * n_tok * {n_corpus}) DIV {total_tok})) DIV 1000)))"
+        f" DIV 1000000"
+    )
+    return (
+        joined.select("doc", F.expr(ts).cast("long").alias("ts"))
+        .groupBy("doc")
+        .agg(F.sum("ts").alias("score"))
+        .orderBy(F.col("score").desc(), "doc")
+        .limit(int(k))
+        .select(
+            F.format_string("doc-%08d", "doc").alias("doc_id"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
 def _scrub_deleted(index_df: DataFrame, dels: np.ndarray) -> DataFrame:
     """Remove deleted doc numbers from posting segments.
 

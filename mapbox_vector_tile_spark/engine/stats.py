@@ -215,6 +215,42 @@ def doc_length_histogram(blocks_df: DataFrame) -> DataFrame:
     )
 
 
+def doc_lengths(blocks_df: DataFrame) -> DataFrame:
+    """``(doc, n_tok)`` per document — numeric doc ids — from ``doc_ids`` +
+    ``lengths_blob`` alone; like :func:`doc_length_histogram` the payload
+    column is pruned out of the scan entirely. The per-doc length relation
+    ranked retrieval / packing / batching joins against, produced without
+    decoding a single token. Doc numbers are parsed vectorized Arrow-side
+    (``utf8_slice`` + cast), no per-row Python."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    from ..codec.blocks import decode_block
+
+    def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema([("doc", pa.int64()), ("n_tok", pa.int64())])
+        for batch in batches:
+            blobs = batch.column("lengths_blob")
+            ids = batch.column("doc_ids")
+            for i in range(batch.num_rows):
+                lengths = decode_block(
+                    memoryview(blobs[i].as_buffer())
+                ).astype(np.int64)
+                docs = pc.cast(
+                    pc.utf8_slice_codeunits(ids[i].values, 4), pa.int64()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [docs, pa.array(lengths, pa.int64())], schema=out_schema
+                )
+
+    return blocks_df.select("doc_ids", "lengths_blob").mapInArrow(
+        fn, "doc long, n_tok long"
+    )
+
+
 def top_k_tokens(blocks_df: DataFrame, k: int) -> DataFrame:
     """Exact ``k`` most frequent tokens ``(tok, n)`` — the vocabulary-audit
     twin of :func:`token_histogram` over the full value domain.
