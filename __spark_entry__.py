@@ -143,6 +143,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["point_lookup_decode"] = point_lookup_decode
 
+    # last-k truncation (recency window): tokens[-64:] per doc via the
+    # same codec-aware gather as the prefix path; n_tok stays original
+    def suffix_decode_truncation(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.decode import (
+            decode_suffix_dataframe,
+        )
+
+        blocks = encode_dataframe(_corpus(spark, sf_dir))
+        return _per_doc_result(decode_suffix_dataframe(blocks, 64))
+
+    q["suffix_decode_truncation"] = suffix_decode_truncation
+
+    # phrase search: adjacent pair (10, 1) — positions need the value
+    # stream, but only chunks whose codec domains admit BOTH terms decode
+    def phrase_search(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.search import search_phrase
+
+        blocks = encode_dataframe(_corpus(spark, sf_dir))
+        return search_phrase(blocks, 10, 1)
+
+    q["phrase_search"] = phrase_search
+
     # length-grouped batching: padding-minimizing deterministic batch
     # assignment from two tiny columns (token arrays untouched); per-batch
     # padding-waste rollup is the gate
@@ -1091,6 +1113,10 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_decode": C.per_doc_checksum_sql(
             "documents WHERE doc_id % 41 = 3", string_doc_id=True
         ),
+        "suffix_decode_truncation": C.per_doc_checksum_sql(
+            "documents", string_doc_id=True, suffix_len=64
+        ),
+        "phrase_search": C.phrase_search_sql(10, 1),
     }
     for codec in _CODECS:
         o[f"roundtrip_{codec}_by_regime"] = by_regime

@@ -193,19 +193,28 @@ def params_cte_sql(doc_source: str = "documents") -> str:
   )"""
 
 
-def tokens_cte_sql(prefix_len: int | None = None) -> str:
+def tokens_cte_sql(
+    prefix_len: int | None = None, suffix_len: int | None = None
+) -> str:
     """CTE ``t(doc_id, regime, n_tok, j, tok)``; empty docs keep one row with
     ``tok NULL`` via LEFT JOIN LATERAL so they survive aggregation.
 
-    ``prefix_len`` limits each doc to its first ``prefix_len`` tokens (the
-    oracle for truncation decode); ``n_tok`` stays the ORIGINAL length."""
-    rng = (
-        "p.n_tok" if prefix_len is None else f"LEAST(p.n_tok, {prefix_len})"
-    )
+    ``prefix_len`` limits each doc to its first ``prefix_len`` tokens,
+    ``suffix_len`` to its LAST ``suffix_len`` (mutually exclusive — the
+    truncation-decode oracles); ``j`` is always the ORIGINAL position and
+    ``n_tok`` the original length."""
+    if prefix_len is not None and suffix_len is not None:
+        raise ValueError("prefix_len and suffix_len are mutually exclusive")
+    if suffix_len is not None:
+        rng = f"range(GREATEST(p.n_tok - {int(suffix_len)}, 0), p.n_tok)"
+    elif prefix_len is not None:
+        rng = f"range(LEAST(p.n_tok, {int(prefix_len)}))"
+    else:
+        rng = "range(p.n_tok)"
     return f"""
   t AS (
     SELECT p.doc_id, p.regime, p.n_tok, u.j, {_TOKEN_CASE_SQL} AS tok
-    FROM p LEFT JOIN LATERAL unnest(range({rng})) u(j) ON true
+    FROM p LEFT JOIN LATERAL unnest({rng}) u(j) ON true
   )"""
 
 
@@ -213,23 +222,31 @@ def per_doc_checksum_sql(
     doc_source: str = "documents",
     string_doc_id: bool = False,
     prefix_len: int | None = None,
+    suffix_len: int | None = None,
 ) -> str:
     """Full query: per-doc checksums straight from the generator formula.
 
     All numeric outputs cast to BIGINT (DuckDB SUM would return HUGEINT) so
     the value-hash compare against Spark ``long`` columns is exact. With
     ``string_doc_id`` the doc id is emitted in the engine's ``doc-%08d`` form.
-    ``prefix_len`` checksums only each doc's first ``prefix_len`` tokens
-    (truncation-decode oracle; ``n_tok`` stays the original length).
+    ``prefix_len`` (``suffix_len``) checksums only each doc's first (last)
+    that-many tokens — the truncation-decode oracles; ``n_tok`` stays the
+    original length and the weighted checksum uses positions within the
+    TRUNCATED output array, matching what the engine hands downstream.
     """
     did = "printf('doc-%08d', doc_id)" if string_doc_id else "doc_id"
+    if suffix_len is not None:
+        # output position of original j is j - (n_tok - out_len)
+        w = f"(j - GREATEST(n_tok - {int(suffix_len)}, 0) + 1)"
+    else:
+        w = "(j + 1)"
     return f"""
-WITH{params_cte_sql(doc_source)},{tokens_cte_sql(prefix_len)}
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql(prefix_len, suffix_len)}
 SELECT {did} AS doc_id,
        CAST(regime AS BIGINT) AS regime,
        CAST(n_tok AS BIGINT) AS n_tok,
        CAST(((COALESCE(SUM(tok), 0) % {MOD}) + {MOD}) % {MOD} AS BIGINT) AS tok_cks,
-       CAST(((COALESCE(SUM((j + 1) * tok), 0) % {MOD}) + {MOD}) % {MOD} AS BIGINT) AS tok_wcks,
+       CAST(((COALESCE(SUM({w} * tok), 0) % {MOD}) + {MOD}) % {MOD} AS BIGINT) AS tok_wcks,
        CAST(MIN(tok) AS BIGINT) AS tok_min,
        CAST(MAX(tok) AS BIGINT) AS tok_max
 FROM t
@@ -353,6 +370,26 @@ SELECT printf('doc-%08d', t.doc_id) AS doc_id,
        END AS hot_permille
 FROM t LEFT JOIN hot ON t.tok = hot.tok
 GROUP BY t.doc_id, t.regime, t.n_tok
+ORDER BY doc_id
+"""
+
+
+def phrase_search_sql(x: int, y: int, doc_source: str = "documents") -> str:
+    """Docs containing the adjacent token pair ``(x, y)`` + pair counts
+    (overlapping occurrences count) — oracle for the phrase search over
+    encoded blocks (:func:`.engine.search.search_phrase`)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  s AS (
+    SELECT doc_id, tok,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+    FROM t WHERE tok IS NOT NULL
+  )
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM s
+WHERE tok = {int(x)} AND nxt = {int(y)}
+GROUP BY doc_id
 ORDER BY doc_id
 """
 

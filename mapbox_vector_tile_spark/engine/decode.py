@@ -336,3 +336,69 @@ def decode_prefix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
 
     cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
     return blocks_df.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
+
+
+def decode_suffix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
+    """Last-``k`` truncation decode: ``tokens[-k:]`` per document.
+
+    The mirror of :func:`decode_prefix_dataframe` for recency-shaped reads
+    — "the most recent context window of every sequence" (chat history
+    tails, streaming continuation) — via the same codec-aware positional
+    gather: each doc's last ``min(k, n_tok)`` flat positions form one
+    sorted gather index (suffix spans are disjoint and ascending because
+    doc spans are), so RLE/CONSTANT/PAGED chunks never inflate their full
+    stream and Arrow/JVM egress is O(k·docs). ``n_tok`` stays the ORIGINAL
+    length so truncated docs remain distinguishable.
+    """
+    if k < 0:
+        raise ValueError("suffix length k must be >= 0")
+
+    from ..codec.gather import decode_block_gather
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            checksums = batch.column("checksum")
+            doc_ids_col = batch.column("doc_ids")
+            for i in range(batch.num_rows):
+                payload = memoryview(payloads[i].as_buffer())
+                if verify_checksum and zlib.crc32(payload) != checksums[
+                    i
+                ].as_py():
+                    raise ValueError(
+                        "payload checksum mismatch (corrupt block)"
+                    )
+                lengths = B.decode_block(
+                    memoryview(lengths_blobs[i].as_buffer())
+                ).astype(np.int64)
+                out_lens = np.minimum(lengths, k)
+                total_out = int(out_lens.sum())
+                if total_out:
+                    starts = np.zeros(lengths.size, dtype=np.int64)
+                    np.cumsum(lengths[:-1], out=starts[1:])
+                    # suffix span of doc d starts at starts[d] + n_d - out_d
+                    sel_starts = starts + lengths - out_lens
+                    out_starts = np.zeros(out_lens.size, dtype=np.int64)
+                    np.cumsum(out_lens[:-1], out=out_starts[1:])
+                    idx = np.arange(total_out, dtype=np.int64)
+                    idx += np.repeat(sel_starts - out_starts, out_lens)
+                    values, _ = decode_block_gather(payload, idx)
+                else:
+                    values = np.zeros(0, dtype=np.int32)
+                offsets = np.zeros(out_lens.size + 1, dtype=np.int64)
+                np.cumsum(out_lens, out=offsets[1:])
+                tokens = pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+                ).cast(pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids_col[i].values,
+                        tokens,
+                        pa.array(lengths.astype(np.int32), pa.int32()),
+                    ],
+                    schema=_OUT_ARROW_SCHEMA,
+                )
+
+    cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+    return blocks_df.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)

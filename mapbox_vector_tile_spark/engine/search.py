@@ -158,6 +158,72 @@ def search_token(blocks_df, x: int):
     return out.orderBy("doc_id")
 
 
+def search_phrase(blocks_df, x: int, y: int):
+    """Docs containing the adjacent pair ``(x, y)``: ``(doc_id, n_pairs)``.
+
+    Phrase search the posting-list index cannot answer (postings carry no
+    positions): adjacency needs the value STREAM, but only of chunks that
+    can contain BOTH terms — each term's codec-aware probe
+    (:func:`..codec.search.hit_positions`) prunes chunks/pages whose
+    parameter domain excludes it, so a rare phrase touches O(params) bytes
+    almost everywhere. In surviving chunks the pair positions are the
+    intersection of ``pos(x)+1`` with ``pos(y)`` (two sorted arrays, one
+    ``intersect1d``), minus matches that straddle a document boundary
+    (``searchsorted`` against the doc-offset prefix sum). Overlapping
+    occurrences count, matching the SQL ``LEAD`` oracle. Same one-pass
+    no-explode plan as :func:`search_token`; result rows are hit docs only.
+    """
+    x, y = int(x), int(y)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            doc_ids_col = batch.column("doc_ids")
+            for i in range(batch.num_rows):
+                payload = memoryview(payloads[i].as_buffer())
+                pos_x, _ = hit_positions(payload, x)
+                if pos_x.size == 0:
+                    continue
+                pos_y = (
+                    pos_x if y == x else hit_positions(payload, y)[0]
+                )
+                if pos_y.size == 0:
+                    continue
+                pairs = np.intersect1d(
+                    pos_x + 1, pos_y, assume_unique=True
+                )  # flat positions of the y in each (x, y) pair
+                if pairs.size == 0:
+                    continue
+                lengths = B.decode_block(
+                    memoryview(lengths_blobs[i].as_buffer())
+                ).astype(np.int64)
+                offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+                np.cumsum(lengths, out=offsets[1:])
+                # drop pairs straddling a doc boundary: x at position p
+                # and y at p+1 must fall in the same doc span
+                d_y = np.searchsorted(offsets, pairs, side="right") - 1
+                d_x = np.searchsorted(offsets, pairs - 1, side="right") - 1
+                pairs = pairs[d_x == d_y]
+                if pairs.size == 0:
+                    continue
+                doc_idx = np.searchsorted(offsets, pairs, side="right") - 1
+                counts = np.bincount(doc_idx, minlength=lengths.size)
+                hit = np.nonzero(counts)[0]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids_col[i].values.take(pa.array(hit)),
+                        pa.array(counts[hit], pa.int64()),
+                    ],
+                    schema=_HITS_ARROW_SCHEMA,
+                )
+
+    out = blocks_df.select("doc_ids", "lengths_blob", "payload").mapInArrow(
+        fn, HITS_SPARK_SCHEMA
+    )
+    return out.withColumnRenamed("n_hits", "n_pairs").orderBy("doc_id")
+
+
 def search_token_stats(blocks_df, x: int):
     """Per-codec pruning telemetry for a probe of ``x``.
 
