@@ -564,6 +564,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sliding_window_checksums"] = sliding_window_checksums
 
+    # content-defined chunking: rolling-hash boundaries (shift-robust
+    # dedup/delta unit) — per-row Catalyst polynomial over element_at,
+    # cut positions gated by checksum, not just counts
+    def cdc_boundaries_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.cdc import cdc_boundaries
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return cdc_boundaries(decode_dataframe(blocks))
+
+    q["cdc_boundaries_screen"] = cdc_boundaries_screen
+
     # intra-document repetition screen (Gopher-style repeated-trigram
     # fraction, exact integers): per-row array_sort + neighbor scan, zero
     # shuffle; rolled up per regime with the 20% flag threshold
@@ -1158,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["source_upsample_rollup"] = source_upsample_rollup_sql(_UPSAMPLE_WEIGHTS)
     o["sliding_window_checksums"] = window_checksums_sql(96, 64)
+    from mapbox_vector_tile_spark.functions.cdc import cdc_boundaries_sql
+
+    o["cdc_boundaries_screen"] = cdc_boundaries_sql()
     o["stratified_sample_rollup"] = C.per_source_checksum_sql(
         f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
     )

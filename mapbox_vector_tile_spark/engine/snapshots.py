@@ -233,6 +233,87 @@ def incremental_changes(
     return inserted, deleted_ids
 
 
+_REFS = "_refs.json"
+
+
+def _read_refs(root: str) -> dict[str, dict]:
+    try:
+        with open(os.path.join(root, _REFS)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _write_refs(root: str, refs: dict[str, dict]) -> None:
+    tmp = os.path.join(root, f"{_REFS}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.replace(tmp, os.path.join(root, _REFS))  # atomic like _current
+
+
+def set_ref(
+    root: str, name: str, sid: int | None = None, kind: str = "tag"
+) -> int:
+    """Create or move a named ref (Iceberg branch/tag analog).
+
+    A ``tag`` is an immutable name for a snapshot (release pinning: "the
+    corpus train run 7 used"); a ``branch`` is a movable head. Both are
+    stored in one atomically swapped ``_refs.json``, so readers never see
+    a torn ref table. Retagging an existing tag to a DIFFERENT snapshot
+    raises — tags are write-once by contract; branches move freely.
+    Returns the snapshot id the ref points at (default: current).
+    """
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be 'tag' or 'branch', got {kind!r}")
+    if sid is None:
+        sid = current_snapshot_id(root)
+    if sid is None:
+        raise ValueError("cannot ref an empty table")
+    read_snapshot(root, sid)  # fail fast on dangling target
+    refs = _read_refs(root)
+    old = refs.get(name)
+    if old is not None:
+        if old["kind"] == "tag" and (
+            kind != "tag" or old["snapshot_id"] != sid
+        ):
+            raise ValueError(f"tag {name!r} already pins snapshot "
+                             f"{old['snapshot_id']} (tags are write-once)")
+    refs[name] = {"kind": kind, "snapshot_id": int(sid)}
+    _write_refs(root, refs)
+    return int(sid)
+
+
+def resolve_ref(root: str, name: str) -> int:
+    """Snapshot id a ref points at; raises on unknown names and on refs
+    whose snapshot has been expired (a dangling ref is an error, not an
+    empty table)."""
+    refs = _read_refs(root)
+    if name not in refs:
+        raise KeyError(f"unknown ref {name!r}")
+    sid = int(refs[name]["snapshot_id"])
+    read_snapshot(root, sid)
+    return sid
+
+
+def drop_ref(root: str, name: str) -> None:
+    """Remove a ref (tags included — dropping is how a tag is retired)."""
+    refs = _read_refs(root)
+    if name not in refs:
+        raise KeyError(f"unknown ref {name!r}")
+    del refs[name]
+    _write_refs(root, refs)
+
+
+def list_refs(root: str) -> dict[str, dict]:
+    """Name -> ``{kind, snapshot_id}`` mapping (copy)."""
+    return dict(_read_refs(root))
+
+
+def decode_at_ref(spark: SparkSession, root: str, name: str, **kw):
+    """Time travel by name: :func:`decode_at` of the ref's snapshot."""
+    return decode_at(spark, root, resolve_ref(root, name), **kw)
+
+
 def expire_snapshots(root: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshot manifests; returns the
     expired ids. Data files stay until :func:`orphan_files` cleanup."""
@@ -241,9 +322,17 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[int]:
         s["snapshot_id"] for s in log
     ]
     cur = current_snapshot_id(root)
+    pinned = {
+        r["snapshot_id"]: name for name, r in _read_refs(root).items()
+    }
     for sid in expired:
         if sid == cur:
             raise ValueError("refusing to expire the current snapshot")
+        if sid in pinned:
+            raise ValueError(
+                f"refusing to expire snapshot {sid}: pinned by ref "
+                f"{pinned[sid]!r} (drop the ref first)"
+            )
         os.remove(_snap_path(root, sid))
     return expired
 

@@ -145,3 +145,46 @@ def test_expire_refuses_current(spark, table):
 def test_empty_table_reads_fail(spark, tmp_path):
     with pytest.raises(ValueError):
         S.read_blocks_at(spark, str(tmp_path))
+
+
+def test_refs_tag_branch_lifecycle(spark, corpus, tmp_path):
+    # own two-commit table: the shared one gets rewritten/expired by
+    # earlier tests, which can collapse its log to a single snapshot
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    first = corpus.filter(F.expr("substring(doc_id, 5, 8) < 120"))
+    second = corpus.filter(
+        F.expr("substring(doc_id, 5, 8) >= 120 AND "
+               "substring(doc_id, 5, 8) < 180")
+    )
+    assert S.commit_append(table, encode_dataframe(first, EncodeOptions())) == 1
+    assert S.commit_append(table, encode_dataframe(second, EncodeOptions())) == 2
+    lo, hi = 1, 2
+    assert S.set_ref(table, "train-v1", lo, kind="tag") == lo
+    assert S.set_ref(table, "main", hi, kind="branch") == hi
+    assert S.resolve_ref(table, "train-v1") == lo
+    # decode by name == decode by id
+    assert _ids(S.decode_at_ref(spark, table, "train-v1")) == _ids(
+        S.decode_at(spark, table, lo)
+    )
+    # tags are write-once; branches move
+    with pytest.raises(ValueError):
+        S.set_ref(table, "train-v1", hi, kind="tag")
+    assert S.set_ref(table, "main", lo, kind="branch") == lo
+    # re-pinning a tag to the SAME snapshot is a no-op, not an error
+    assert S.set_ref(table, "train-v1", lo, kind="tag") == lo
+    # pinned snapshots refuse to expire until the ref drops
+    with pytest.raises(ValueError):
+        S.expire_snapshots(table, keep_last=1)
+    S.drop_ref(table, "train-v1")
+    S.drop_ref(table, "main")
+    assert "train-v1" not in S.list_refs(table)
+    with pytest.raises(KeyError):
+        S.resolve_ref(table, "train-v1")
+
+
+def test_refs_reject_dangling_targets(table):
+    with pytest.raises(FileNotFoundError):
+        S.set_ref(table, "nope", 99_999)
+    with pytest.raises(KeyError):
+        S.drop_ref(table, "never-created")
