@@ -155,6 +155,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suffix_decode_truncation"] = suffix_decode_truncation
 
+    # rectangular trainer egress: tokens[:64] right-padded with pad_id=7
+    # to exactly 64; checksums gate the padding values AND positions
+    def padded_decode_rectangle(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.decode import (
+            decode_padded_dataframe,
+        )
+
+        blocks = encode_dataframe(_corpus(spark, sf_dir))
+        out = with_doc_checksums(decode_padded_dataframe(blocks, 64, 7))
+        return out.select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("n_fill").cast("long").alias("n_fill"),
+            "tok_cks",
+            "tok_wcks",
+        ).orderBy("doc_id")
+
+    q["padded_decode_rectangle"] = padded_decode_rectangle
+
     # phrase search: adjacent pair (10, 1) — positions need the value
     # stream, but only chunks whose codec domains admit BOTH terms decode
     def phrase_search(spark, sf_dir):
@@ -1129,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", string_doc_id=True, suffix_len=64
         ),
         "phrase_search": C.phrase_search_sql(10, 1),
+        "padded_decode_rectangle": C.padded_checksum_sql(64, 7),
     }
     for codec in _CODECS:
         o[f"roundtrip_{codec}_by_regime"] = by_regime

@@ -374,6 +374,36 @@ ORDER BY doc_id
 """
 
 
+def padded_checksum_sql(
+    k: int, pad_id: int, doc_source: str = "documents"
+) -> str:
+    """Per-doc checksums of the PADDED rectangle — oracle for
+    :func:`.engine.decode.decode_padded_dataframe`. Real tokens contribute
+    through the prefix-limited stream; the pad tail contributes in closed
+    form (``pad_id`` times the count / the position-sum of padded slots),
+    so the checksums gate the padding VALUES and POSITIONS, not just
+    shape."""
+    k, pad_id = int(k), int(pad_id)
+    fill = f"LEAST(n_tok, {k})"
+    # sum of output positions (1-based) occupied by padding:
+    # k(k+1)/2 - fill(fill+1)/2
+    pad_n = f"({k} - {fill})"
+    pad_wsum = f"(({k} * {k + 1}) // 2 - ({fill} * ({fill} + 1)) // 2)"
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql(prefix_len=k)}
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST({fill} AS BIGINT) AS n_fill,
+       CAST((((COALESCE(SUM(tok), 0) + {pad_id} * {pad_n}) % {MOD}) + {MOD})
+            % {MOD} AS BIGINT) AS tok_cks,
+       CAST((((COALESCE(SUM((j + 1) * tok), 0) + {pad_id} * {pad_wsum})
+            % {MOD}) + {MOD}) % {MOD} AS BIGINT) AS tok_wcks
+FROM t
+GROUP BY doc_id, n_tok
+ORDER BY doc_id
+"""
+
+
 def phrase_search_sql(x: int, y: int, doc_source: str = "documents") -> str:
     """Docs containing the adjacent token pair ``(x, y)`` + pair counts
     (overlapping occurrences count) — oracle for the phrase search over

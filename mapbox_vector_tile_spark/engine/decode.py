@@ -338,6 +338,37 @@ def decode_prefix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
     return blocks_df.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
 
 
+def decode_padded_dataframe(
+    blocks_df, k: int, pad_id: int, verify_checksum: bool = True
+):
+    """Rectangular trainer egress: every doc as EXACTLY ``k`` tokens —
+    truncated via the codec-aware gather (:func:`decode_prefix_dataframe`),
+    then right-padded with ``pad_id`` as a Catalyst ``concat`` /
+    ``array_repeat`` projection (JVM-side, no second Python pass).
+
+    Output: ``(doc_id, tokens[k], n_fill, n_tok)`` — ``n_fill`` is the
+    real-token count (the attention-mask length a trainer derives masks
+    from), ``n_tok`` the original document length. The padding projection
+    is map-side on the decode output; total egress is O(k·docs) exactly,
+    which is what a fixed-shape tensor consumer reads anyway.
+    """
+    if k < 0:
+        raise ValueError("target length k must be >= 0")
+    from pyspark.sql import functions as F
+
+    out = decode_prefix_dataframe(blocks_df, k, verify_checksum)
+    fill = F.least(F.col("n_tok"), F.lit(k))
+    return out.select(
+        "doc_id",
+        F.concat(
+            "tokens",
+            F.array_repeat(F.lit(int(pad_id)).cast("int"), F.lit(k) - fill),
+        ).alias("tokens"),
+        fill.cast("int").alias("n_fill"),
+        "n_tok",
+    )
+
+
 def decode_suffix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
     """Last-``k`` truncation decode: ``tokens[-k:]`` per document.
 

@@ -110,3 +110,24 @@ def test_phrase_same_token_runs(spark):
     b = encode_dataframe(df, EncodeOptions())
     got = search_phrase(b, 4, 4).collect()
     assert len(got) == 1 and got[0].n_pairs == 4
+
+
+def test_padded_rectangle(blocks, full):
+    from mapbox_vector_tile_spark.engine.decode import decode_padded_dataframe
+
+    K, PAD = 32, 7
+    got = {r.doc_id: r for r in decode_padded_dataframe(blocks, K, PAD).collect()}
+    assert set(got) == set(full)
+    for d, r in got.items():
+        src = full[d].tokens
+        want = src[:K] + [PAD] * max(0, K - len(src))
+        assert len(r.tokens) == K and r.tokens == want, d
+        assert r.n_fill == min(len(src), K)
+        assert r.n_tok == full[d].n_tok
+
+
+def test_padded_rectangle_k_zero(blocks):
+    from mapbox_vector_tile_spark.engine.decode import decode_padded_dataframe
+
+    got = decode_padded_dataframe(blocks, 0, 7).collect()
+    assert all(r.tokens == [] and r.n_fill == 0 for r in got)
