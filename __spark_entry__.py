@@ -595,6 +595,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_boundaries_screen"] = cdc_boundaries_screen
 
+    # deterministic span-corruption masks (T5-family): mask decision is a
+    # pure function of (doc identity, span index); the position-weighted
+    # checksum gates WHICH tokens are masked, not just how many
+    def span_corruption_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.masking import (
+            span_corruption_summary,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return span_corruption_summary(decode_dataframe(blocks), 3, 150)
+
+    q["span_corruption_screen"] = span_corruption_screen
+
     # intra-document repetition screen (Gopher-style repeated-trigram
     # fraction, exact integers): per-row array_sort + neighbor scan, zero
     # shuffle; rolled up per regime with the 20% flag threshold
@@ -1193,6 +1207,9 @@ def oracle_sql() -> dict[str, str]:
     from mapbox_vector_tile_spark.functions.cdc import cdc_boundaries_sql
 
     o["cdc_boundaries_screen"] = cdc_boundaries_sql()
+    from mapbox_vector_tile_spark.functions.masking import span_corruption_sql
+
+    o["span_corruption_screen"] = span_corruption_sql(3, 150)
     o["stratified_sample_rollup"] = C.per_source_checksum_sql(
         f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
     )
