@@ -465,6 +465,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_ranked_search"] = bm25_ranked_search
 
+    # phrase search served from the POSITIONAL index: only the two query
+    # tokens' posting segments decode; adjacency is pure Catalyst
+    # (array_intersect of shifted position lists)
+    def phrase_search_indexed(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import (
+            build_positional_index,
+            phrase_search_indexed as psi,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        pindex = build_positional_index(
+            decode_dataframe(blocks), lo=0, hi=63
+        )
+        return psi(pindex, 9, 0)
+
+    q["phrase_search_indexed"] = phrase_search_indexed
+
     # manifest-only stats: no posting blob decoded
     def inverted_index_stats(spark, sf_dir):
         from mapbox_vector_tile_spark.engine.index import index_token_stats
@@ -1187,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
     o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
     o["inverted_index_lookup"] = C.token_search_sql(42)
     o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
+    o["phrase_search_indexed"] = C.phrase_search_sql(9, 0)
     o["inverted_index_and_search"] = C.and_search_sql(3, 5)
     o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.split import split_sql

@@ -184,6 +184,176 @@ def search_token_and(index_df: DataFrame, x: int, y: int) -> DataFrame:
     ).orderBy("doc_id")
 
 
+POS_INDEX_SPARK_SCHEMA = INDEX_SPARK_SCHEMA + ", pos_blob binary"
+
+_POS_INDEX_ARROW_SCHEMA = pa.schema(
+    list(_INDEX_ARROW_SCHEMA) + [("pos_blob", pa.binary())]
+)
+
+
+def build_positional_index(
+    decoded_df: DataFrame,
+    lo: int | None = None,
+    hi: int | None = None,
+    segment_docs: int = SEGMENT_DOCS,
+) -> DataFrame:
+    """Positional posting segments: the phrase-capable index.
+
+    Same shape as :func:`build_token_index` plus one ``pos_blob`` per
+    segment — the within-doc positions of every hit, flattened in doc
+    order and compressed through the engine's own codec ladder (positions
+    are small ascending runs per doc, so FOR/bit-pack win naturally; the
+    per-doc list lengths ARE ``cnt_blob``, no extra offsets stream
+    needed). Costs one extra int per hit at build time and nothing at
+    doc-lookup time — readers that don't need positions ignore the column.
+
+    The Lucene proximity-index analog; build is the same two map-side-
+    combinable aggregates (positions ride along as ``collect_list`` within
+    the bounded (tok, doc) group).
+    """
+    pairs = decoded_df.select(
+        doc_num_expr().alias("doc"),
+        F.posexplode("tokens").alias("pos", "tok"),
+    )
+    if lo is not None:
+        pairs = pairs.filter(F.col("tok") >= int(lo))
+    if hi is not None:
+        pairs = pairs.filter(F.col("tok") <= int(hi))
+    per_doc = pairs.groupBy("tok", "doc").agg(
+        F.count("*").alias("cnt"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    lists = per_doc.groupBy(
+        F.col("tok").cast("long").alias("tok"),
+        F.expr(f"doc DIV {int(segment_docs)}").alias("segment"),
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("doc", "cnt", "ps"))).alias(
+            "post"
+        )
+    )
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            post = batch.column("post")
+            if isinstance(post, pa.ChunkedArray):
+                post = post.combine_chunks()
+            offsets = post.offsets.to_numpy()
+            docs_all = post.values.field("doc").to_numpy().astype(np.int64)
+            cnts_all = post.values.field("cnt").to_numpy().astype(np.int64)
+            ps = post.values.field("ps")
+            ps_offsets = ps.offsets.to_numpy()
+            ps_all = ps.values.to_numpy().astype(np.int64)
+            if docs_all.size and (
+                docs_all.max() > 2**31 - 1
+                or cnts_all.max() > 2**31 - 1
+                or (ps_all.size and ps_all.max() > 2**31 - 1)
+            ):
+                raise ValueError("doc/count/position overflows int32")
+            rows = []
+            for i in range(batch.num_rows):
+                a, b = offsets[i], offsets[i + 1]
+                docs = docs_all[a:b].astype(np.int32)
+                cnts = cnts_all[a:b].astype(np.int32)
+                flat = ps_all[ps_offsets[a] : ps_offsets[b]].astype(np.int32)
+                rows.append(
+                    (
+                        batch.column("tok")[i].as_py(),
+                        batch.column("segment")[i].as_py(),
+                        int(docs.size),
+                        int(cnts.sum()),
+                        S.encode_auto(docs)[0],
+                        S.encode_auto(cnts)[0],
+                        S.encode_auto(flat)[0],
+                    )
+                )
+            if rows:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            [r[j] for r in rows],
+                            _POS_INDEX_ARROW_SCHEMA.field(j).type,
+                        )
+                        for j in range(7)
+                    ],
+                    schema=_POS_INDEX_ARROW_SCHEMA,
+                )
+
+    return lists.mapInArrow(enc, POS_INDEX_SPARK_SCHEMA)
+
+
+def _decode_positions(pindex_df: DataFrame) -> DataFrame:
+    """Matched positional segments -> ``(doc long, ps array<int>)`` rows —
+    each doc's ascending within-doc hit positions, rebuilt from
+    ``cnt_blob`` (per-doc lengths) + ``pos_blob`` (flat positions)."""
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [("doc", pa.int64()), ("ps", pa.list_(pa.int32()))]
+        )
+        for batch in batches:
+            doc_blobs = batch.column("doc_blob")
+            cnt_blobs = batch.column("cnt_blob")
+            pos_blobs = batch.column("pos_blob")
+            for i in range(batch.num_rows):
+                docs = B.decode_block(
+                    memoryview(doc_blobs[i].as_buffer())
+                ).astype(np.int64)
+                if not docs.size:
+                    continue
+                cnts = B.decode_block(
+                    memoryview(cnt_blobs[i].as_buffer())
+                ).astype(np.int64)
+                flat = B.decode_block(
+                    memoryview(pos_blobs[i].as_buffer())
+                ).astype(np.int32)
+                offs = np.zeros(cnts.size + 1, dtype=np.int64)
+                np.cumsum(cnts, out=offs[1:])
+                ps = pa.LargeListArray.from_arrays(
+                    pa.array(offs, pa.int64()), pa.array(flat, pa.int32())
+                ).cast(pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(docs), ps], schema=schema
+                )
+
+    return pindex_df.select("doc_blob", "cnt_blob", "pos_blob").mapInArrow(
+        dec, "doc long, ps array<int>"
+    )
+
+
+def phrase_search_indexed(pindex_df: DataFrame, x: int, y: int) -> DataFrame:
+    """Index-served phrase search: docs where token ``y`` immediately
+    follows ``x`` — ``(doc_id, n_pairs)``, same contract as the blocks-scan
+    :func:`.search.search_phrase` but answered from two posting lists.
+
+    Candidates are the doc-level intersection (an equi-join of the two
+    lists); adjacency is pure Catalyst from there —
+    ``array_intersect(transform(ps_x, p -> p+1), ps_y)`` (positions are
+    unique within a doc, so the intersection size IS the pair count,
+    overlapping occurrences included). Only the two query tokens' segments
+    are ever decoded; the corpus is never scanned.
+    """
+    a = _decode_positions(
+        pindex_df.filter(F.col("tok") == int(x))
+    ).withColumnRenamed("ps", "ps_x")
+    b = _decode_positions(
+        pindex_df.filter(F.col("tok") == int(y))
+    ).withColumnRenamed("ps", "ps_y")
+    both = a.join(b, "doc")
+    n = F.size(
+        F.array_intersect(
+            F.transform("ps_x", lambda p: p + F.lit(1)), F.col("ps_y")
+        )
+    )
+    return (
+        both.select(
+            F.format_string("doc-%08d", "doc").alias("doc_id"),
+            n.cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def _decode_postings_tok(index_df: DataFrame) -> DataFrame:
     """Matched segments -> ``(tok long, doc long, n_hits long)`` rows —
     the multi-term variant of :func:`_decode_postings` (scoring needs to

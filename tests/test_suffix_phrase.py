@@ -131,3 +131,46 @@ def test_padded_rectangle_k_zero(blocks):
 
     got = decode_padded_dataframe(blocks, 0, 7).collect()
     assert all(r.tokens == [] and r.n_fill == 0 for r in got)
+
+
+def test_indexed_phrase_matches_blocks_scan(spark, blocks):
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.index import (
+        build_positional_index,
+        phrase_search_indexed,
+    )
+
+    pindex = build_positional_index(decode_dataframe(blocks), lo=0, hi=99)
+    pindex.cache().count()
+    try:
+        for x, y in [(10, 1), (92, 92), (9, 0), (2, 9)]:
+            scan = {
+                r.doc_id: r.n_pairs
+                for r in search_phrase(blocks, x, y).collect()
+            }
+            idx = {
+                r.doc_id: r.n_pairs
+                for r in phrase_search_indexed(pindex, x, y).collect()
+            }
+            assert idx == scan, (x, y)
+    finally:
+        pindex.unpersist()
+
+
+def test_positional_index_blob_roundtrip(spark, blocks, full):
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.index import (
+        _decode_positions,
+        build_positional_index,
+    )
+
+    pindex = build_positional_index(decode_dataframe(blocks), lo=42, hi=42)
+    got = {
+        r.doc: r.ps for r in _decode_positions(pindex).collect()
+    }
+    want = {}
+    for d, r in full.items():
+        ps = [j for j, t in enumerate(r.tokens) if t == 42]
+        if ps:
+            want[int(d.split("-")[1])] = ps
+    assert got == want
