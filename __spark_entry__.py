@@ -427,6 +427,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trigram_top_k"] = trigram_top_k
 
+    # KMV bottom-k distinct sketch: distinct trigrams estimated from a
+    # fixed k-value state (row-local Catalyst bottom-k -> Arrow partition
+    # merge -> tiny global finisher); exact grams would shuffle the whole
+    # distinct domain at 100 TB
+    def kmv_distinct_trigrams(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sketch import (
+            kmv_distinct_ngrams,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return kmv_distinct_ngrams(decode_dataframe(blocks), 3, 1024)
+
+    q["kmv_distinct_trigrams"] = kmv_distinct_trigrams
+
     # inverted token index: posting lists stored as the engine's own
     # frames (d-gap delta/FOR compression), doc-range segment sharding
     def _hot_index(spark, sf_dir):
@@ -612,6 +627,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cdc_boundaries(decode_dataframe(blocks))
 
     q["cdc_boundaries_screen"] = cdc_boundaries_screen
+
+    # recrawl delta-storage screen: chunk-multiset reuse between a doc and
+    # its prefix-edited recrawl, computed row-locally (zero shuffle) —
+    # reuse exists only because CDC boundaries realign after the edit
+    def recrawl_delta_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.cdc import (
+            recrawl_delta_stats,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return recrawl_delta_stats(decode_dataframe(blocks))
+
+    q["recrawl_delta_screen"] = recrawl_delta_screen
 
     # deterministic span-corruption masks (T5-family): mask decision is a
     # pure function of (doc identity, span index); the position-weighted
@@ -1203,6 +1232,11 @@ def oracle_sql() -> dict[str, str]:
     o["length_grouped_batching"] = length_grouped_sql(32, epoch=1)
     o["bigram_top_k"] = C.top_k_ngrams_sql(2, 25)
     o["trigram_top_k"] = C.top_k_ngrams_sql(3, 25)
+    from mapbox_vector_tile_spark.functions.sketch import (
+        kmv_distinct_ngrams_sql,
+    )
+
+    o["kmv_distinct_trigrams"] = kmv_distinct_ngrams_sql(3, 1024)
     o["inverted_index_lookup"] = C.token_search_sql(42)
     o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
     o["phrase_search_indexed"] = C.phrase_search_sql(9, 0)
@@ -1226,6 +1260,9 @@ def oracle_sql() -> dict[str, str]:
     from mapbox_vector_tile_spark.functions.cdc import cdc_boundaries_sql
 
     o["cdc_boundaries_screen"] = cdc_boundaries_sql()
+    from mapbox_vector_tile_spark.functions.cdc import recrawl_delta_sql
+
+    o["recrawl_delta_screen"] = recrawl_delta_sql()
     from mapbox_vector_tile_spark.functions.masking import span_corruption_sql
 
     o["span_corruption_screen"] = span_corruption_sql(3, 150)
