@@ -34,6 +34,11 @@ _SAMPLE_RATES = {"web": 300, "books": 650, "forum": 0}
 # mixing weights for the upsampling gate: one fractional (2.5x), one just
 # over 1x, one dropped, the rest untouched (1.0x)
 _UPSAMPLE_WEIGHTS = {"web": 2500, "books": 1300, "forum": 0}
+# mixture planner: at the sf0.01 gate corpus (500 docs / ~280k tokens)
+# web saturates (budget share exceeds supply), books/code/wiki get
+# fractional cuts, forum defaults to weight 0
+_MIX_WEIGHTS = {"web": 500, "books": 250, "code": 150, "wiki": 100}
+_MIX_BUDGET = 150_000
 
 _CODECS = [
     "raw",
@@ -599,6 +604,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["source_upsample_rollup"] = source_upsample_rollup
+
+    # token-budget mixture planner: declared per-source weights + a global
+    # token budget resolved AGAINST the corpus into effective per-mille
+    # keep rates (floor integer math; undersupplied sources saturate at
+    # 1000) — one scan builds a (source, hash-bucket) histogram, so every
+    # rate's exact kept docs/tokens are read off the tiny rollup
+    def mixture_plan_resolve(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.mixture import mixture_plan
+
+        return mixture_plan(
+            _corpus(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET
+        )
+
+    q["mixture_plan_resolve"] = mixture_plan_resolve
+
+    # applied mixture: the resolved rates broadcast back onto the corpus
+    # (no corpus shuffle), kept docs re-gated through encode -> decode ->
+    # per-source checksum rollup
+    def mixture_sample_rollup(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.mixture import (
+            mixture_sample,
+        )
+
+        tokens = mixture_sample(
+            _corpus(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET
+        )
+        blocks = encode_dataframe(tokens, EncodeOptions(), string_col="source")
+        decoded = decode_dataframe(blocks, with_source=True)
+        out = with_doc_checksums(decoded)
+        return (
+            out.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("sum_n_tok"),
+                F.sum("tok_cks").alias("sum_tok_cks"),
+            )
+            .orderBy("source")
+        )
+
+    q["mixture_sample_rollup"] = mixture_sample_rollup
 
     # sliding-window context chunking: overlapping windows per doc, carved
     # map-side from the decoded arrays; per-window order-sensitive
@@ -1268,6 +1313,22 @@ def oracle_sql() -> dict[str, str]:
     o["span_corruption_screen"] = span_corruption_sql(3, 150)
     o["stratified_sample_rollup"] = C.per_source_checksum_sql(
         f"documents WHERE {stratified_sample_pred_sql(_SAMPLE_RATES)}"
+    )
+    from mapbox_vector_tile_spark.functions.mixture import (
+        _MIX_MULT,
+        mixture_plan_sql,
+    )
+
+    o["mixture_plan_resolve"] = mixture_plan_sql(_MIX_WEIGHTS, _MIX_BUDGET)
+    _mix_rate_sub = (
+        "(SELECT pl.rate_permille FROM ("
+        + mixture_plan_sql(_MIX_WEIGHTS, _MIX_BUDGET).replace(
+            "ORDER BY r.source", ""
+        )
+        + f") pl WHERE pl.source = {C.source_case_sql('doc_id')})"
+    )
+    o["mixture_sample_rollup"] = C.per_source_checksum_sql(
+        f"documents WHERE (doc_id * {_MIX_MULT}) % 1000 < {_mix_rate_sub}"
     )
     o["repetition_screen"] = C.ngram_repetition_sql(3, 20)
     o["duplicate_span_audit"] = C.duplicate_spans_sql(8)
