@@ -1136,6 +1136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_quantize"] = lambda s, d: SIM.embedding_quantize_stats(
         _emb(s, d)
     )
+    # product quantization: sub-vector codebooks (first-k convention, like
+    # IVF) -> m-int codes per vector + integer-exact quantization error;
+    # ADC search scores the corpus from codes alone (query LUT broadcast,
+    # original vectors never touched on the corpus side)
+    q["pq_codebook_codes"] = lambda s, d: SIM.pq_codes(_emb(s, d))
+    q["pq_adc_top1"] = lambda s, d: SIM.pq_adc_top1(_emb(s, d))
 
     # lossless float32 embedding codec (ALP decimal / byte-stream split,
     # codec/floats.py): encode -> decode -> order-sensitive fixed-point
@@ -1413,6 +1419,8 @@ def oracle_sql() -> dict[str, str]:
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["embedding_quantize"] = SIM.embedding_quantize_stats_sql()
+    o["pq_codebook_codes"] = SIM.pq_codes_sql()
+    o["pq_adc_top1"] = SIM.pq_adc_top1_sql()
     from mapbox_vector_tile_spark.functions import float_codec as FCD
 
     o["embedding_codec_roundtrip"] = FCD.embedding_codec_roundtrip_sql()

@@ -455,3 +455,200 @@ SELECT vec_id, CAST(amax AS BIGINT) AS amax_fixed,
        CAST(MAX(ABS(qv)) AS BIGINT) AS max_abs_q
 FROM q GROUP BY vec_id, amax ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): sub-vector codebooks + ADC search over codes
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace codebook
+
+
+def _pq_scored(emb: DataFrame, m: int, k: int, dim: int) -> DataFrame:
+    """(vec_id, cid, d0..d{m-1}): fixed-point squared distance of every
+    vector's m sub-vectors to centroid ``cid``'s sub-vectors.
+
+    Codebooks are the first ``k`` vectors' sub-slices (deterministic and
+    oracle-replicable, same convention as :func:`ivf_assignments`;
+    production PQ k-means the codebooks, which changes the centroid table,
+    not this plan). Centroids broadcast; the corpus side streams — the
+    only shuffle in the whole PQ pipeline is the final per-vector argmin
+    aggregate.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    xi = F.transform(F.col("embedding"), lambda x: _fixed(x))
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("cid"), xi.alias("ci")
+    )
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), xi.alias("xi")
+    )
+    dist = lambda j: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.slice(F.col("xi"), j * sub + 1, sub),
+            F.slice(F.col("ci"), j * sub + 1, sub),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", *[dist(j).alias(f"d{j}") for j in range(m)]
+    )
+
+
+def pq_codes(
+    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int = 64
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}, sq_err_fixed): PQ assignment — each
+    sub-vector joins its nearest codebook centroid (min fixed-point squared
+    distance, ties to the smallest centroid id); ``sq_err_fixed`` is the
+    total quantization error, integer-exact.
+
+    A PQ code is m small ints (m bytes at k<=256) per vector — the 100 TB
+    story is the corpus shrinking from ``dim * 4`` bytes to ``m`` bytes per
+    row for the search path. Struct-min gives argmin-with-tiebreak in one
+    aggregate; one shuffle total (the per-vector groupBy).
+    """
+    scored = _pq_scored(emb, m, k, dim)
+    mins = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{j}").alias("d"), F.col("cid").alias("c"))
+            ).alias(f"s{j}")
+            for j in range(m)
+        ]
+    )
+    err = None
+    for j in range(m):
+        t = F.col(f"s{j}")["d"]
+        err = t if err is None else err + t
+    return mins.select(
+        "vec_id",
+        *[F.col(f"s{j}")["c"].alias(f"code_{j}") for j in range(m)],
+        err.alias("sq_err_fixed"),
+    ).orderBy("vec_id")
+
+
+def pq_adc_top1(
+    emb: DataFrame,
+    n_queries: int = 10,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_fixed): asymmetric-distance top-1 over
+    PQ codes — the query side precomputes its distance to every codebook
+    centroid (an m*k lookup table), the corpus side is scored from its
+    m-int code alone, never touching the original vectors.
+
+    Plan shape for 100 TB: the LUT (n_queries * m * k rows) broadcasts; the
+    corpus side does m broadcast-hash-joins plus a map-side-combining min
+    aggregate — the big table is scanned once, shuffles nothing, and only
+    its CODES are read (in a PQ-at-rest layout, dim*4 bytes/row never move).
+    """
+    scored = _pq_scored(emb, m, k, dim)
+    codes = pq_codes(emb, m, k, dim).drop("sq_err_fixed")
+    lut = scored.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid"),
+        *[F.col(f"d{j}") for j in range(m)],
+    )
+    out = codes.withColumnRenamed("vec_id", "neighbor_id").crossJoin(
+        F.broadcast(lut.select("query_id").distinct())
+    )
+    adc = None
+    for j in range(m):
+        lj = lut.select(
+            F.col("query_id").alias(f"_q{j}"),
+            F.col("cid").alias(f"_c{j}"),
+            F.col(f"d{j}").alias(f"_a{j}"),
+        )
+        out = out.join(
+            F.broadcast(lj),
+            (F.col("query_id") == F.col(f"_q{j}"))
+            & (F.col(f"code_{j}") == F.col(f"_c{j}")),
+        )
+        t = F.col(f"_a{j}")
+        adc = t if adc is None else adc + t
+    return (
+        out.withColumn("adc", adc)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("adc").alias("a"), F.col("neighbor_id").alias("n")
+                )
+            ).alias("s")
+        )
+        .select(
+            "query_id",
+            F.col("s")["n"].alias("neighbor_id"),
+            F.col("s")["a"].alias("adc_fixed"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_dist_cte(m: int, k: int, dim: int) -> str:
+    """CTE fragment: per (vec_id, cid, j) fixed-point subspace distances."""
+    sub = dim // m
+    return f"""
+x AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, u.i AS i,
+         CAST(floor(CAST(e.embedding[u.i+1] AS DOUBLE) * {SCALE}) AS BIGINT) AS xi
+  FROM embeddings e, unnest(range(len(e.embedding))) u(i)),
+dists AS (
+  SELECT a.vec_id, c.vec_id AS cid, a.i // {sub} AS j,
+         SUM((a.xi - c.xi) * (a.xi - c.xi)) AS d
+  FROM x a JOIN x c ON a.i = c.i AND c.vec_id < {k}
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT vec_id, cid, j, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, cid ASC) AS rn
+  FROM dists)"""
+
+
+def pq_codes_sql(m: int = PQ_M, k: int = PQ_K, dim: int = 64) -> str:
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN j = {j} THEN cid END) AS BIGINT) AS code_{j}"
+        for j in range(m)
+    )
+    return f"""
+WITH{_pq_dist_cte(m, k, dim)}
+SELECT vec_id, {code_cols},
+       CAST(SUM(d) AS BIGINT) AS sq_err_fixed
+FROM ranked WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def pq_adc_top1_sql(
+    n_queries: int = 10, m: int = PQ_M, k: int = PQ_K, dim: int = 64
+) -> str:
+    return f"""
+WITH{_pq_dist_cte(m, k, dim)},
+codes AS (
+  SELECT vec_id, j, cid AS code FROM ranked WHERE rn = 1),
+lut AS (
+  SELECT vec_id AS query_id, cid, j, d FROM dists
+  WHERE vec_id < {n_queries}),
+adc AS (
+  SELECT l.query_id, cds.vec_id AS neighbor_id, SUM(l.d) AS adc
+  FROM codes cds JOIN lut l ON l.j = cds.j AND l.cid = cds.code
+  WHERE cds.vec_id != l.query_id
+  GROUP BY 1, 2),
+best AS (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rn
+  FROM adc)
+SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(adc AS BIGINT) AS adc_fixed
+FROM best WHERE rn = 1 ORDER BY query_id
+"""
