@@ -447,6 +447,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_distinct_trigrams"] = kmv_distinct_trigrams
 
+    # count-min frequency sketch over bigrams: exact (r, bucket) sums —
+    # the sketch state is a pure function of the corpus; map-side partial
+    # agg collapses each partition to <= w*d rows before any shuffle
+    def cm_sketch_bigrams(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sketch import (
+            cm_sketch_ngrams,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return cm_sketch_ngrams(decode_dataframe(blocks), 2)
+
+    q["cm_sketch_bigrams"] = cm_sketch_bigrams
+
+    # the CM estimator demonstrated against the exact top-5 bigrams:
+    # est = min over hash rows; one-sided error (est >= exact) by design
+    def cm_estimate_top_bigrams(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sketch import (
+            cm_estimate_top_ngrams,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return cm_estimate_top_ngrams(decode_dataframe(blocks), 2)
+
+    q["cm_estimate_top_bigrams"] = cm_estimate_top_bigrams
+
     # inverted token index: posting lists stored as the engine's own
     # frames (d-gap delta/FOR compression), doc-range segment sharding
     def _hot_index(spark, sf_dir):
@@ -1288,6 +1315,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["kmv_distinct_trigrams"] = kmv_distinct_ngrams_sql(3, 1024)
+    from mapbox_vector_tile_spark.functions.sketch import (
+        cm_estimate_top_ngrams_sql,
+        cm_sketch_ngrams_sql,
+    )
+
+    o["cm_sketch_bigrams"] = cm_sketch_ngrams_sql(2)
+    o["cm_estimate_top_bigrams"] = cm_estimate_top_ngrams_sql(2)
     o["inverted_index_lookup"] = C.token_search_sql(42)
     o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
     o["phrase_search_indexed"] = C.phrase_search_sql(9, 0)

@@ -165,3 +165,226 @@ SELECT CAST({int(k)} AS BIGINT) AS k_used,
                  ELSE n_seen END AS BIGINT) AS est_distinct
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# count-min frequency sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CM_W = 512  # buckets per hash row
+CM_D = 3  # hash rows
+
+
+def _gram_str_expr(n: int) -> str:
+    """SQL expression: per-doc array of ``n``-gram strings ("t0,t1,...").
+
+    Same short-doc self-guard as :func:`_gram_hash_expr`."""
+    parts = " || ',' || ".join(
+        f"CAST(tokens[i+{d}] AS BIGINT)" for d in range(n)
+    )
+    return (
+        f"IF(n_tok >= {n}, transform(sequence(0, n_tok - {n}), "
+        f"i -> CAST({parts} AS STRING)), CAST(array() AS array<string>))"
+    )
+
+
+def _cm_bucket_sql_spark(r: int, g: str, w: int) -> str:
+    """Row-``r`` CM bucket of gram-string column ``g`` (Spark dialect)."""
+    return (
+        f"CAST(conv(substring(md5('{r};' || {g}), 1, 12), 16, 10) AS BIGINT)"
+        f" % {w}"
+    )
+
+
+def cm_bucket_counts(
+    decoded_df: DataFrame, n: int = 2, w: int = CM_W, d: int = CM_D
+) -> DataFrame:
+    """(r, bucket, cnt): the full count-min state over token ``n``-grams.
+
+    The counts are EXACT sums per (hash row, bucket) — the CM sketch is a
+    pure function of the corpus (no sampling), so any SQL engine rebuilds
+    it bit-for-bit. Plan shape at 100 TB: the gram explode is a map-side
+    row blowup that never shuffles — partial (map-side) aggregation
+    collapses every partition to <= w*d rows before the exchange, which is
+    exactly the sketch-merge (CM states merge by addition). Total state
+    w*d regardless of the distinct-gram domain; the exact n-gram path
+    (:mod:`.ngrams`) shuffles the domain itself.
+    """
+    if n < 1 or w < 2 or d < 1:
+        raise ValueError(f"need n>=1, w>=2, d>=1: n={n} w={w} d={d}")
+    g = decoded_df.select(
+        F.explode(F.expr(_gram_str_expr(n))).alias("g")
+    )
+    stacked = g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        F.expr(_cm_bucket_sql_spark(r, "g", w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb")
+    )
+    return stacked.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cm_sketch_ngrams(
+    decoded_df: DataFrame, n: int = 2, w: int = CM_W, d: int = CM_D
+) -> DataFrame:
+    """One row per hash row of the CM state: ``(r, nonzero_buckets,
+    sum_counts, max_count, state_cks)``.
+
+    ``sum_counts`` is the total gram count (identical across rows — a
+    consistency invariant the gate checks d times over); ``state_cks``
+    binds every count to its bucket (``sum (bucket+1)*cnt mod MOD``), so a
+    fake that only gets totals right fails."""
+    counts = cm_bucket_counts(decoded_df, n, w, d)
+    return (
+        counts.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nonzero_buckets"),
+            F.sum("cnt").alias("sum_counts"),
+            F.max("cnt").alias("max_count"),
+            F.pmod(
+                F.sum((F.col("bucket") + 1) * F.col("cnt")), F.lit(MOD)
+            ).alias("state_cks"),
+        )
+        .orderBy("r")
+    )
+
+
+def cm_estimate_top_ngrams(
+    decoded_df: DataFrame,
+    n: int = 2,
+    w: int = CM_W,
+    d: int = CM_D,
+    k: int = 5,
+) -> DataFrame:
+    """(gram, exact_count, est_count): CM estimates for the ``k`` most
+    frequent exact ``n``-grams, side by side with their true counts —
+    demonstrates the estimator (``est = min over rows of state[bucket]``)
+    and its one-sided error (``est >= exact`` always; equality unless the
+    gram collides in every row).
+
+    The exact side exists for the gate; the serving path at scale is the
+    sketch state alone (w*d ints) answering point frequency queries
+    without touching the corpus."""
+    g = decoded_df.select(
+        F.explode(F.expr(_gram_str_expr(n))).alias("g")
+    )
+    top = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("g").asc())
+        .limit(k)
+    )
+    counts = cm_bucket_counts(decoded_df, n, w, d)
+    probes = top.select(
+        "g",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        F.expr(_cm_bucket_sql_spark(r, "g", w)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("g", "exact_count", "rb.r", "rb.bucket")
+    return (
+        probes.join(F.broadcast(counts), ["r", "bucket"])
+        .groupBy("g", "exact_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("g").asc())
+    )
+
+
+def _cm_grams_cte(n: int, doc_source: str) -> str:
+    from ..corpus import params_cte_sql, tokens_cte_sql
+
+    toks = ", ".join(
+        f"LEAD(tok, {dd}) OVER (PARTITION BY doc_id ORDER BY j) AS t{dd}"
+        for dd in range(1, n)
+    )
+    lead_cols = (", " + toks) if n > 1 else ""
+    parts = " || ',' || ".join(
+        ["CAST(tok AS BIGINT)"] + [f"CAST(t{dd} AS BIGINT)" for dd in range(1, n)]
+    )
+    not_null = " AND ".join(
+        ["tok IS NOT NULL"] + [f"t{dd} IS NOT NULL" for dd in range(1, n)]
+    )
+    return f"""{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  wg AS (SELECT doc_id, j, tok{lead_cols} FROM t),
+  g AS (SELECT CAST({parts} AS VARCHAR) AS g FROM wg WHERE {not_null})"""
+
+
+def _cm_bucket_sql_duck(r_expr: str, g: str, w: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({r_expr} AS VARCHAR) || ';' || {g}),"
+        f" 1, 12) AS BIGINT) % {w}"
+    )
+
+
+def _cm_counts_cte(w: int, d: int) -> str:
+    return f"""
+  rb AS (
+    SELECT u.r AS r, {_cm_bucket_sql_duck('u.r', 'g.g', w)} AS bucket
+    FROM g, unnest(range({d})) u(r)
+  ),
+  cm AS (
+    SELECT r, bucket, COUNT(*) AS cnt FROM rb GROUP BY r, bucket
+  )"""
+
+
+def cm_sketch_ngrams_sql(
+    n: int = 2, w: int = CM_W, d: int = CM_D, doc_source: str = "documents"
+) -> str:
+    return f"""
+WITH{_cm_grams_cte(n, doc_source)},{_cm_counts_cte(w, d)}
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+       CAST(SUM(cnt) AS BIGINT) AS sum_counts,
+       CAST(MAX(cnt) AS BIGINT) AS max_count,
+       CAST(((SUM((bucket + 1) * cnt) % {MOD}) + {MOD}) % {MOD} AS BIGINT)
+         AS state_cks
+FROM cm GROUP BY r ORDER BY r
+"""
+
+
+def cm_estimate_top_ngrams_sql(
+    n: int = 2,
+    w: int = CM_W,
+    d: int = CM_D,
+    k: int = 5,
+    doc_source: str = "documents",
+) -> str:
+    return f"""
+WITH{_cm_grams_cte(n, doc_source)},{_cm_counts_cte(w, d)},
+  top AS (
+    SELECT g, COUNT(*) AS exact_count FROM g GROUP BY g
+    ORDER BY exact_count DESC, g ASC LIMIT {k}
+  ),
+  pr AS (
+    SELECT top.g, top.exact_count, u.r AS r,
+           {_cm_bucket_sql_duck('u.r', 'top.g', w)} AS bucket
+    FROM top, unnest(range({d})) u(r)
+  )
+SELECT pr.g AS g,
+       CAST(pr.exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(cm.cnt) AS BIGINT) AS est_count
+FROM pr JOIN cm ON cm.r = pr.r AND cm.bucket = pr.bucket
+GROUP BY pr.g, pr.exact_count
+ORDER BY exact_count DESC, g ASC
+"""

@@ -70,3 +70,88 @@ def test_matches_duckdb(tokens):
     )
     want = con.execute(kmv_distinct_ngrams_sql(3, 1024)).fetchone()
     assert tuple(row) == want
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+import hashlib
+from collections import Counter
+
+from mapbox_vector_tile_spark.functions.sketch import (
+    CM_D,
+    CM_W,
+    cm_estimate_top_ngrams,
+    cm_estimate_top_ngrams_sql,
+    cm_sketch_ngrams,
+    cm_sketch_ngrams_sql,
+)
+
+
+def _cm_bucket(r, g, w=CM_W):
+    h = int(hashlib.md5(f"{r};{g}".encode()).hexdigest()[:12], 16)
+    return h % w
+
+
+def _exact_grams(full, n):
+    c = Counter()
+    for seq in full.values():
+        for i in range(len(seq) - n + 1):
+            c[",".join(str(int(t)) for t in seq[i : i + n])] += 1
+    return c
+
+
+def test_cm_state_matches_brute_force(tokens):
+    full = {r.doc_id: r.tokens for r in tokens.collect()}
+    grams = _exact_grams(full, 2)
+    state = Counter()
+    for g, c in grams.items():
+        for r in range(CM_D):
+            state[(r, _cm_bucket(r, g))] += c
+    rows = cm_sketch_ngrams(tokens, n=2).collect()
+    assert len(rows) == CM_D
+    total = sum(grams.values())
+    for row in rows:
+        per = {b: c for (r, b), c in state.items() if r == row.r}
+        assert row.sum_counts == total  # every row sees every gram
+        assert row.nonzero_buckets == len(per)
+        assert row.max_count == max(per.values())
+
+
+def test_cm_estimates_one_sided(tokens):
+    full = {r.doc_id: r.tokens for r in tokens.collect()}
+    grams = _exact_grams(full, 2)
+    state = Counter()
+    for g, c in grams.items():
+        for r in range(CM_D):
+            state[(r, _cm_bucket(r, g))] += c
+    rows = cm_estimate_top_ngrams(tokens, n=2, k=5).collect()
+    assert len(rows) == 5
+    top5 = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.g, r.exact_count) for r in rows] == top5
+    for r in rows:
+        est = min(state[(rr, _cm_bucket(rr, r.g))] for rr in range(CM_D))
+        assert r.est_count == est
+        assert r.est_count >= r.exact_count  # CM error is one-sided
+
+
+def test_cm_matches_duckdb(tokens):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT UNNEST(range({N_DOCS})) AS doc_id"
+    )
+    got = [tuple(r) for r in cm_sketch_ngrams(tokens, n=2).collect()]
+    assert got == con.execute(cm_sketch_ngrams_sql(2)).fetchall()
+    got_e = [tuple(r) for r in cm_estimate_top_ngrams(tokens, n=2).collect()]
+    assert got_e == con.execute(cm_estimate_top_ngrams_sql(2)).fetchall()
+
+
+def test_cm_plan_no_python(tokens):
+    plan = (
+        cm_sketch_ngrams(tokens, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
