@@ -1119,6 +1119,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["session_event_stats"] = session_events
 
+    # as-of join: latest prior reference event per probe (union-and-window
+    # single-shuffle form vs DuckDB's native ASOF LEFT JOIN)
+    def asof_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.asof import asof_join_events
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return asof_join_events(ev)
+
+    q["asof_join_events"] = asof_events
+
+    # multi-level grouping-set aggregates: one Expand+agg pass for all
+    # rollup/cube levels (vs DuckDB GROUP BY ROLLUP/CUBE)
+    def rollup_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import events_rollup
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return events_rollup(ev)
+
+    def cube_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import events_cube
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return events_cube(ev)
+
+    q["events_rollup_levels"] = rollup_events
+    q["events_cube_levels"] = cube_events
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -1428,6 +1455,16 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["session_event_stats"] = session_event_stats_sql()
+
+    from mapbox_vector_tile_spark.functions.asof import asof_join_events_sql
+    from mapbox_vector_tile_spark.functions.olap import (
+        events_cube_sql,
+        events_rollup_sql,
+    )
+
+    o["asof_join_events"] = asof_join_events_sql()
+    o["events_rollup_levels"] = events_rollup_sql()
+    o["events_cube_levels"] = events_cube_sql()
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 
