@@ -1146,6 +1146,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rollup_levels"] = rollup_events
     q["events_cube_levels"] = cube_events
 
+    # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
+    # amplification of a doc-range x len-band rectangle, zorder vs linear)
+    def zorder_maps(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.zorder import zorder_zone_maps
+
+        return zorder_zone_maps(_corpus(spark, sf_dir))
+
+    def zorder_audit(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.zorder import (
+            zorder_pruning_audit,
+        )
+
+        return zorder_pruning_audit(_corpus(spark, sf_dir))
+
+    q["zorder_zone_maps"] = zorder_maps
+    q["zorder_pruning_audit"] = zorder_audit
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -1465,6 +1482,14 @@ def oracle_sql() -> dict[str, str]:
     o["asof_join_events"] = asof_join_events_sql()
     o["events_rollup_levels"] = events_rollup_sql()
     o["events_cube_levels"] = events_cube_sql()
+
+    from mapbox_vector_tile_spark.engine.zorder import (
+        zorder_pruning_audit_sql,
+        zorder_zone_maps_sql,
+    )
+
+    o["zorder_zone_maps"] = zorder_zone_maps_sql()
+    o["zorder_pruning_audit"] = zorder_pruning_audit_sql()
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 
