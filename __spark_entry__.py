@@ -1163,6 +1163,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zorder_zone_maps"] = zorder_maps
     q["zorder_pruning_audit"] = zorder_audit
 
+    # HyperLogLog per-source vocabulary sketch: registers + integer-exact
+    # raw estimate beside the exact distinct count
+    def hll_regs(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sketch import (
+            hll_register_table,
+        )
+
+        return hll_register_table(_corpus(spark, sf_dir))
+
+    def hll_est(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sketch import (
+            hll_vocab_estimate,
+        )
+
+        return hll_vocab_estimate(_corpus(spark, sf_dir))
+
+    q["hll_register_table"] = hll_regs
+    q["hll_vocab_estimate"] = hll_est
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -1490,6 +1509,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["zorder_zone_maps"] = zorder_zone_maps_sql()
     o["zorder_pruning_audit"] = zorder_pruning_audit_sql()
+
+    from mapbox_vector_tile_spark.functions.sketch import (
+        hll_register_table_sql,
+        hll_vocab_estimate_sql,
+    )
+
+    o["hll_register_table"] = hll_register_table_sql()
+    o["hll_vocab_estimate"] = hll_vocab_estimate_sql()
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 

@@ -388,3 +388,168 @@ FROM pr JOIN cm ON cm.r = pr.r AND cm.bucket = pr.bucket
 GROUP BY pr.g, pr.exact_count
 ORDER BY exact_count DESC, g ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: per-source vocabulary cardinality from 256 registers
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # register-index bits
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_REM_BITS = 48 - HLL_P  # 40 rank bits per hash
+# alpha_256 = 0.7213 / (1 + 1.079/256), fixed-point parts-per-million —
+# a shared CONSTANT, so the estimate is pure integer arithmetic end-to-end
+HLL_ALPHA_PPM = 718_273
+# (alpha * m^2 scaled) * 2^40: decimal literal because it exceeds int64;
+# est_raw = _HLL_EST_NUM // (S * 10^6) with S = sum_j 2^(40 - M_j)
+_HLL_EST_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << _HLL_REM_BITS)
+
+
+def hll_register_table(tokens: DataFrame) -> DataFrame:
+    """Per-source HLL registers over distinct TOKEN VALUES (the vocabulary).
+
+    The industry-standard mergeable distinct sketch (Flajolet et al. 2007)
+    beside the exact ``distinct_token_pushdown`` and the KMV bottom-k:
+    fixed 2^p-register state per group, one map-side-combinable aggregate.
+    ``bucket`` = top ``p`` bits of the portable 48-bit md5 hash; ``rho`` =
+    leading-zero count of the remaining 40 bits + 1, via
+    ``41 - length(bin(rem))`` — ``bin`` drops leading zeros identically in
+    Spark and DuckDB, so the registers are hash-gated exactly.
+
+    Scale shape: explode -> groupBy(source, bucket) max(rho). The partial
+    aggregate bounds every partition's shuffle contribution at
+    ``n_sources * 256`` rows regardless of token count — the whole point
+    of the sketch at 100 TB.
+    """
+    from .text import h48
+
+    h = h48(F.col("tok").cast("string"))
+    return (
+        tokens.select("source", F.explode("tokens").alias("tok"))
+        .select(
+            "source",
+            F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
+            h.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1)).alias("rem"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.when(F.col("rem") == 0, F.lit(_HLL_REM_BITS + 1))
+            .otherwise(F.lit(_HLL_REM_BITS + 1) - F.length(F.bin("rem")))
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+        .orderBy("source", "bucket")
+    )
+
+
+def hll_vocab_estimate(tokens: DataFrame) -> DataFrame:
+    """Per-source raw HLL estimate as exact integer arithmetic, with the
+    exact distinct count beside it (the accuracy is part of the gated
+    result)::
+
+        (source, n_occupied, v_zero, s_sum, est_raw, exact_distinct)
+
+    ``s_sum`` = sum over ALL m registers of ``2^(40 - M_j)`` (absent
+    register -> ``2^40``), so ``est_raw = alpha_ppm*m^2*2^40 //
+    (s_sum * 10^6)`` is the textbook harmonic-mean estimator with the
+    float folded into one fixed-point constant. The numerator exceeds
+    int64, so both engines divide in wide decimal (decimal(38,0) /
+    HUGEINT) and floor — bit-identical. Small-range (linear-counting)
+    correction needs ``ln`` and is deliberately left to the caller:
+    everything gated here is integer-exact.
+    """
+    regs = hll_register_table(tokens)
+    per_src = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.sum(
+            F.expr(f"shiftleft(1L, int({_HLL_REM_BITS} - rho_max))")
+        ).alias("s_occupied"),
+    )
+    s_sum = (
+        F.col("s_occupied")
+        + (F.lit(HLL_M) - F.col("n_occupied")) * F.lit(1 << _HLL_REM_BITS)
+    ).alias("s_sum")
+    exact = (
+        tokens.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").cast("long").alias("exact_distinct"))
+    )
+    est = F.floor(
+        F.lit(str(_HLL_EST_NUM)).cast("decimal(38,0)")
+        / (F.col("s_sum").cast("decimal(38,0)") * F.lit(1_000_000))
+    ).cast("long")
+    return (
+        per_src.select(
+            "source",
+            "n_occupied",
+            (F.lit(HLL_M) - F.col("n_occupied")).alias("v_zero"),
+            s_sum,
+        )
+        .withColumn("est_raw", est)
+        .join(exact, "source")
+        .orderBy("source")
+    )
+
+
+def _hll_regs_cte(doc_source: str = "documents") -> str:
+    from ..corpus import params_cte_sql, source_case_sql, tokens_cte_sql
+
+    rem_mask = (1 << _HLL_REM_BITS) - 1
+    h = "CAST('0x' || substr(md5(CAST(t.tok AS VARCHAR)), 1, 12) AS BIGINT)"
+    return f"""{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  tok AS (
+    SELECT {source_case_sql('t.doc_id')} AS source, t.tok,
+           {h} AS h
+    FROM t WHERE t.j IS NOT NULL
+  ),
+  hr AS (
+    SELECT source, (h >> {_HLL_REM_BITS}) AS bucket,
+           (h & {rem_mask}) AS rem
+    FROM tok
+  ),
+  regs AS (
+    SELECT source, bucket,
+           MAX(CASE WHEN rem = 0 THEN {_HLL_REM_BITS + 1}
+               ELSE {_HLL_REM_BITS + 1} - length(bin(rem)) END) AS rho_max
+    FROM hr GROUP BY source, bucket
+  )"""
+
+
+def hll_register_table_sql(doc_source: str = "documents") -> str:
+    return f"""
+WITH {_hll_regs_cte(doc_source)}
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(rho_max AS BIGINT) AS rho_max
+FROM regs ORDER BY source, bucket
+"""
+
+
+def hll_vocab_estimate_sql(doc_source: str = "documents") -> str:
+    return f"""
+WITH {_hll_regs_cte(doc_source)},
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_occupied,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_REM_BITS} - rho_max))
+              AS BIGINT) AS s_occupied
+  FROM regs GROUP BY source),
+exact AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM tok GROUP BY source)
+SELECT p.source, p.n_occupied,
+       CAST({HLL_M} - p.n_occupied AS BIGINT) AS v_zero,
+       CAST(p.s_occupied
+            + ({HLL_M} - p.n_occupied) * (CAST(1 AS BIGINT) << {_HLL_REM_BITS})
+            AS BIGINT) AS s_sum,
+       CAST(CAST({_HLL_EST_NUM} AS HUGEINT)
+            // (CAST(p.s_occupied
+                 + ({HLL_M} - p.n_occupied)
+                   * (CAST(1 AS BIGINT) << {_HLL_REM_BITS}) AS HUGEINT)
+                * 1000000) AS BIGINT) AS est_raw,
+       e.exact_distinct
+FROM per_src p JOIN exact e USING (source)
+ORDER BY p.source
+"""

@@ -155,3 +155,92 @@ def test_cm_plan_no_python(tokens):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_register_invariants(tokens):
+    from mapbox_vector_tile_spark.functions.sketch import (
+        HLL_M,
+        hll_register_table,
+    )
+
+    rows = hll_register_table(tokens).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bucket < HLL_M
+        assert 1 <= r.rho_max <= 41
+
+
+def test_hll_merge_is_register_max(tokens):
+    """The defining sketch property: HLL(A ∪ B) = register-wise max of
+    HLL(A), HLL(B) — what makes it map-side combinable at 100 TB."""
+    from mapbox_vector_tile_spark.functions.sketch import hll_register_table
+
+    lo = tokens.filter("doc_id < 'doc-00000150'")
+    hi = tokens.filter("doc_id >= 'doc-00000150'")
+
+    def regs(df):
+        return {
+            (r.source, r.bucket): r.rho_max
+            for r in hll_register_table(df).collect()
+        }
+
+    whole, a, b = regs(tokens), regs(lo), regs(hi)
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+
+
+def test_hll_duplicate_invariance(tokens):
+    """Re-ingesting the same corpus must not move a single register."""
+    from mapbox_vector_tile_spark.functions.sketch import hll_register_table
+
+    doubled = tokens.unionByName(tokens)
+    one = [tuple(r) for r in hll_register_table(tokens).collect()]
+    two = [tuple(r) for r in hll_register_table(doubled).collect()]
+    assert one == two
+
+
+def test_hll_estimate_accuracy(tokens):
+    from mapbox_vector_tile_spark.functions.sketch import hll_vocab_estimate
+
+    for r in hll_vocab_estimate(tokens).collect():
+        assert r.exact_distinct > 0
+        err = abs(r.est_raw - r.exact_distinct) / r.exact_distinct
+        # m=256 -> ~1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+        assert err < 0.20, (r.source, r.est_raw, r.exact_distinct)
+    # registers fully occupied at this cardinality: raw estimator regime,
+    # no linear-counting correction needed (documented contract)
+
+
+def test_hll_duckdb_mirror(tokens, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapbox_vector_tile_spark.functions.sketch import (
+        hll_vocab_estimate,
+        hll_vocab_estimate_sql,
+    )
+
+    ids = sorted(
+        int(r.doc_id[4:]) for r in tokens.select("doc_id").collect()
+    )
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT doc_id FROM '{p}'")
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(hll_vocab_estimate_sql()).fetchall()
+    }
+    got = {
+        r.source: (r.n_occupied, r.v_zero, r.s_sum, r.est_raw,
+                   r.exact_distinct)
+        for r in hll_vocab_estimate(tokens).collect()
+    }
+    assert got == want
