@@ -1182,6 +1182,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hll_register_table"] = hll_regs
     q["hll_vocab_estimate"] = hll_est
 
+    # trained k-means (Lloyd, fixed-point): broadcast assignment + k*D
+    # bounded update shuffle; the production centroid trainer IVF cites
+    def kmeans_assign(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.kmeans import kmeans_train
+
+        return kmeans_train(_emb(spark, sf_dir))
+
+    def kmeans_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.kmeans import (
+            kmeans_cluster_stats,
+        )
+
+        return kmeans_cluster_stats(_emb(spark, sf_dir))
+
+    q["kmeans_train_assignments"] = kmeans_assign
+    q["kmeans_cluster_stats"] = kmeans_stats
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -1517,6 +1534,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["hll_register_table"] = hll_register_table_sql()
     o["hll_vocab_estimate"] = hll_vocab_estimate_sql()
+
+    from mapbox_vector_tile_spark.functions.kmeans import (
+        kmeans_cluster_stats_sql,
+        kmeans_train_sql,
+    )
+
+    o["kmeans_train_assignments"] = kmeans_train_sql()
+    o["kmeans_cluster_stats"] = kmeans_cluster_stats_sql()
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 
