@@ -1199,6 +1199,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmeans_train_assignments"] = kmeans_assign
     q["kmeans_cluster_stats"] = kmeans_stats
 
+    def ivf_trained(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.kmeans import (
+            ann_ivf_trained_top1,
+        )
+
+        return ann_ivf_trained_top1(_emb(spark, sf_dir))
+
+    q["ann_ivf_trained_top1"] = ivf_trained
+
     # ---- training-data pipeline operators (functions/) ----
     from mapbox_vector_tile_spark.functions import components as CP
     from mapbox_vector_tile_spark.functions import similarity as SIM
@@ -1542,6 +1551,12 @@ def oracle_sql() -> dict[str, str]:
 
     o["kmeans_train_assignments"] = kmeans_train_sql()
     o["kmeans_cluster_stats"] = kmeans_cluster_stats_sql()
+
+    from mapbox_vector_tile_spark.functions.kmeans import (
+        ann_ivf_trained_top1_sql,
+    )
+
+    o["ann_ivf_trained_top1"] = ann_ivf_trained_top1_sql()
     # compression_by_codec: intentionally no oracle (codec selection is the
     # engine's own physical decision; sizes are validated in tests instead)
 

@@ -210,3 +210,89 @@ SELECT CAST(cid AS BIGINT) AS cid,
        CAST(SUM(dist2) AS BIGINT) AS inertia
 FROM afinal GROUP BY cid ORDER BY cid
 """
+
+
+# ---------------------------------------------------------------------------
+# trained IVF: the ANN serving path over k-means lists
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_trained_top1(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = K_CLUSTERS,
+    iters: int = N_ITERS,
+) -> DataFrame:
+    """`similarity.ann_ivf_top1` with TRAINED lists: candidates share the
+    query's k-means cluster instead of a first-k-vectors Voronoi cell.
+    Same scale contract — the candidate join carries the cluster id, pair
+    space O(n^2/k); training cost is the bounded Lloyd loop above. Output
+    ``(query_id, cid, neighbor_id, dot_fixed)``, NULL neighbor when a
+    query is alone in its cluster."""
+    from .similarity import _dot_fixed
+
+    a = kmeans_train(emb, k, iters).select("vec_id", "cid")
+    withl = emb.join(a, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vid"), "cid", "embedding"
+    )
+    q = withl.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "cid", F.col("embedding").alias("qv")
+    )
+    c = withl.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("cid").alias("ccid"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = q.join(
+        c,
+        (F.col("cid") == F.col("ccid"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+        "left",
+    ).select(
+        "query_id",
+        "cid",
+        "neighbor_id",
+        F.when(
+            F.col("neighbor_id").isNotNull(),
+            _dot_fixed(F.col("qv"), F.col("cv")),
+        ).alias("dot_fixed"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_fixed").desc_nulls_last(),
+        F.col("neighbor_id").asc_nulls_last(),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cid", "neighbor_id", "dot_fixed")
+        .orderBy("query_id")
+    )
+
+
+def ann_ivf_trained_top1_sql(
+    n_queries: int = 10, k: int = K_CLUSTERS, iters: int = N_ITERS
+) -> str:
+    from .similarity import _DOT_QC_SQL
+
+    return f"""
+WITH {_train_ctes(k, iters)},
+wl AS (
+  SELECT a.vec_id, a.cid, e.embedding
+  FROM afinal a JOIN embeddings e ON e.vec_id = a.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, q.cid,
+         c.vec_id AS neighbor_id,
+         CASE WHEN c.vec_id IS NULL THEN NULL ELSE {_DOT_QC_SQL} END
+           AS dot_fixed
+  FROM wl q LEFT JOIN wl c ON q.cid = c.cid AND c.vec_id != q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY dot_fixed DESC NULLS LAST,
+                      neighbor_id ASC NULLS LAST) AS rn
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cid AS BIGINT) AS cid,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dot_fixed AS BIGINT) AS dot_fixed
+FROM ranked WHERE rn = 1 ORDER BY query_id
+"""

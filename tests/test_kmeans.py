@@ -87,3 +87,33 @@ def test_assignment_plan_broadcasts_centroids(emb):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trained_ivf_top1_bruteforce(emb):
+    from mapbox_vector_tile_spark.functions.kmeans import (
+        ann_ivf_trained_top1,
+        kmeans_train,
+    )
+    from mapbox_vector_tile_spark.functions.similarity import SCALE as S
+
+    assign = {r.vec_id: r.cid for r in kmeans_train(emb).collect()}
+    vecs = {
+        r.vec_id: _fx([r.embedding])[0] for r in emb.collect()
+    }
+    got = ann_ivf_trained_top1(emb, n_queries=10).collect()
+    assert len(got) == 10
+    for g in got:
+        assert g.cid == assign[g.query_id]
+        cands = [
+            v for v in vecs if v != g.query_id and assign[v] == g.cid
+        ]
+        if not cands:
+            assert g.neighbor_id is None
+            continue
+        dots = {
+            v: int(np.dot(vecs[g.query_id], vecs[v])) for v in cands
+        }
+        best = max(dots.values())
+        winners = sorted(v for v, d in dots.items() if d == best)
+        assert g.neighbor_id == winners[0]
+        assert g.dot_fixed == best
