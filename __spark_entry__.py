@@ -1146,6 +1146,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rollup_levels"] = rollup_events
     q["events_cube_levels"] = cube_events
 
+    # ordered funnel + weekly cohort retention: one user_id shuffle each
+    def funnel_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import (
+            funnel_progression,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return funnel_progression(ev)
+
+    def retention_events(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import cohort_retention
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cohort_retention(ev)
+
+    q["funnel_progression"] = funnel_events
+    q["cohort_retention"] = retention_events
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1527,6 +1545,13 @@ def oracle_sql() -> dict[str, str]:
     o["asof_join_events"] = asof_join_events_sql()
     o["events_rollup_levels"] = events_rollup_sql()
     o["events_cube_levels"] = events_cube_sql()
+    from mapbox_vector_tile_spark.functions.olap import (
+        cohort_retention_sql,
+        funnel_progression_sql,
+    )
+
+    o["funnel_progression"] = funnel_progression_sql()
+    o["cohort_retention"] = cohort_retention_sql()
 
     from mapbox_vector_tile_spark.engine.zorder import (
         zorder_pruning_audit_sql,

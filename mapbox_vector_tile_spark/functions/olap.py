@@ -18,7 +18,7 @@ can be compared hash-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _base(events: DataFrame) -> DataFrame:
@@ -79,3 +79,179 @@ def events_rollup_sql() -> str:
 
 def events_cube_sql() -> str:
     return _SQL_BODY.format(sets="CUBE")
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered step progression per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _ts_us():
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
+def funnel_progression(events: DataFrame) -> DataFrame:
+    """How far each user progresses through ``view -> click -> purchase``
+    in strict time order: step k counts only events AFTER the user's
+    step-(k-1) entry time (the standard ordered-funnel semantics).
+
+    One shuffle total: every step is a conditional ``MIN(ts) OVER
+    (PARTITION BY user_id)`` — the three window passes share one hash
+    partitioning and sort, chained selects add no exchange (plan-asserted
+    in tests). Per-user state is three timestamps, never an event list,
+    so a 10^12-event funnel is the same plan with more partitions.
+
+    Returns ``(step, step_name, n_users)`` with step 0 = all users seen;
+    counts are cumulative (a purchase-step user is also in steps 1-2).
+    """
+    w = Window.partitionBy("user_id")
+    ev = events.select("user_id", "event_type", _ts_us().alias("ts_us"))
+    s1 = F.min(
+        F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us"))
+    ).over(w)
+    ev = ev.withColumn("s1", s1)
+    s2 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[1])
+            & (F.col("ts_us") > F.col("s1")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    ev = ev.withColumn("s2", s2)
+    s3 = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STEPS[2])
+            & (F.col("ts_us") > F.col("s2")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        ev.withColumn("s3", s3)
+        .groupBy("user_id")
+        .agg(
+            F.first("s1").alias("s1"),
+            F.first("s2").alias("s2"),
+            F.first("s3").alias("s3"),
+        )
+    )
+    depth = (
+        F.when(F.col("s3").isNotNull(), 3)
+        .when(F.col("s2").isNotNull(), 2)
+        .when(F.col("s1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    counts = per_user.select(depth.alias("depth")).groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    steps = counts.sparkSession.createDataFrame(
+        [(i, name) for i, name in enumerate(("any",) + FUNNEL_STEPS)],
+        "step int, step_name string",
+    )
+    return (
+        steps.join(counts, counts.depth >= steps.step, "left")
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
+        .select(F.col("step").cast("long").alias("step"), "step_name", "n_users")
+        .orderBy("step")
+    )
+
+
+def funnel_progression_sql() -> str:
+    v, c, p = FUNNEL_STEPS
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{v}' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS s1 FROM ev),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{c}' AND ts_us > s1 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS s2 FROM w1),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{p}' AND ts_us > s2 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS s3 FROM w2),
+per_user AS (
+  SELECT user_id, MIN(s1) AS s1, MIN(s2) AS s2, MIN(s3) AS s3
+  FROM w3 GROUP BY user_id),
+depths AS (
+  SELECT CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+              WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+  FROM per_user),
+steps AS (
+  SELECT * FROM (VALUES (0, 'any'), (1, '{v}'), (2, '{c}'), (3, '{p}'))
+    s(step, step_name))
+SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+       CAST(COUNT(d.depth) AS BIGINT) AS n_users
+FROM steps s LEFT JOIN depths d ON d.depth >= s.step
+GROUP BY s.step, s.step_name ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: first-touch week x activity-week offsets
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-event week
+    (cohort), counted once per later active week offset::
+
+        (cohort_week, week_offset, n_active, cohort_size)
+
+    Per-user first-touch is a window MIN over the same user_id
+    partitioning the activity distinct reuses; the final aggregate is a
+    count-distinct bounded by (cohorts x offsets) cells. Integer weeks
+    from epoch microseconds — no calendar/timezone dependence.
+    """
+    w = Window.partitionBy("user_id")
+    # integer div, not float floor: the quotient's distance to an integer
+    # boundary (1/WEEK_US ~ 1.6e-12) is within double rounding error here
+    ts = _ts_us()
+    week = ((ts - F.pmod(ts, F.lit(_WEEK_US))) / _WEEK_US).cast("long")
+    ev = events.select("user_id", week.alias("week"))
+    act = (
+        ev.withColumn("cohort_week", F.min("week").over(w))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = act.filter(F.col("week_offset") == 0).groupBy(
+        "cohort_week"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_retention_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // {_WEEK_US} AS BIGINT) AS week
+  FROM events),
+act AS (
+  SELECT DISTINCT user_id,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week,
+         week - MIN(week) OVER (PARTITION BY user_id) AS week_offset
+  FROM ev),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM act WHERE week_offset = 0 GROUP BY cohort_week)
+SELECT a.cohort_week, a.week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+       s.cohort_size
+FROM act a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+"""

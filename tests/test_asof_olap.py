@@ -119,3 +119,76 @@ def test_cube_single_expand_pass(events):
     assert plan.count("Expand") >= 1
     # one scan feeds every grouping level: the source appears once
     assert plan.count("parquet") <= plan.count("Expand") + 2
+
+
+def test_funnel_bruteforce(events):
+    from mapbox_vector_tile_spark.functions.olap import funnel_progression
+
+    rows = events.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_type))
+    depths = {0: 0, 1: 0, 2: 0, 3: 0}
+    for evs in by_user.values():
+        s1 = min((t for t, e in evs if e == "view"), default=None)
+        s2 = (
+            min((t for t, e in evs if e == "click" and t > s1), default=None)
+            if s1 is not None else None
+        )
+        s3 = (
+            min(
+                (t for t, e in evs if e == "purchase" and t > s2),
+                default=None,
+            )
+            if s2 is not None else None
+        )
+        depths[3 if s3 else 2 if s2 else 1 if s1 else 0] += 1
+    got = {r.step: r.n_users for r in funnel_progression(events).collect()}
+    for step in range(4):
+        want = sum(n for d, n in depths.items() if d >= step)
+        assert got[step] == want, (step, got, depths)
+    assert got[0] >= got[1] >= got[2] >= got[3]
+
+
+def test_funnel_single_user_shuffle(events):
+    from mapbox_vector_tile_spark.functions.olap import funnel_progression
+
+    plan = (
+        funnel_progression(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the three step windows + the per-user aggregate share ONE hash
+    # partitioning on user_id
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_cohort_retention_bruteforce(events):
+    from mapbox_vector_tile_spark.functions.olap import (
+        _WEEK_US,
+        cohort_retention,
+    )
+
+    rows = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).collect()
+    weeks = {}
+    for r in rows:
+        weeks.setdefault(r.user_id, set()).add(r.ts_us // _WEEK_US)
+    cells = {}
+    cohorts = {}
+    for u, ws in weeks.items():
+        c = min(ws)
+        cohorts.setdefault(c, set()).add(u)
+        for w in ws:
+            cells.setdefault((c, w - c), set()).add(u)
+    got = cohort_retention(events).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        assert r.n_active == len(cells[(r.cohort_week, r.week_offset)])
+        assert r.cohort_size == len(cohorts[r.cohort_week])
