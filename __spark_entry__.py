@@ -1164,6 +1164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_progression"] = funnel_events
     q["cohort_retention"] = retention_events
 
+    def value_quantiles(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import (
+            event_value_quantiles,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return event_value_quantiles(ev)
+
+    q["event_value_quantiles"] = value_quantiles
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1552,6 +1562,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["funnel_progression"] = funnel_progression_sql()
     o["cohort_retention"] = cohort_retention_sql()
+    from mapbox_vector_tile_spark.functions.olap import (
+        event_value_quantiles_sql,
+    )
+
+    o["event_value_quantiles"] = event_value_quantiles_sql()
 
     from mapbox_vector_tile_spark.engine.zorder import (
         zorder_pruning_audit_sql,

@@ -255,3 +255,85 @@ FROM act a JOIN sizes s USING (cohort_week)
 GROUP BY a.cohort_week, a.week_offset, s.cohort_size
 ORDER BY cohort_week, week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles: per-type value percentiles via tiny histograms
+# ---------------------------------------------------------------------------
+
+
+def event_value_quantiles(
+    events: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Exact discrete percentiles of event value (cents) per event type::
+
+        (event_type, pct, value_c)
+
+    Spark's ``percentile_approx`` is approximate and engine-specific; the
+    exact-and-portable form is the histogram-cumulative rule
+    `doc_length_quantiles` already uses, grouped: one (type, value)
+    histogram (bounded by DISTINCT values per type, not events — map-side
+    combinable), a cumulative window per type over that tiny table, and
+    the integer compare ``100*cum >= total*pct``. Never a global sort of
+    the raw events.
+    """
+    for p in pcts:
+        if not 1 <= int(p) <= 100:
+            raise ValueError(f"pct out of [1, 100]: {p}")
+    hist = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+        .groupBy("event_type", "value_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "value_c", F.sum("n").over(w).alias("cum")
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("n").alias("total"))
+    pct_col = F.explode(
+        F.array(*[F.lit(int(p)) for p in pcts])
+    ).alias("pct")
+    return (
+        cum.join(totals, "event_type")
+        .select("event_type", "value_c", "cum", "total", pct_col)
+        .where(F.col("cum") * 100 >= F.col("total") * F.col("pct"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("value_c").alias("value_c"))
+        .select(
+            "event_type",
+            F.col("pct").cast("long").alias("pct"),
+            "value_c",
+        )
+        .orderBy("event_type", "pct")
+    )
+
+
+def event_value_quantiles_sql(pcts: tuple[int, ...] = (50, 90, 99)) -> str:
+    pct_values = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, value_c),
+cum AS (
+  SELECT event_type, value_c,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY value_c
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist),
+totals AS (
+  SELECT event_type, SUM(n) AS total FROM hist GROUP BY event_type),
+pcts(pct) AS (VALUES {pct_values})
+SELECT c.event_type, CAST(p.pct AS BIGINT) AS pct,
+       CAST(MIN(c.value_c) AS BIGINT) AS value_c
+FROM cum c JOIN totals t USING (event_type) CROSS JOIN pcts p
+WHERE c.cum * 100 >= t.total * p.pct
+GROUP BY c.event_type, p.pct
+ORDER BY event_type, pct
+"""

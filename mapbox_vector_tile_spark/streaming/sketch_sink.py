@@ -1,9 +1,10 @@
 """Streaming sketch maintenance: one published sketch version per micro-batch.
 
 Sketches are the rare analytics state that a stream can maintain EXACTLY:
-count-min states merge by addition and KMV bottom-k states merge by
-union-then-trim, so "fold this micro-batch in" is a closed-form operation
-on two tiny tables — never a re-read of the corpus. Each micro-batch
+count-min states merge by addition, KMV bottom-k states merge by
+union-then-trim, and HLL registers merge by register-wise max, so "fold
+this micro-batch in" is a closed-form operation on tiny tables — never a
+re-read of the corpus. Each micro-batch
 computes its own partial over just the new documents
 (:func:`..functions.sketch.cm_bucket_counts` / the row-local bottom-k),
 merges it with the current version, and publishes the result as a new
@@ -76,6 +77,14 @@ def read_current_kmv(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(d, "kmv"))
 
 
+def read_current_hll(spark: SparkSession, root: str) -> DataFrame:
+    """(source, bucket, rho_max) HLL registers of the latest version."""
+    d = current_sketch_dir(root)
+    if d is None:
+        raise FileNotFoundError(f"no published sketch version in {root}")
+    return spark.read.parquet(os.path.join(d, "hll"))
+
+
 def _kmv_partial(batch_df: DataFrame, n: int, k: int) -> DataFrame:
     """Row-local bottom-k hashes of a batch (same shape the KMV query
     feeds its partition merge)."""
@@ -107,8 +116,11 @@ def publish_sketch_batch(
     if int(batch_id) in published_batch_ids(root):
         return None
     os.makedirs(root, exist_ok=True)
+    from ..functions.sketch import hll_register_table
+
     cm_new = cm_bucket_counts(batch_df, n, w, d)
     kmv_new = _kmv_partial(batch_df, n, k)
+    hll_new = hll_register_table(batch_df)
     cur = current_sketch_dir(root)
     if cur is not None:
         cm_cur = spark.read.parquet(os.path.join(cur, "cm"))
@@ -120,12 +132,20 @@ def publish_sketch_batch(
         )
         kmv_cur = spark.read.parquet(os.path.join(cur, "kmv"))
         kmv_new = kmv_new.unionByName(kmv_cur)
+        # HLL merge = register-wise max; both sides <= sources * 256 rows
+        hll_cur = spark.read.parquet(os.path.join(cur, "hll"))
+        hll_new = (
+            hll_new.unionByName(hll_cur)
+            .groupBy("source", "bucket")
+            .agg(F.max("rho_max").alias("rho_max"))
+        )
     # KMV merge = distinct union trimmed back to k (both sides <= k + batch)
     kmv_new = kmv_new.distinct().orderBy("h").limit(k)
     vname = f"v{len(version_log(root)) + 1}-{uuid.uuid4().hex[:8]}"
     out = os.path.join(root, vname)
     cm_new.coalesce(1).write.parquet(os.path.join(out, "cm"))
     kmv_new.coalesce(1).write.parquet(os.path.join(out, "kmv"))
+    hll_new.coalesce(1).write.parquet(os.path.join(out, "hll"))
     with open(_log_path(root), "a") as f:
         f.write(json.dumps({"batch_id": int(batch_id), "dir": vname}) + "\n")
     tmp = os.path.join(root, "_current.tmp")

@@ -7,12 +7,14 @@ from mapbox_vector_tile_spark.engine import generator as G
 from mapbox_vector_tile_spark.corpus import MOD
 from mapbox_vector_tile_spark.functions.sketch import (
     cm_bucket_counts,
+    hll_register_table,
     kmv_distinct_ngrams,
 )
 from mapbox_vector_tile_spark.streaming.sketch_sink import (
     publish_sketch_batch,
     published_batch_ids,
     read_current_cm,
+    read_current_hll,
     read_current_kmv,
     start_sketch_maintenance_stream,
     version_log,
@@ -58,6 +60,16 @@ def test_stream_matches_batch_state(spark, tmp_path):
     assert got_kmv[-1] == batch_row.kth_h
     assert sum(got_kmv) % MOD == batch_row.bottomk_cks
 
+    got_hll = {
+        (r.source, r.bucket): r.rho_max
+        for r in read_current_hll(spark, root).collect()
+    }
+    want_hll = {
+        (r.source, r.bucket): r.rho_max
+        for r in hll_register_table(static).collect()
+    }
+    assert got_hll == want_hll and len(got_hll) > 0
+
 
 def test_replayed_batch_publishes_nothing(spark, tmp_path):
     root = str(tmp_path / "sk")
@@ -83,3 +95,13 @@ def test_replayed_batch_publishes_nothing(spark, tmp_path):
     kmv = sorted(r.h for r in read_current_kmv(spark, root).collect())
     docs_kmv = kmv_distinct_ngrams(docs, 2, K).first()
     assert len(kmv) == docs_kmv.n_seen and kmv[-1] == docs_kmv.kth_h
+    # ...and so are the HLL registers (max-merge idempotent on duplicates)
+    hll = {
+        (r.source, r.bucket): r.rho_max
+        for r in read_current_hll(spark, root).collect()
+    }
+    want = {
+        (r.source, r.bucket): r.rho_max
+        for r in hll_register_table(docs).collect()
+    }
+    assert hll == want
