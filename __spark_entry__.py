@@ -1174,6 +1174,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_value_quantiles"] = value_quantiles
 
+    # bucketed (SMB) co-located join: both sides persisted bucketBy(doc)
+    # so the recurring join runs with ZERO exchange
+    def bucketed_rollup(spark, sf_dir):
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.bucketed import (
+            bucketed_join_rollup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        work = tempfile.mkdtemp(prefix="mvt_bkt_")
+        return bucketed_join_rollup(spark, _corpus(spark, sf_dir), docs, work)
+
+    q["bucketed_join_rollup"] = bucketed_rollup
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1567,6 +1582,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["event_value_quantiles"] = event_value_quantiles_sql()
+
+    from mapbox_vector_tile_spark.engine.bucketed import (
+        bucketed_join_rollup_sql,
+    )
+
+    o["bucketed_join_rollup"] = bucketed_join_rollup_sql()
 
     from mapbox_vector_tile_spark.engine.zorder import (
         zorder_pruning_audit_sql,
