@@ -1189,6 +1189,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bucketed_join_rollup"] = bucketed_rollup
 
+    # incrementally maintained materialized view: per-source rollup kept
+    # current across append/append/delete commits via CDC folds only
+    def mv_incremental(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+        from mapbox_vector_tile_spark.engine.matview import (
+            read_mv,
+            refresh_source_rollup_mv,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_mv_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            mv = os.path.join(work, "mv")
+            tokens = _corpus(spark, sf_dir)
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 0), EncodeOptions()
+                ),
+            )
+            m1 = refresh_source_rollup_mv(spark, root, mv)
+            S.commit_append(
+                root,
+                encode_dataframe(
+                    tokens.filter(doc_num_expr() % 2 == 1), EncodeOptions()
+                ),
+            )
+            m2 = refresh_source_rollup_mv(spark, root, mv)
+            S.commit_deletes(
+                root, tokens.select("doc_id").filter(doc_num_expr() % 17 == 3)
+            )
+            m3 = refresh_source_rollup_mv(spark, root, mv)
+            assert m1["mode"] == "full", m1
+            assert m2["mode"] == "incremental", m2
+            assert m3["mode"] == "incremental", m3
+            res = read_mv(spark, mv).orderBy("source")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["matview_incremental_rollup"] = mv_incremental
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1588,6 +1635,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["bucketed_join_rollup"] = bucketed_join_rollup_sql()
+
+    from mapbox_vector_tile_spark.engine.matview import source_rollup_mv_sql
+
+    o["matview_incremental_rollup"] = source_rollup_mv_sql()
 
     from mapbox_vector_tile_spark.engine.zorder import (
         zorder_pruning_audit_sql,
