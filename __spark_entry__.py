@@ -1236,6 +1236,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["matview_incremental_rollup"] = mv_incremental
 
+    # streaming dedup: a duplicated event feed replayed through
+    # dropDuplicatesWithinWatermark must reduce to the clean table
+    def streaming_dedup(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.streaming.dedup_stream import (
+            start_dedup_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_dedup_")
+        try:
+            base = spark.read.parquet(f"{sf_dir}/events.parquet")
+            feed = os.path.join(work, "feed")
+            base.repartition(4).write.parquet(feed)
+            base.filter(F.col("event_id") % 3 == 0).repartition(
+                2
+            ).write.mode("append").parquet(feed)
+            stream = (
+                spark.readStream.schema(base.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(feed)
+            )
+            out = os.path.join(work, "deduped")
+            sq = start_dedup_stream(
+                stream, out, os.path.join(work, "ck"), horizon="365 days"
+            )
+            sq.awaitTermination()
+            res = (
+                spark.read.parquet(out)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).alias("sum_value_c"),
+                )
+                .orderBy("event_type")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_dedup_ingest"] = streaming_dedup
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1639,6 +1685,11 @@ def oracle_sql() -> dict[str, str]:
     from mapbox_vector_tile_spark.engine.matview import source_rollup_mv_sql
 
     o["matview_incremental_rollup"] = source_rollup_mv_sql()
+    o["streaming_dedup_ingest"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
     from mapbox_vector_tile_spark.engine.zorder import (
         zorder_pruning_audit_sql,
