@@ -1282,6 +1282,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup_ingest"] = streaming_dedup
 
+    # scalar-column encode: the codec ladder over events.value cents,
+    # deterministic chunking by event_id, order-sensitive roundtrip gate
+    def scalar_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.columnar import (
+            scalar_roundtrip_rollup,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.round(F.col("value") * 100).alias("value_c")
+        )
+        return scalar_roundtrip_rollup(ev, "value_c", "event_id")
+
+    q["scalar_column_roundtrip"] = scalar_roundtrip
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1685,6 +1699,11 @@ def oracle_sql() -> dict[str, str]:
     from mapbox_vector_tile_spark.engine.matview import source_rollup_mv_sql
 
     o["matview_incremental_rollup"] = source_rollup_mv_sql()
+    from mapbox_vector_tile_spark.engine.columnar import (
+        scalar_roundtrip_rollup_sql,
+    )
+
+    o["scalar_column_roundtrip"] = scalar_roundtrip_rollup_sql()
     o["streaming_dedup_ingest"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c

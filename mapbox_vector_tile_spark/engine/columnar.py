@@ -1,0 +1,153 @@
+"""Scalar-column encode: the codec ladder over ANY int32 column.
+
+The engine's blocks pipeline encodes token ARRAYS; real tables also carry
+flat measure columns (event values, counts, ids). This is the same
+self-describing frame (`codec.blocks.encode_block`) and the same
+auto-selector (`codec.select.encode_auto`) applied to a scalar column,
+chunked by an explicit key so the layout is a pure function of the data:
+
+- chunk assignment ``chunk = order_key >> log2(chunk_rows)`` and in-chunk
+  order = the order key — deterministic across parallelism and row order
+  (the resume/oracle property every other layout decision here has);
+- encode is ``applyInPandas`` per chunk: one shuffle on the chunk id,
+  kernels see one contiguous int32 array per chunk (the RLE/FOR/dict
+  ladder then wins exactly as it does on token chunks);
+- decode is a stateless ``mapInArrow`` over block rows, emitting
+  ``(chunk, pos, value)`` — positions reconstruct the total order.
+
+At 100 TB this is a straight repartition-encode: chunk ids are dense and
+ordered, so the shuffle is range-partitionable and each task's memory is
+O(chunk_rows). The reference encodes exactly one scalar stream this way
+already — per-feature attribute values (/root/reference/
+mapbox_vector_tile/encoder.py:241-266 writes deduplicated scalar value
+tables per tile); this generalizes it to arbitrary table columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..codec.blocks import CODEC_NAMES, decode_block
+from ..codec.select import encode_auto
+
+CHUNK_ROWS = 1024
+
+_BLOCKS_SCHEMA = (
+    "chunk long, n_values long, codec string, bytes_enc long, "
+    "bytes_raw long, payload binary"
+)
+
+
+def encode_scalar_column(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Encode ``value_col`` (int32-safe) into self-describing blocks,
+    chunked and ordered by ``order_col``."""
+    chunk = (
+        (F.col(order_col) - F.pmod(F.col(order_col), F.lit(chunk_rows)))
+        / chunk_rows
+    ).cast("long")
+    rows = df.select(
+        chunk.alias("chunk"),
+        F.col(order_col).cast("long").alias("k"),
+        F.col(value_col).cast("int").alias("v"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k", ignore_index=True)
+        a = pdf["v"].to_numpy(np.int32)
+        payload, codec_id = encode_auto(a)
+        return pd.DataFrame(
+            {
+                "chunk": [int(pdf["chunk"].iloc[0])],
+                "n_values": [len(a)],
+                "codec": [CODEC_NAMES[codec_id]],
+                "bytes_enc": [len(payload)],
+                "bytes_raw": [4 * len(a)],
+                "payload": [payload],
+            }
+        )
+
+    return rows.groupBy("chunk").applyInPandas(enc, _BLOCKS_SCHEMA)
+
+
+def decode_scalar_column(blocks: DataFrame) -> DataFrame:
+    """Inverse: ``(chunk, pos, value)`` — pos is the in-chunk rank in
+    order-key order."""
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            chunks = batch.column("chunk").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload")
+            out_c, out_p, out_v = [], [], []
+            for i in range(batch.num_rows):
+                vals = decode_block(memoryview(payloads[i].as_buffer()))
+                out_c.append(np.full(len(vals), chunks[i], np.int64))
+                out_p.append(np.arange(len(vals), dtype=np.int64))
+                out_v.append(vals.astype(np.int64))
+            if out_c:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_c), pa.int64()),
+                        pa.array(np.concatenate(out_p), pa.int64()),
+                        pa.array(np.concatenate(out_v), pa.int64()),
+                    ],
+                    schema=pa.schema(
+                        [
+                            ("chunk", pa.int64()),
+                            ("pos", pa.int64()),
+                            ("value", pa.int64()),
+                        ]
+                    ),
+                )
+
+    return blocks.select("chunk", "payload").mapInArrow(
+        dec, "chunk long, pos long, value long"
+    )
+
+
+def scalar_roundtrip_rollup(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Gated end-to-end: encode -> decode -> per-chunk order-sensitive
+    checksums. ``(chunk, n, sum_v, wcks)`` where wcks weights each value
+    by its in-chunk rank (so value ORDER is gated, not just the multiset)."""
+    blocks = encode_scalar_column(df, value_col, order_col, chunk_rows)
+    dec = decode_scalar_column(blocks)
+    return (
+        dec.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.sum(F.col("value") * (F.col("pos") + 1)).alias("wcks"),
+        )
+        .orderBy("chunk")
+    )
+
+
+def scalar_roundtrip_rollup_sql(chunk_rows: int = CHUNK_ROWS) -> str:
+    """Oracle over raw events: identical per-chunk rollup straight from
+    the source column (value cents ordered by event_id)."""
+    return f"""
+WITH rows_ AS (
+  SELECT event_id // {chunk_rows} AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // {chunk_rows}
+                            ORDER BY event_id) - 1 AS pos,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * (pos + 1)) AS BIGINT) AS wcks
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
