@@ -1296,6 +1296,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scalar_column_roundtrip"] = scalar_roundtrip
 
+    # write-audit-publish: a good batch publishes, a duplicate batch is
+    # rejected by the audit and never reaches the main branch
+    def wap_rollup(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.wap import read_main, wap_append
+
+        work = tempfile.mkdtemp(prefix="mvt_wap_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            tokens = _corpus(spark, sf_dir)
+            evens = encode_dataframe(
+                tokens.filter(doc_num_expr() % 2 == 0), EncodeOptions()
+            )
+            odds = encode_dataframe(
+                tokens.filter(doc_num_expr() % 2 == 1), EncodeOptions()
+            )
+            r1 = wap_append(spark, root, evens)
+            r2 = wap_append(spark, root, odds)
+            r3 = wap_append(spark, root, evens)  # duplicates: must reject
+            assert r1["mode"] == "published", r1
+            assert r2["mode"] == "published", r2
+            assert r3["mode"] == "rejected", r3
+            res = regime_rollup(
+                with_doc_checksums(read_main(spark, root))
+            ).orderBy("regime")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["wap_publish_rollup"] = wap_rollup
+
+    def top_per_user(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import (
+            top_events_per_user,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return top_events_per_user(ev)
+
+    q["top_events_per_user"] = top_per_user
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1704,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["scalar_column_roundtrip"] = scalar_roundtrip_rollup_sql()
+    # wap oracle: main holds exactly the full corpus (good batches only)
+    o["wap_publish_rollup"] = C.per_regime_checksum_sql("documents")
+    from mapbox_vector_tile_spark.functions.olap import (
+        top_events_per_user_sql,
+    )
+
+    o["top_events_per_user"] = top_events_per_user_sql()
     o["streaming_dedup_ingest"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c

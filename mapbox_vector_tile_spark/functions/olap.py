@@ -337,3 +337,49 @@ WHERE c.cum * 100 >= t.total * p.pct
 GROUP BY c.event_type, p.pct
 ORDER BY event_type, pct
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k: highest-value events per user without a global sort
+# ---------------------------------------------------------------------------
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top ``k`` events by value per user (ties to the smaller event_id):
+    the rank-then-filter form Catalyst compiles to ``WindowGroupLimit`` —
+    each partition keeps a k-row heap per group DURING the shuffle read,
+    so no group is ever fully sorted or materialized (plan-asserted).
+
+    Returns ``(user_id, rnk, event_id, value_c)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value_c").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("user_id", "rnk", "event_id", "value_c")
+        .orderBy("user_id", "rnk")
+    )
+
+
+def top_events_per_user_sql(k: int = 3) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                       event_id ASC) AS BIGINT) AS rnk
+  FROM events)
+SELECT user_id, rnk, event_id, value_c
+FROM ranked WHERE rnk <= {k}
+ORDER BY user_id, rnk
+"""
