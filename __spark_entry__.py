@@ -1341,6 +1341,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_events_per_user"] = top_per_user
 
+    # OPTIMIZE ZORDER: rewrite the snapshot table clustered on the
+    # Z-curve; content must be bit-identical (layout is physical only)
+    def optimize_zorder(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+        from mapbox_vector_tile_spark.engine.zorder import (
+            optimize_zorder_table,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_optz_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            tokens = _corpus(spark, sf_dir)
+            S.commit_append(root, encode_dataframe(tokens, EncodeOptions()))
+            sid = optimize_zorder_table(spark, root)
+            ops = [sn["operation"] for sn in S.snapshot_log(root)]
+            assert ops == ["append", "rewrite"], ops
+            res = regime_rollup(
+                with_doc_checksums(S.decode_at(spark, root, sid))
+            ).orderBy("regime")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["optimize_zorder_rollup"] = optimize_zorder
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1756,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["top_events_per_user"] = top_events_per_user_sql()
+    o["optimize_zorder_rollup"] = C.per_regime_checksum_sql("documents")
     o["streaming_dedup_ingest"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c

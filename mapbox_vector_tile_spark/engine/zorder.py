@@ -256,3 +256,40 @@ SELECT a.layout, a.n_buckets, a.n_buckets_touched, a.rows_touched,
 FROM audit a CROSS JOIN m
 ORDER BY layout
 """
+
+
+def optimize_zorder_table(
+    spark, root: str, options=None, num_partitions: int = 8
+) -> int:
+    """``OPTIMIZE table ZORDER BY (doc, len)`` — the Delta/Iceberg table
+    maintenance command over the snapshot store: decode the current
+    snapshot, re-encode clustered along the Z-curve, and commit the result
+    as a REWRITE snapshot (time travel keeps the old layout readable; the
+    content is bit-identical, which the gate checks).
+
+    The re-cluster is ``repartitionByRange(zkey) + sortWithinPartitions``
+    — one range shuffle sized by ``num_partitions``; encode then sees
+    Z-contiguous rows, so every chunk's zone maps bound BOTH dimensions
+    (the 2-D pruning the audit above prices). Range boundaries are
+    sampled, which is fine HERE: layout is physical, content equality is
+    what the oracle gates (unlike the resume-critical encode cuts, which
+    stay deterministic).
+
+    Returns the new snapshot id.
+    """
+    from pyspark.sql import functions as F
+
+    from .decode import decode_dataframe
+    from .encode import encode_dataframe
+    from .snapshots import commit_rewrite, read_blocks_at
+    from .verify import doc_num_expr
+
+    tokens = decode_dataframe(read_blocks_at(spark, root))
+    zkey = zorder_key_expr(doc_num_expr(), F.col("n_tok"))
+    clustered = (
+        tokens.withColumn("_zkey", zkey)
+        .repartitionByRange(num_partitions, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    return commit_rewrite(root, encode_dataframe(clustered, options))

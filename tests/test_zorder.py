@@ -124,3 +124,48 @@ def test_fused_encode_zorder_clusters_length(spark, tmp_path):
     assert np.median(z_spans) < np.median(d_spans) / 4
     blocks_z.unpersist()
     blocks_d.unpersist()
+
+
+def test_optimize_zorder_table(spark, tmp_path):
+    """OPTIMIZE ZORDER as a rewrite commit: content identical, old layout
+    time-travelable, chunk length spans tightened."""
+    from mapbox_vector_tile_spark.engine import snapshots as S
+    from mapbox_vector_tile_spark.engine.encode import (
+        EncodeOptions,
+        encode_dataframe,
+    )
+    from mapbox_vector_tile_spark.engine.zorder import optimize_zorder_table
+
+    root = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(root)
+    tok = G.corpus_dataframe(spark, N_DOCS, num_partitions=4)
+    opts = EncodeOptions(max_chunk_values=8192)
+    S.commit_append(root, encode_dataframe(tok, opts))
+    sid = optimize_zorder_table(spark, root, options=opts)
+
+    # lossless: the rewritten table decodes bit-identically
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+
+    v = verify_roundtrip(tok, S.decode_at(spark, root, sid)).first()
+    assert v.n_mismatch == 0 and v.n_docs == N_DOCS
+    # and the PRE-optimize snapshot is still readable (time travel)
+    v0 = verify_roundtrip(tok, S.decode_at(spark, root, 1)).first()
+    assert v0.n_mismatch == 0
+
+    def spans(sid):
+        out = []
+        for r in S.read_blocks_at(spark, root, sid).select(
+            "lengths_blob"
+        ).collect():
+            lens = decode_block(memoryview(r.lengths_blob))
+            if len(lens) > 1:
+                out.append(int(lens.max() - lens.min()))
+        return out
+
+    before, after = spans(1), spans(sid)
+    assert np.median(after) < np.median(before) / 4, (
+        np.median(before),
+        np.median(after),
+    )
