@@ -1371,6 +1371,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["optimize_zorder_rollup"] = optimize_zorder
 
+    # conversion-window funnel: each step must land within a day of the
+    # previous step's entry (expired journeys stop counting)
+    def funnel_bounded(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import (
+            funnel_progression,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return funnel_progression(ev, horizon_us=86400000000)
+
+    q["funnel_progression_bounded"] = funnel_bounded
+
+    # snapshot-level compaction: rewrite commit, content bit-identical
+    def compacted_table(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine import snapshots as S
+        from mapbox_vector_tile_spark.engine.compact import compact_table
+
+        work = tempfile.mkdtemp(prefix="mvt_ctab_")
+        try:
+            root = os.path.join(work, "tbl")
+            os.makedirs(root)
+            tokens = _corpus(spark, sf_dir)
+            small = EncodeOptions(max_chunk_values=4096)
+            S.commit_append(root, encode_dataframe(tokens, small))
+            n_before = S.read_blocks_at(spark, root).count()
+            sid = compact_table(spark, root, EncodeOptions())
+            n_after = S.read_blocks_at(spark, root, sid).count()
+            assert n_after < n_before, (n_before, n_after)
+            ops = [sn["operation"] for sn in S.snapshot_log(root)]
+            assert ops == ["append", "rewrite"], ops
+            res = regime_rollup(
+                with_doc_checksums(S.decode_at(spark, root, sid))
+            ).orderBy("regime")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["compacted_table_rollup"] = compacted_table
+
     # Z-order layout: Morton-grid zone maps + 2-D pruning audit (read
     # amplification of a doc-range x len-band rectangle, zorder vs linear)
     def zorder_maps(spark, sf_dir):
@@ -1787,6 +1830,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["top_events_per_user"] = top_events_per_user_sql()
     o["optimize_zorder_rollup"] = C.per_regime_checksum_sql("documents")
+    o["funnel_progression_bounded"] = funnel_progression_sql(
+        horizon_us=86400000000
+    )
+    o["compacted_table_rollup"] = C.per_regime_checksum_sql("documents")
     o["streaming_dedup_ingest"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c

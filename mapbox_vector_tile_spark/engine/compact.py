@@ -230,3 +230,26 @@ def compact_blocks(
             yield b
 
     return df.mapInArrow(fn, BLOCKS_SPARK_SCHEMA)
+
+
+def compact_table(
+    spark,
+    root: str,
+    opts: EncodeOptions | None = None,
+    target_chunk_values: int | None = None,
+) -> int:
+    """Snapshot-level compaction (Iceberg ``rewrite_data_files``): compact
+    the current snapshot's chunks and commit the result as a rewrite —
+    readers at older snapshots keep the pre-compaction layout, the new
+    snapshot serves the merged chunks, content is bit-identical (the gate
+    checks). Near-target chunks pass through byte-identical, so repeated
+    maintenance runs converge to a no-op-sized rewrite.
+
+    Returns the new snapshot id.
+    """
+    from .snapshots import commit_rewrite, read_blocks_at
+
+    blocks = read_blocks_at(spark, root)
+    return commit_rewrite(
+        root, compact_blocks(blocks, opts, target_chunk_values)
+    )

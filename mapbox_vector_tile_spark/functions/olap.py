@@ -92,10 +92,16 @@ def _ts_us():
     return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
-def funnel_progression(events: DataFrame) -> DataFrame:
+def funnel_progression(
+    events: DataFrame, horizon_us: int | None = None
+) -> DataFrame:
     """How far each user progresses through ``view -> click -> purchase``
     in strict time order: step k counts only events AFTER the user's
     step-(k-1) entry time (the standard ordered-funnel semantics).
+    With ``horizon_us`` each step must also land WITHIN that many
+    microseconds of the previous step's entry — the conversion-window
+    form ("purchased within a day of clicking"); expired journeys stop
+    counting, exactly like windowFunnel in production event stores.
 
     One shuffle total: every step is a conditional ``MIN(ts) OVER
     (PARTITION BY user_id)`` — the three window passes share one hash
@@ -112,18 +118,22 @@ def funnel_progression(events: DataFrame) -> DataFrame:
         F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us"))
     ).over(w)
     ev = ev.withColumn("s1", s1)
+    def _within(prev):
+        cond = F.col("ts_us") > F.col(prev)
+        if horizon_us is not None:
+            cond = cond & (F.col("ts_us") <= F.col(prev) + int(horizon_us))
+        return cond
+
     s2 = F.min(
         F.when(
-            (F.col("event_type") == FUNNEL_STEPS[1])
-            & (F.col("ts_us") > F.col("s1")),
+            (F.col("event_type") == FUNNEL_STEPS[1]) & _within("s1"),
             F.col("ts_us"),
         )
     ).over(w)
     ev = ev.withColumn("s2", s2)
     s3 = F.min(
         F.when(
-            (F.col("event_type") == FUNNEL_STEPS[2])
-            & (F.col("ts_us") > F.col("s2")),
+            (F.col("event_type") == FUNNEL_STEPS[2]) & _within("s2"),
             F.col("ts_us"),
         )
     ).over(w)
@@ -158,8 +168,10 @@ def funnel_progression(events: DataFrame) -> DataFrame:
     )
 
 
-def funnel_progression_sql() -> str:
+def funnel_progression_sql(horizon_us: int | None = None) -> str:
     v, c, p = FUNNEL_STEPS
+    b1 = f" AND ts_us <= s1 + {int(horizon_us)}" if horizon_us else ""
+    b2 = f" AND ts_us <= s2 + {int(horizon_us)}" if horizon_us else ""
     return f"""
 WITH ev AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -167,10 +179,12 @@ w1 AS (
   SELECT *, MIN(CASE WHEN event_type = '{v}' THEN ts_us END)
               OVER (PARTITION BY user_id) AS s1 FROM ev),
 w2 AS (
-  SELECT *, MIN(CASE WHEN event_type = '{c}' AND ts_us > s1 THEN ts_us END)
+  SELECT *, MIN(CASE WHEN event_type = '{c}' AND ts_us > s1{b1}
+              THEN ts_us END)
               OVER (PARTITION BY user_id) AS s2 FROM w1),
 w3 AS (
-  SELECT *, MIN(CASE WHEN event_type = '{p}' AND ts_us > s2 THEN ts_us END)
+  SELECT *, MIN(CASE WHEN event_type = '{p}' AND ts_us > s2{b2}
+              THEN ts_us END)
               OVER (PARTITION BY user_id) AS s3 FROM w2),
 per_user AS (
   SELECT user_id, MIN(s1) AS s1, MIN(s2) AS s2, MIN(s3) AS s3

@@ -192,3 +192,55 @@ def test_cohort_retention_bruteforce(events):
     for r in got:
         assert r.n_active == len(cells[(r.cohort_week, r.week_offset)])
         assert r.cohort_size == len(cohorts[r.cohort_week])
+
+
+def test_bounded_funnel_never_exceeds_unbounded(events):
+    from mapbox_vector_tile_spark.functions.olap import funnel_progression
+
+    free = {r.step: r.n_users for r in funnel_progression(events).collect()}
+    hour = {
+        r.step: r.n_users
+        for r in funnel_progression(events, horizon_us=3_600_000_000).collect()
+    }
+    for step in range(4):
+        assert hour[step] <= free[step]
+    assert hour[0] == free[0]  # step 0 (all users) is horizon-independent
+
+
+def test_bounded_funnel_bruteforce(events):
+    from mapbox_vector_tile_spark.functions.olap import funnel_progression
+
+    H = 3_600_000_000
+    rows = events.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_type))
+    depths = {0: 0, 1: 0, 2: 0, 3: 0}
+    for evs in by_user.values():
+        s1 = min((t for t, e in evs if e == "view"), default=None)
+        s2 = (
+            min(
+                (t for t, e in evs
+                 if e == "click" and s1 < t <= s1 + H),
+                default=None,
+            )
+            if s1 is not None else None
+        )
+        s3 = (
+            min(
+                (t for t, e in evs
+                 if e == "purchase" and s2 < t <= s2 + H),
+                default=None,
+            )
+            if s2 is not None else None
+        )
+        depths[3 if s3 else 2 if s2 else 1 if s1 else 0] += 1
+    got = {
+        r.step: r.n_users
+        for r in funnel_progression(events, horizon_us=H).collect()
+    }
+    for step in range(4):
+        assert got[step] == sum(n for d, n in depths.items() if d >= step)

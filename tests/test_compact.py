@@ -141,3 +141,33 @@ def test_compact_multibucket_fused_blocks(spark, tokens_df, tmp_path):
     assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)
     blocks.unpersist()
     compacted.unpersist()
+
+
+def test_compact_table_snapshot_level(spark, tmp_path):
+    """Snapshot-level compaction: fewer chunks, bit-identical content,
+    old snapshot still readable."""
+    import os
+
+    from mapbox_vector_tile_spark.engine import generator as G
+    from mapbox_vector_tile_spark.engine import snapshots as S
+    from mapbox_vector_tile_spark.engine.compact import compact_table
+    from mapbox_vector_tile_spark.engine.encode import (
+        EncodeOptions,
+        encode_dataframe,
+    )
+    from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    tok = G.corpus_dataframe(spark, 300, num_partitions=4)
+    S.commit_append(
+        root, encode_dataframe(tok, EncodeOptions(max_chunk_values=4096))
+    )
+    n_before = S.read_blocks_at(spark, root).count()
+    sid = compact_table(spark, root, EncodeOptions())
+    n_after = S.read_blocks_at(spark, root, sid).count()
+    assert n_after < n_before
+    v = verify_roundtrip(tok, S.decode_at(spark, root, sid)).first()
+    assert v.n_mismatch == 0 and v.n_docs == 300
+    v0 = verify_roundtrip(tok, S.decode_at(spark, root, 1)).first()
+    assert v0.n_mismatch == 0
