@@ -1383,6 +1383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_progression_bounded"] = funnel_bounded
 
+    def pivot_hourly(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.olap import (
+            events_pivot_hourly,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return events_pivot_hourly(ev)
+
+    q["events_pivot_hourly"] = pivot_hourly
+
     # snapshot-level compaction: rewrite commit, content bit-identical
     def compacted_table(spark, sf_dir):
         import os
@@ -1834,6 +1844,11 @@ def oracle_sql() -> dict[str, str]:
         horizon_us=86400000000
     )
     o["compacted_table_rollup"] = C.per_regime_checksum_sql("documents")
+    from mapbox_vector_tile_spark.functions.olap import (
+        events_pivot_hourly_sql,
+    )
+
+    o["events_pivot_hourly"] = events_pivot_hourly_sql()
     o["streaming_dedup_ingest"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c

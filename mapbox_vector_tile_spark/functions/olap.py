@@ -397,3 +397,54 @@ SELECT user_id, rnk, event_id, value_c
 FROM ranked WHERE rnk <= {k}
 ORDER BY user_id, rnk
 """
+
+
+# ---------------------------------------------------------------------------
+# pivot: long -> wide reshaping with an explicit column universe
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_hourly(events: DataFrame) -> DataFrame:
+    """Hour x event-type matrix: one row per hour, one count column per
+    type — the long-to-wide reshape dashboards read directly.
+
+    The value universe is EXPLICIT (``pivot(col, values)``): Spark then
+    compiles the pivot to one pass of conditional aggregates with
+    map-side combine and NO distinct-values pre-scan — the form that
+    survives 100 TB. An open-universe ``pivot(col)`` would first run a
+    distinct job and embed whatever it found in the schema: that is a
+    correctness hazard across snapshots (schema depends on data), not
+    just a perf one, so this engine always pins the universe.
+    """
+    ts = F.col("ts").cast("timestamp")
+    base = events.select(
+        F.floor(F.unix_timestamp(ts) / 3600)
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+    )
+    out = (
+        base.groupBy("hour_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("hour_bucket")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return out.select(*cols).orderBy("hour_bucket")
+
+
+def events_pivot_hourly_sql() -> str:
+    conds = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       {conds}
+FROM events GROUP BY 1 ORDER BY hour_bucket
+"""

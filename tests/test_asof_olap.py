@@ -244,3 +244,23 @@ def test_bounded_funnel_bruteforce(events):
     }
     for step in range(4):
         assert got[step] == sum(n for d, n in depths.items() if d >= step)
+
+
+def test_pivot_hourly_no_distinct_prescan(events):
+    from mapbox_vector_tile_spark.functions.olap import (
+        EVENT_TYPES,
+        events_pivot_hourly,
+    )
+
+    df = events_pivot_hourly(events)
+    rows = df.collect()
+    # row sums reconcile with the raw table (zero-filled cells included)
+    total = sum(
+        sum(getattr(r, f"n_{t}") for t in EVENT_TYPES) for r in rows
+    )
+    assert total == events.count()
+    # explicit value universe -> a single aggregate job, no distinct
+    # pre-scan: the physical plan scans the source exactly once
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final.count("FileScan parquet") == 1, final
