@@ -1393,6 +1393,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_pivot_hourly"] = pivot_hourly
 
+    # fixed-quota per-source sampling (exactly k per group, WindowGroupLimit)
+    def quota(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sample import quota_sample
+
+        return quota_sample(_corpus(spark, sf_dir), k=20)
+
+    q["quota_sample_per_source"] = quota
+
+    # duplicate-cluster size distribution over the CC output
+    def cluster_hist(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.text import dedup_clusters
+
+        return (
+            dedup_clusters(_docs(spark, sf_dir))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .withColumn(
+                "n_clusters",
+                (F.col("n_docs") / F.col("cluster_size")).cast("long"),
+            )
+            .orderBy("cluster_size")
+        )
+
+    q["dedup_cluster_histogram"] = cluster_hist
+
     # snapshot-level compaction: rewrite commit, content bit-identical
     def compacted_table(spark, sf_dir):
         import os
@@ -1849,6 +1874,19 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["events_pivot_hourly"] = events_pivot_hourly_sql()
+    from mapbox_vector_tile_spark.functions.sample import quota_sample_sql
+    from mapbox_vector_tile_spark.functions.text import dedup_clusters_sql
+
+    o["quota_sample_per_source"] = quota_sample_sql(k=20)
+    _cc = dedup_clusters_sql().replace(
+        "ORDER BY l.doc_id", ""
+    )
+    o["dedup_cluster_histogram"] = f"""
+WITH cc AS ({_cc})
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) // cluster_size AS BIGINT) AS n_clusters
+FROM cc GROUP BY cluster_size ORDER BY cluster_size
+"""
     o["streaming_dedup_ingest"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c

@@ -162,3 +162,57 @@ def stratified_sample_pred_sql(
     cases = " ".join(f"WHEN '{s}' THEN {r}" for s, r in rates.items())
     rate = f"CASE {C.source_case_sql(doc_expr)} {cases} ELSE {default_rate} END"
     return f"((({doc_expr}) * {_SAMPLE_MULT}) % {_SPACE}) < ({rate})"
+
+
+# ---------------------------------------------------------------------------
+# fixed-quota group sampling: exactly k docs per source, deterministic
+# ---------------------------------------------------------------------------
+
+_QUOTA_MULT = 2246822519  # xxhash32 PRIME32_3 (public) — fifth independent hash
+_QUOTA_SPACE = 1 << 32  # full 32-bit key space: rank ties only at identity
+
+
+def quota_sample(docs, k: int = 20):
+    """Exactly ``min(k, group size)`` documents per source, chosen by rank
+    of an identity hash — the fixed-BUDGET counterpart of the per-mille
+    `stratified_sample` (eval-set construction wants "200 docs per
+    source", not "0.3% of each source").
+
+    Deterministic: the rank key is a fifth independent multiplicative
+    hash of the doc number, so quota membership never correlates with
+    split/sample/upsample/mixture/shuffle decisions. The rank-then-filter
+    compiles to ``WindowGroupLimit`` — a k-row heap per group during the
+    shuffle read, no group ever fully sorted (same plan property as
+    grouped top-k). Returns ``(doc_id, source, pick_rank)``.
+    """
+    from pyspark.sql import Window
+
+    from ..engine.verify import doc_num_expr
+
+    key = F.pmod(doc_num_expr() * F.lit(_QUOTA_MULT), F.lit(_QUOTA_SPACE))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= k)
+        .orderBy("source", "pick_rank")
+    )
+
+
+def quota_sample_sql(k: int = 20) -> str:
+    from ..corpus import source_case_sql
+
+    return f"""
+WITH d AS (
+  SELECT printf('doc-%08d', doc_id) AS doc_id,
+         {source_case_sql('doc_id')} AS source,
+         (doc_id * {_QUOTA_MULT}) % {_QUOTA_SPACE} AS key
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pick_rank
+  FROM d)
+SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= {k}
+ORDER BY source, pick_rank
+"""

@@ -146,3 +146,28 @@ def test_rejects_bad_params(tokens):
         sliding_window_chunks(tokens, 64, 0)
     with pytest.raises(ValueError):
         source_upsample(tokens, {"web": -1})
+
+
+def test_quota_sample_exact_k_and_determinism(tokens):
+    from mapbox_vector_tile_spark.functions.sample import quota_sample
+
+    got = quota_sample(tokens, k=15).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    sizes = {
+        r.source: r.n
+        for r in tokens.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, rows in by_src.items():
+        assert len(rows) == min(15, sizes[src])
+        assert sorted(r.pick_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # deterministic under repartition
+    again = quota_sample(tokens.repartition(7), k=15).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # independent of the stratified-sample hash: quota picks are not a
+    # prefix/suffix of per-mille keep decisions (different multiplier)
+    plan = quota_sample(tokens, 15)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
