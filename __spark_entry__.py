@@ -1586,6 +1586,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_content_stats"] = multimodal_stats
 
+    # sampled-frame statistics through the idx1 INDEX-SEEK partial decode:
+    # only every-2nd frame's bytes are ever read (the 100 TB frame-sampling
+    # shape); a hash match proves the real AVI container + seek offsets.
+    def video_frame_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import multimodal as MM
+
+        return MM.sample_frame_stats(
+            MM.synthetic_assets(spark, 500), every_n=2
+        ).orderBy("asset_id", "t")
+
+    q["video_frame_stats"] = video_frame_stats
+
     # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
     q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
     q["dict_frequency_order"] = lambda s, d: CP.dict_frequency_order(
@@ -1955,6 +1967,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     from mapbox_vector_tile_spark.functions import multimodal as MM
 
     o["multimodal_content_stats"] = MM.content_stats_sql(500)
+    o["video_frame_stats"] = MM.sample_frame_stats_sql(500, every_n=2)
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

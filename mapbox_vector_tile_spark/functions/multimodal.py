@@ -1,13 +1,13 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-Round-2 upgrade: image and audio decoding is REAL — payloads are stored in
-formats decodable with numpy/stdlib alone (24-bit uncompressed BMP for
-images, PCM16 WAV via the stdlib ``wave`` module for audio), so feature
-extraction operates on actual pixels/samples, not hashes. Only VIDEO decode
-remains stubbed (no pure-Python container/codec exists in this sandbox;
-:data:`REAL_VIDEO_DECODER` gates it honestly — swap in PyAV/ffmpeg on a
-real cluster). Compressed image formats (JPEG/PNG) would likewise slot in
-behind ``PIL`` when present.
+All three modalities decode for REAL — payloads are stored in standard
+formats decodable with numpy/stdlib alone: 24-bit uncompressed BMP for
+images, PCM16 WAV (stdlib ``wave``) for audio, and uncompressed RIFF/AVI
+(raw DIB frames + idx1 index) for video — so feature extraction operates
+on actual pixels/samples/frames, not hashes. Frame sampling decodes ONLY
+the sampled frames via the idx1 index (:func:`decode_avi_frames`).
+Compressed formats (JPEG/PNG via ``PIL``, H.264 via PyAV/ffmpeg) slot in
+behind :data:`REAL_DECODERS_AVAILABLE` when those libs exist.
 
 Pattern: ``mapInPandas`` over an assets table
 ``(asset_id string, kind string, payload binary, meta map<string,string>)``;
@@ -45,7 +45,7 @@ try:  # optional: compressed-image decode (JPEG/PNG) when PIL exists
 except Exception:
     REAL_DECODERS_AVAILABLE = False
 
-REAL_VIDEO_DECODER = False  # no pure-Python video codec; PyAV/ffmpeg slot
+REAL_VIDEO_DECODER = True  # uncompressed RIFF/AVI (raw DIB frames), numpy only
 
 FEAT_DIM = 16
 
@@ -134,6 +134,180 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 'DIB ' video stream + idx1 index) —
+# real codec, struct/numpy only. The layout is the standard one ffmpeg
+# emits for rawvideo AVI: hdrl (avih + strl(strh,strf)) / movi ('00db'
+# bottom-up BGR frames with 4-byte row padding) / idx1. The idx1 index is
+# what makes frame SAMPLING scale: :func:`decode_avi_frames` seeks straight
+# to the sampled frames and never touches the other frames' bytes.
+# ---------------------------------------------------------------------------
+
+_AVIH_OFF = 32  # byte offset of the avih payload (dwMicroSecPerFrame)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(T, H, W, 3) uint8 RGB -> AVI bytes (uncompressed DIB frames).
+
+    Container size is closed-form: ``232 + T * (24 + frame_size)`` with
+    ``frame_size = padded_stride * H`` — the SQL oracle relies on this.
+    """
+    t, h, w, _ = frames.shape
+    if t < 1:
+        raise ValueError("AVI needs at least one frame")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    fs = stride * h
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, fs * fps, 0, 0x10, t, 0, 1, fs, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, t, fs, 0, 0,
+        0, 0, min(w, 32767), min(h, 32767),
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fs, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+
+    # frame bodies: bottom-up BGR, padded rows (standard DIB layout)
+    bgr = frames[:, ::-1, :, ::-1]
+    if stride != row:
+        body = np.zeros((t, h, stride), dtype=np.uint8)
+        body[:, :, :row] = bgr.reshape(t, h, row)
+    else:
+        body = bgr.reshape(t, h, row)
+    chunk_hdr = b"00db" + struct.pack("<I", fs)
+    movi_parts = [b"movi"]
+    idx_parts = []
+    off = 4  # idx1 offsets are relative to the 'movi' fourcc position
+    for k in range(t):
+        movi_parts.append(chunk_hdr)
+        movi_parts.append(body[k].tobytes())
+        idx_parts.append(b"00db" + struct.pack("<III", 0x10, off, fs))
+        off += 8 + fs
+    movi_data = b"".join(movi_parts)
+    movi = b"LIST" + struct.pack("<I", len(movi_data)) + movi_data
+    idx_data = b"".join(idx_parts)
+    idx1 = b"idx1" + struct.pack("<I", len(idx_data)) + idx_data
+    riff_data = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_data)) + riff_data
+
+
+def _avi_headers(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Validate the container and return
+    ``(n_frames, width, height, fps, movi_pos, idx1_pos)`` where
+    ``movi_pos`` is the offset of the ``movi`` fourcc and ``idx1_pos`` the
+    offset of the idx1 chunk data (or -1 if absent). Walks the RIFF chunk
+    tree properly (even-size padding honored), so any conformant
+    uncompressed-DIB AVI parses, not just :func:`encode_avi` output."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    pos = 12
+    n_frames = width = height = -1
+    fps = 0
+    movi_pos = idx1_pos = -1
+    bpp = 24
+    comp = 0
+    while pos + 8 <= end:
+        fourcc = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("truncated AVI chunk")
+        if fourcc == b"LIST":
+            ltype = payload[pos + 8:pos + 12]
+            if ltype == b"hdrl":
+                # avih is required to be the first chunk of hdrl
+                if payload[pos + 12:pos + 16] != b"avih":
+                    raise ValueError("AVI hdrl missing avih")
+                usec, _mbps, _pad, _flags, n_frames, _ini, _nstr, _buf, width, height = (
+                    struct.unpack_from("<10I", payload, pos + 20)
+                )
+                fps = round(1_000_000 / usec) if usec else 0
+                # find strf inside to validate the pixel format
+                sp = payload.find(b"strf", pos + 8, pos + 8 + size)
+                if sp >= 0:
+                    _sz, _w, _h, _planes, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", payload, sp + 8
+                    )
+            elif ltype == b"movi":
+                movi_pos = pos + 8
+        elif fourcc == b"idx1":
+            idx1_pos = pos + 8
+        pos += 8 + size + (size & 1)
+    if movi_pos < 0 or n_frames < 0:
+        raise ValueError("AVI missing hdrl/movi")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported AVI stream (bpp={bpp}, compression={comp})")
+    if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
+        raise ValueError(f"invalid AVI dimensions ({width}x{height})")
+    return n_frames, width, height, fps, movi_pos, idx1_pos
+
+
+def _dib_to_rgb(body: np.ndarray, w: int, h: int, stride: int) -> np.ndarray:
+    bgr = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return np.ascontiguousarray(bgr[::-1, :, ::-1])
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes -> ((T, H, W, 3) uint8 RGB, fps). Full sequential decode:
+    walks the movi chunks in order (no index required)."""
+    n_frames, w, h, fps, movi_pos, _ = _avi_headers(payload)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    fs = stride * h
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    pos = movi_pos + 4
+    for k in range(n_frames):
+        if payload[pos:pos + 2] != b"00":
+            raise ValueError(f"unexpected movi chunk {payload[pos:pos+4]!r}")
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if size != fs or pos + 8 + fs > len(payload):
+            raise ValueError("AVI frame size mismatch")
+        body = np.frombuffer(payload, dtype=np.uint8, count=fs, offset=pos + 8)
+        frames[k] = _dib_to_rgb(body, w, h, stride)
+        pos += 8 + size + (size & 1)
+    return frames, fps
+
+
+def decode_avi_frames(payload: bytes, indices: np.ndarray) -> np.ndarray:
+    """Index-seek partial decode: decode ONLY the frames in ``indices``
+    using the idx1 offsets — the bytes of unsampled frames are never read.
+    This is the 100 TB frame-sampling shape (decode 1/N of the corpus, not
+    all of it); falls back to sequential walk when idx1 is absent."""
+    n_frames, w, h, _fps, movi_pos, idx1_pos = _avi_headers(payload)
+    indices = np.asarray(indices, dtype=np.int64)
+    if indices.size and (indices.min() < 0 or indices.max() >= n_frames):
+        raise ValueError("frame index out of range")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    fs = stride * h
+    if idx1_pos < 0:  # no index: sequential positions are still closed-form
+        offs = movi_pos + 4 + indices * (8 + fs + (fs & 1))
+    else:
+        (idx_size,) = struct.unpack_from("<I", payload, idx1_pos - 4)
+        entries = np.frombuffer(
+            payload, dtype=np.uint32, count=idx_size // 4, offset=idx1_pos
+        ).reshape(-1, 4)
+        if entries.shape[0] < n_frames:
+            raise ValueError("idx1 shorter than frame count")
+        offs = movi_pos + entries[indices, 2].astype(np.int64)
+    out = np.empty((indices.size, h, w, 3), dtype=np.uint8)
+    for j, off in enumerate(offs):
+        (size,) = struct.unpack_from("<I", payload, int(off) + 4)
+        if size != fs or off + 8 + fs > len(payload):
+            raise ValueError("AVI frame size mismatch")
+        body = np.frombuffer(payload, dtype=np.uint8, count=fs, offset=int(off) + 8)
+        out[j] = _dib_to_rgb(body, w, h, stride)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # feature extraction (real content statistics; FEAT_DIM floats)
 # ---------------------------------------------------------------------------
 
@@ -166,9 +340,28 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     return f
 
 
+def _video_features(frames: np.ndarray, fps: int) -> np.ndarray:
+    """Per-clip statistics over REAL decoded frames: spatial stats of the
+    mean frame plus temporal motion energy (mean |frame diff|)."""
+    t, h, w, _ = frames.shape
+    f = np.zeros(FEAT_DIM, dtype=np.float32)
+    f[0], f[1] = w / 64.0, h / 64.0
+    flat = frames.reshape(t, -1, 3).astype(np.float32) / 255.0
+    mean_frame = flat.mean(axis=0)
+    f[2:5] = mean_frame.mean(axis=0)
+    f[5:8] = mean_frame.std(axis=0)
+    f[8] = t / 32.0
+    f[9] = fps / 60.0
+    if t > 1:
+        f[10] = float(np.abs(np.diff(flat, axis=0)).mean())  # motion energy
+    f[14] = w / max(h, 1)
+    f[15] = float(frames.mean()) / 255.0
+    return f
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for formats with no decoder in this sandbox
-    (video): a pure function of the payload bytes, stable across engines."""
+    """Deterministic stand-in for formats with no decoder in this sandbox:
+    a pure function of the payload bytes, stable across engines."""
     h = hashlib.md5(payload).digest()
     return (
         np.frombuffer(h, dtype=np.uint8).astype(np.float32).repeat(2)[:FEAT_DIM]
@@ -180,7 +373,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """assets table -> per-asset features via Arrow-batched ``mapInPandas``.
 
     image -> real BMP decode (pixel statistics); audio -> real WAV decode
-    (RMS/ZCR etc.); video -> stub features (:data:`REAL_VIDEO_DECODER`)."""
+    (RMS/ZCR etc.); video -> real AVI decode (spatial + motion stats);
+    unknown kinds -> deterministic payload-hash features."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,7 +397,11 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     elif kind == "audio":
                         samples, rate = decode_wav(payload)
                         feat = _audio_features(samples, rate)
-                    else:  # video: honestly stubbed (no decoder in sandbox)
+                    elif kind == "video":
+                        frames, fps = decode_avi(payload)
+                        _t, hgt, w, _ = frames.shape
+                        feat = _video_features(frames, fps)
+                    else:  # unknown kind: deterministic payload features
                         feat = _fake_features(payload)
                 except Exception as e:  # noqa: BLE001 — quarantine, not crash
                     status = f"error: {type(e).__name__}: {e}"[:200]
@@ -237,8 +435,10 @@ def content_stats(assets: DataFrame) -> DataFrame:
 
     Per kind: image -> stats over all decoded channel values plus
     ``zcross = count(R > G)``; audio -> stats over decoded PCM16 samples
-    with ``zcross`` = sign changes; video (stub: no decoder) -> stats over
-    the raw payload bytes.
+    with ``zcross`` = sign changes; video -> stats over all decoded frame
+    channel values (real AVI decode) with ``zcross = count(R > G)`` across
+    every frame. ``n_bytes`` is the exact container size, which for video
+    binds the frame count through the closed-form AVI layout.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -271,13 +471,15 @@ def content_stats(assets: DataFrame) -> DataFrame:
                          int(s.max()) if s.size else 0,
                          int(np.count_nonzero(neg[1:] != neg[:-1])))
                     )
-                else:  # video: stats over raw bytes (decode honestly stubbed)
-                    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                else:  # video: stats over REAL decoded frames
+                    frames, _fps = decode_avi(payload)
+                    _t, h, w, _ = frames.shape
+                    v = frames.astype(np.int64)
                     rows.append(
-                        (asset_id, kind, len(payload), -1, -1,
-                         int(b.sum()), int((b * b).sum()),
-                         int(b.min()) if b.size else 0,
-                         int(b.max()) if b.size else 0, 0)
+                        (asset_id, kind, len(payload), w, h,
+                         int(v.sum()), int((v * v).sum()),
+                         int(v.min()), int(v.max()),
+                         int((v[:, :, :, 0] > v[:, :, :, 1]).sum()))
                     )
             yield pd.DataFrame(
                 rows,
@@ -311,19 +513,36 @@ def synthetic_samples(i: int) -> np.ndarray:
     return (((i * 37 + 13 * j * j) % 4001) - 2000).astype(np.int16)
 
 
+def synthetic_frames(i: int) -> np.ndarray:
+    """Closed-form video content for asset ``i``: every pixel of every
+    frame is an integer formula of ``(i, t, x, y)``, so a SQL oracle can
+    regenerate the decoded frames exactly (same trick as
+    :func:`synthetic_pixels`, with a time axis)."""
+    t = 2 + (i * 11) % 5
+    w = 1 + (i * 13) % 24
+    h = 1 + (i * 29) % 24
+    tt = np.arange(t, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :]
+    y = np.arange(h, dtype=np.int64)[None, :, None]
+    px = np.empty((t, h, w, 3), dtype=np.uint8)
+    px[:, :, :, 0] = np.broadcast_to((3 * x + tt + i) % 256, (t, h, w))
+    px[:, :, :, 1] = np.broadcast_to((5 * y + 2 * i + 7 * tt) % 256, (t, h, w))
+    px[:, :, :, 2] = np.broadcast_to((x + y + i + tt) % 256, (t, h, w))
+    return px
+
+
 def synthetic_video_bytes(i: int) -> bytes:
-    """Closed-form opaque payload for the (stubbed) video kind."""
-    n = 64 + i % 128
-    j = np.arange(n, dtype=np.int64)
-    return ((i * 97 + j * 31) % 256).astype(np.uint8).tobytes()
+    """Closed-form video payload for asset ``i``: a real uncompressed AVI
+    around :func:`synthetic_frames` content."""
+    return encode_avi(synthetic_frames(i), fps=10)
 
 
 def synthetic_assets(spark: SparkSession, n: int) -> DataFrame:
     """Deterministic assets table with REAL payloads: images are valid
-    24-bit BMPs, audio is valid PCM16 WAV, video is opaque bytes (decode
-    stubbed). All content is CLOSED-FORM — integer formulas of the asset
-    index — so the DuckDB oracle regenerates the exact pixels/samples/bytes
-    in SQL and :func:`content_stats` can be hash-gated end to end."""
+    24-bit BMPs, audio is valid PCM16 WAV, video is valid uncompressed
+    AVI. All content is CLOSED-FORM — integer formulas of the asset
+    index — so the DuckDB oracle regenerates the exact pixels/samples/
+    frames in SQL and :func:`content_stats` can be hash-gated end to end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,10 +572,11 @@ def synthetic_assets(spark: SparkSession, n: int) -> DataFrame:
 
 def content_stats_sql(n: int) -> str:
     """DuckDB oracle for ``content_stats(synthetic_assets(n))``: regenerates
-    the closed-form pixels/samples/bytes in SQL (no decoders) and computes
-    the same integer statistics. ``n_bytes`` for image/audio is the exact
-    container size the encoders emit (BMP 54-byte header + 4-byte-padded
-    rows; WAV 44-byte PCM header + 2 bytes/sample)."""
+    the closed-form pixels/samples/frames in SQL (no decoders) and computes
+    the same integer statistics. ``n_bytes`` is the exact container size
+    the encoders emit (BMP 54-byte header + 4-byte-padded rows; WAV 44-byte
+    PCM header + 2 bytes/sample; AVI 232 bytes of RIFF/hdrl/movi/idx1
+    framing + per-frame ``24 + padded_stride*h``)."""
     return f"""
 WITH ids AS (SELECT range AS i FROM range({n})),
 img AS (
@@ -401,17 +621,25 @@ aud_stats AS (
   FROM audl GROUP BY i, n
 ),
 vid AS (
-  SELECT i, 64 + i % 128 AS n FROM ids WHERE i % 3 = 2
+  SELECT i, 2 + (i*11) % 5 AS nt, 1 + (i*13) % 24 AS w, 1 + (i*29) % 24 AS h
+  FROM ids WHERE i % 3 = 2
 ),
-vidb AS (
-  SELECT vid.i, vid.n, (i*97 + j.range*31) % 256 AS b
-  FROM vid, range(192) j WHERE j.range < vid.n
+vidpx AS (
+  SELECT vid.i, vid.nt, vid.w, vid.h,
+         (3*x.range + t.range + i) % 256 AS r,
+         (5*y.range + 2*i + 7*t.range) % 256 AS g,
+         (x.range + y.range + i + t.range) % 256 AS b
+  FROM vid, range(6) t, range(24) x, range(24) y
+  WHERE t.range < vid.nt AND x.range < vid.w AND y.range < vid.h
 ),
 vid_stats AS (
-  SELECT i, 'video' AS kind, n AS n_bytes, -1 AS width, -1 AS height,
-         SUM(b) AS sum1, SUM(b*b) AS sum2, MIN(b) AS vmin, MAX(b) AS vmax,
-         0 AS zcross
-  FROM vidb GROUP BY i, n
+  SELECT i, 'video' AS kind,
+         232 + nt * (24 + (3*w + (4 - (3*w) % 4) % 4) * h) AS n_bytes,
+         w AS width, h AS height,
+         SUM(r + g + b) AS sum1, SUM(r*r + g*g + b*b) AS sum2,
+         MIN(LEAST(r, g, b)) AS vmin, MAX(GREATEST(r, g, b)) AS vmax,
+         SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS zcross
+  FROM vidpx GROUP BY i, nt, w, h
 ),
 allstats AS (
   SELECT * FROM img_stats UNION ALL
@@ -428,12 +656,101 @@ FROM allstats ORDER BY asset_id
 """
 
 
+FRAME_STATS_SCHEMA = (
+    "asset_id string, t long, width long, height long, "
+    "sum1 long, sum2 long, vmin long, vmax long, zcross long"
+)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan* (which frames to decode) — pure Catalyst:
-    the decode itself is the stubbed heavy step, the plan is cheap metadata."""
-    n_frames = (F.length("payload") % 300 + 1).cast("int")
+    """Video frame-sampling *plan* (which frames to decode): the REAL frame
+    count parsed from the avih header (``dwTotalFrames``), the rest pure
+    Catalyst. Only the 4 header bytes are touched per asset — the heavy
+    frame decode is deferred to :func:`sample_frame_stats`."""
+    import pyspark.sql.types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def n_frames_udf(payloads: pd.Series) -> pd.Series:
+        out = np.full(len(payloads), -1, dtype=np.int32)
+        for j, p in enumerate(payloads):
+            try:
+                out[j] = _avi_headers(bytes(p))[0]
+            except Exception:  # noqa: BLE001 — malformed: n_frames = -1
+                pass
+        return pd.Series(out)
+
+    n_frames = n_frames_udf("payload")
     return assets.filter(F.col("kind") == "video").select(
         "asset_id",
         n_frames.alias("n_frames"),
         F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)).alias("frame_indices"),
     )
+
+
+def sample_frame_stats(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Integer-exact per-frame statistics for every ``every_n``-th frame of
+    each video, decoded via the idx1 INDEX-SEEK path
+    (:func:`decode_avi_frames`) — unsampled frames' bytes are never read,
+    which is what makes frame sampling viable when the video corpus is the
+    bulk of 100 TB. Oracle-gated: the closed-form frame content means a SQL
+    oracle regenerates exactly the sampled frames."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames, w, h, _fps, _mp, _ip = _avi_headers(payload)
+                idx = np.arange(0, n_frames, every_n, dtype=np.int64)
+                frames = decode_avi_frames(payload, idx)
+                v = frames.astype(np.int64)
+                for j, t in enumerate(idx):
+                    rows.append(
+                        (asset_id, int(t), w, h,
+                         int(v[j].sum()), int((v[j] * v[j]).sum()),
+                         int(v[j].min()), int(v[j].max()),
+                         int((v[j, :, :, 0] > v[j, :, :, 1]).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "t", "width", "height",
+                         "sum1", "sum2", "vmin", "vmax", "zcross"],
+            )
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(fn, FRAME_STATS_SCHEMA)
+    )
+
+
+def sample_frame_stats_sql(n: int, every_n: int = 2) -> str:
+    """DuckDB oracle for ``sample_frame_stats(synthetic_assets(n))``:
+    regenerates exactly the sampled frames (``t % every_n = 0``) from the
+    closed-form pixel formulas and computes the same integer statistics."""
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+vid AS (
+  SELECT i, 2 + (i*11) % 5 AS nt, 1 + (i*13) % 24 AS w, 1 + (i*29) % 24 AS h
+  FROM ids WHERE i % 3 = 2
+),
+px AS (
+  SELECT vid.i, t.range AS t, vid.w, vid.h,
+         (3*x.range + t.range + i) % 256 AS r,
+         (5*y.range + 2*i + 7*t.range) % 256 AS g,
+         (x.range + y.range + i + t.range) % 256 AS b
+  FROM vid, range(6) t, range(24) x, range(24) y
+  WHERE t.range < vid.nt AND t.range % {every_n} = 0
+    AND x.range < vid.w AND y.range < vid.h
+)
+SELECT printf('asset-%06d', i) AS asset_id, CAST(t AS BIGINT) AS t,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum1,
+       CAST(SUM(r*r + g*g + b*b) AS BIGINT) AS sum2,
+       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS vmin,
+       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS vmax,
+       CAST(SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+FROM px GROUP BY i, t, w, h ORDER BY asset_id, t
+"""

@@ -28,12 +28,53 @@ def test_extract_features_schema_and_determinism(spark):
 
 def test_frame_sample_plan(spark):
     assets = MM.synthetic_assets(spark, 30)
-    plan = MM.frame_sample_plan(assets, every_n=7)
-    for r in plan.collect():
+    plan = MM.frame_sample_plan(assets, every_n=2)
+    rows = plan.collect()
+    assert rows
+    for r in rows:
+        # n_frames is the REAL avih dwTotalFrames of the closed-form corpus
+        i = int(r.asset_id.split("-")[1])
+        assert r.n_frames == 2 + (i * 11) % 5
         idx = r.frame_indices
         assert idx[0] == 0
-        assert all(b - a == 7 for a, b in zip(idx, idx[1:]))
+        assert all(b - a == 2 for a, b in zip(idx, idx[1:]))
         assert idx[-1] < r.n_frames
+
+
+def test_avi_roundtrip_and_index_seek():
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (5, 13, 9, 3), dtype=np.uint8)
+    payload = MM.encode_avi(frames, fps=24)
+    dec, fps = MM.decode_avi(payload)
+    assert fps == 24 and np.array_equal(dec, frames)
+    # idx1 index-seek partial decode == the corresponding full-decode frames
+    part = MM.decode_avi_frames(payload, np.array([0, 2, 4]))
+    assert np.array_equal(part, frames[[0, 2, 4]])
+    # closed-form container size (the oracle relies on it)
+    stride = 9 * 3 + ((-9 * 3) % 4)
+    assert len(payload) == 232 + 5 * (24 + stride * 13)
+
+
+def test_avi_malformed_quarantine(spark):
+    import pandas as pd
+
+    good = MM.synthetic_video_bytes(2)
+    bad = good[:100]  # truncated mid-header
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": ["ok", "trunc"],
+                "kind": ["video", "video"],
+                "payload": [good, bad],
+                "meta": [{}, {}],
+            }
+        ),
+        schema=MM.ASSETS_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.extract_features(assets).collect()}
+    assert rows["ok"].status == "ok" and rows["ok"].width > 0
+    assert rows["trunc"].status.startswith("error:")
+    assert rows["trunc"].feat is None
 
 
 def test_streaming_encode_matches_batch(spark, tmp_path):
