@@ -881,6 +881,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tokenize_encode_roundtrip"] = tokenize_encode_roundtrip
 
+    # distributed BPE trainer (Sennrich merge loop as a Spark job): pair
+    # counts are a map-side-combined aggregate, argmax is TakeOrdered(1),
+    # merge application is one shuffle-free Arrow pass; driver loop is
+    # over merges. Both the learned merge table and the merged corpus are
+    # hash-gated against a DuckDB replay of the identical trainer
+    # (LEAD pair counts + gaps-and-islands greedy application).
+    def bpe_merge_table(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import bpe as BPE
+        from mapbox_vector_tile_spark.functions.tokenize import (
+            tokenize_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return BPE.merge_table_df(
+            tokenize_documents(docs, vocab_size=997), n_merges=2,
+            base_vocab=997,
+        )
+
+    q["bpe_merge_table"] = bpe_merge_table
+
+    def bpe_merged_checksums(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import bpe as BPE
+        from mapbox_vector_tile_spark.functions.tokenize import (
+            tokenize_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return BPE.merged_checksums(
+            tokenize_documents(docs, vocab_size=997), n_merges=2,
+            base_vocab=997,
+        )
+
+    q["bpe_merged_checksums"] = bpe_merged_checksums
+
     # incremental index maintenance: base index over snapshot 1, CDC
     # window (1 -> 3: append odds, delete %17==3) folded in WITHOUT
     # re-reading the old corpus; stats must equal an index over the
@@ -1788,6 +1822,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["tokenize_encode_roundtrip"] = tokenize_checksum_sql()
+    from mapbox_vector_tile_spark.functions import bpe as BPE
+
+    o["bpe_merge_table"] = BPE.bpe_merge_table_sql(2, 997)
+    o["bpe_merged_checksums"] = BPE.bpe_merged_checksums_sql(2, 997)
     o["incremental_index_maintenance"] = C.index_token_stats_sql(
         0, 63, "documents WHERE doc_id % 17 <> 3"
     )
