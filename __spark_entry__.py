@@ -1701,6 +1701,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["streaming_decode_roundtrip"] = streaming_decode_roundtrip
+
+    # ---- Iceberg v2 interop (pure-Python spec implementation over the
+    # avro/json/parquet primitives; sources/iceberg.py). The corpus is
+    # committed through real Iceberg metadata (manifest-list -> manifest
+    # avro, snapshot refs) and read back via scan planning; hash-gated
+    # against the generator-formula oracle, so a match proves the whole
+    # metadata round trip preserved every row bit-exactly. ----
+    def iceberg_tokens_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(spark, _corpus(spark, sf_dir), tp)
+            res = _per_doc_result(ICE.read_table(spark, tp))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_tokens_roundtrip"] = iceberg_tokens_roundtrip
+
+    # time travel: two appends (docs < 250, then the rest); reading
+    # snapshot 1 must reproduce exactly the first commit's rows
+    def iceberg_time_travel(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            corpus = _corpus(spark, sf_dir)
+            first = corpus.filter(F.col("doc_id") < "doc-00000250")
+            rest = corpus.filter(F.col("doc_id") >= "doc-00000250")
+            ICE.append_dataframe(spark, first, tp)
+            ICE.append_dataframe(spark, rest, tp)
+            res = _per_doc_result(ICE.read_table(spark, tp, snapshot_id=1))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_time_travel"] = iceberg_time_travel
+
+    # the north-star shape end to end: Iceberg-backed token arrays ->
+    # fused codec pipeline -> decode -> per-doc checksums
+    def iceberg_encode_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(spark, _corpus(spark, sf_dir), tp)
+            decoded = decode_dataframe(
+                encode_dataframe(ICE.read_table(spark, tp), EncodeOptions())
+            )
+            res = _per_doc_result(decoded)
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_encode_roundtrip"] = iceberg_encode_roundtrip
     return q
 
 
@@ -1710,6 +1778,11 @@ def oracle_sql() -> dict[str, str]:
     o = {
         "corpus_per_doc_checksums": per_doc,
         "roundtrip_auto_per_doc": per_doc,
+        "iceberg_tokens_roundtrip": per_doc,
+        "iceberg_encode_roundtrip": per_doc,
+        "iceberg_time_travel": C.per_doc_checksum_sql(
+            "documents WHERE doc_id < 250", string_doc_id=True
+        ),
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",

@@ -86,7 +86,13 @@ def main(argv: list[str] | None = None) -> int:
             key_name=args.sort_col,
         )
     else:
-        tokens = spark.read.parquet(args.input)
+        if args.input.startswith("iceberg://"):
+            from mapbox_vector_tile_spark.sources.iceberg import read_table
+
+            table, _, snap = args.input[len("iceberg://"):].partition("@")
+            tokens = read_table(spark, table, int(snap) if snap else None)
+        else:
+            tokens = spark.read.parquet(args.input)
         summary = encode_with_checkpoint(
             spark,
             tokens,

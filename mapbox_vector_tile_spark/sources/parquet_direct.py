@@ -125,6 +125,18 @@ def file_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
 
 
 def list_parquet_files(path: str) -> list[str]:
+    """Input-path resolver for the worker-side scan paths. Plain paths
+    walk the directory; ``iceberg://<table>[@<snapshot-id>]`` resolves the
+    LIVE data files of an Iceberg snapshot via scan planning
+    (:mod:`.iceberg`) — the whole fused/direct deployment surface then
+    consumes Iceberg tables natively, including time travel."""
+    if path.startswith("iceberg://"):
+        from .iceberg import plan_scan
+
+        spec = path[len("iceberg://"):]
+        table, _, snap = spec.partition("@")
+        snapshot_id = int(snap) if snap else None
+        return sorted(f.file_path for f in plan_scan(table, snapshot_id))
     return sorted(
         os.path.join(dp, f)
         for dp, _, files in os.walk(path)

@@ -1,0 +1,213 @@
+"""Iceberg v2 layer: avro OCF cross-check vs the Java avro jar, table
+lifecycle (append/delete/time-travel), determinism, schema round-trip."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_vector_tile_spark.engine import generator as G
+from mapbox_vector_tile_spark.sources import avro_ocf as A
+from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+RICH_SCHEMA = {
+    "type": "record", "name": "r1", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "opt", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "payload", "type": "bytes"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "ratio", "type": "double"},
+    ]}
+RICH_RECORDS = [
+    {"id": 5_000_000_001, "name": "alpha", "opt": None,
+     "arr": [5_000_000_002, 3], "m": {"k": "v", "k2": ""},
+     "payload": b"\x00\x01\xff", "flag": True, "ratio": 0.25},
+    {"id": -7, "name": "", "opt": 5_000_000_005, "arr": [], "m": {},
+     "payload": b"", "flag": False, "ratio": -2.5},
+]
+
+
+def test_avro_python_roundtrip():
+    for codec in ("null", "deflate"):
+        data = A.write_ocf(RICH_SCHEMA, RICH_RECORDS, codec=codec)
+        schema, meta, recs = A.read_ocf(data)
+        assert recs == RICH_RECORDS
+        assert schema["name"] == "r1"
+    # deterministic bytes for fixed sync
+    assert A.write_ocf(RICH_SCHEMA, RICH_RECORDS) == A.write_ocf(
+        RICH_SCHEMA, RICH_RECORDS
+    )
+
+
+def test_avro_java_reads_python_file(spark, tmp_path):
+    """The authoritative Java avro implementation parses our OCF output."""
+    p = str(tmp_path / "py.avro")
+    with open(p, "wb") as fh:
+        fh.write(A.write_ocf(RICH_SCHEMA, RICH_RECORDS, codec="deflate"))
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while fr.hasNext():
+        got.append(str(fr.next()))
+    fr.close()
+    assert len(got) == 2
+    assert '"id": 5000000001' in got[0] and '"opt": 5000000005' in got[1]
+    assert '"arr": [5000000002, 3]' in got[0]
+
+
+def test_avro_python_reads_java_file(spark, tmp_path):
+    """Round-trip the other direction: Java writes, we read bit-exactly."""
+    jvm = spark._jvm
+    gc = spark.sparkContext._gateway._gateway_client
+    from py4j.java_collections import ListConverter, MapConverter
+
+    parser = jvm.org.apache.avro.Schema.Parser()
+    jschema = parser.parse(json.dumps(RICH_SCHEMA))
+    w = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(w)
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p = str(tmp_path / "java.avro")
+    dfw.create(jschema, jvm.java.io.File(p))
+    for r in RICH_RECORDS:
+        jr = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        jr.put("id", r["id"])
+        jr.put("name", r["name"])
+        jr.put("opt", r["opt"])
+        jr.put("arr", ListConverter().convert(r["arr"], gc))
+        jr.put("m", MapConverter().convert(r["m"], gc))
+        jr.put("payload", jvm.java.nio.ByteBuffer.wrap(bytearray(r["payload"])))
+        jr.put("flag", r["flag"])
+        jr.put("ratio", r["ratio"])
+        dfw.append(jr)
+    dfw.close()
+    with open(p, "rb") as fh:
+        _, _, recs = A.read_ocf(fh.read())
+    # java boxed long ids come back as ints; compare exactly
+    assert recs == RICH_RECORDS
+
+
+def _table(spark, tmp_path, name="t"):
+    tp = str(tmp_path / name)
+    c1 = G.corpus_dataframe(spark, 120, num_partitions=2)
+    ICE.append_dataframe(spark, c1, tp)
+    c2 = G.corpus_dataframe(spark, 180, num_partitions=2).filter(
+        F.col("doc_id") >= "doc-00000120"
+    )
+    ICE.append_dataframe(spark, c2, tp)
+    return tp
+
+
+def test_iceberg_append_and_time_travel(spark, tmp_path):
+    tp = _table(spark, tmp_path)
+    assert ICE.read_table(spark, tp).count() == 180
+    assert ICE.read_table(spark, tp, snapshot_id=1).count() == 120
+    # snapshot lineage + operations
+    snaps = {r.snapshot_id: r for r in ICE.snapshots_df(spark, tp).collect()}
+    assert snaps[2].parent_id == 1 and snaps[1].parent_id is None
+    assert snaps[2].operation == "append"
+    # content matches the generator exactly at both snapshots
+    want = {r.doc_id for r in G.corpus_dataframe(spark, 180, 2).collect()}
+    got = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    assert got == want
+
+
+def test_iceberg_delete_files_commit(spark, tmp_path):
+    tp = _table(spark, tmp_path)
+    rm = {f.file_path for f in ICE.plan_scan(tp) if "seq=2" in f.file_path}
+    assert rm
+    ICE.commit_delete_files(tp, rm)
+    assert ICE.read_table(spark, tp).count() == 120
+    # time travel still sees the pre-delete snapshot
+    assert ICE.read_table(spark, tp, snapshot_id=2).count() == 180
+    # data sequence numbers survive the manifest rewrite (spec inheritance)
+    assert all(f.sequence_number == 1 for f in ICE.plan_scan(tp))
+
+
+def test_iceberg_metadata_is_java_valid_avro(spark, tmp_path):
+    tp = _table(spark, tmp_path)
+    jvm = spark._jvm
+    paths = glob.glob(os.path.join(tp, "metadata", "*.avro"))
+    assert len(paths) >= 4  # 2 snapshots x (manifest + manifest list)
+    for p in paths:
+        fr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        n = 0
+        while fr.hasNext():
+            fr.next()
+            n += 1
+        fr.close()
+        assert n >= 1
+
+
+def test_iceberg_schema_roundtrip(spark):
+    df = G.corpus_dataframe(spark, 5, 1)
+    ice = ICE.schema_to_iceberg(df.schema)
+    names = [f["name"] for f in ice["fields"]]
+    assert names == df.columns
+    ids = [f["id"] for f in ice["fields"]]
+    assert ids == sorted(set(ids))  # unique, stable field ids
+    ddl = ICE.iceberg_to_spark_ddl(ice)
+    assert "tokens array<int>" in ddl and "doc_id string" in ddl
+
+
+def test_iceberg_deterministic_metadata(spark, tmp_path):
+    t1 = _table(spark, tmp_path, "a")
+    t2 = _table(spark, tmp_path, "b")
+    for sub in ("v3.metadata.json",):
+        m1 = json.load(open(os.path.join(t1, "metadata", sub)))
+        m2 = json.load(open(os.path.join(t2, "metadata", sub)))
+        # identical up to the table path embedded in locations/uuids
+        s1 = json.dumps(m1, sort_keys=True).replace(t1, "T")
+        s2 = json.dumps(m2, sort_keys=True).replace(t2, "T")
+        # uuids derive from the path; normalize them out
+        import re
+
+        s1 = re.sub(r"[0-9a-f]{8}-[0-9a-f-]{27}", "U", s1)
+        s2 = re.sub(r"[0-9a-f]{8}-[0-9a-f-]{27}", "U", s2)
+        assert s1 == s2
+
+
+def test_iceberg_uri_feeds_fused_encode(spark, tmp_path):
+    """iceberg://table[@snap] resolves through list_parquet_files, so the
+    flagship fused encode pipeline consumes Iceberg tables natively."""
+    from mapbox_vector_tile_spark.engine.checkpoint import (
+        encode_with_checkpoint_fused,
+    )
+    from mapbox_vector_tile_spark.engine.decode import decode_dataframe
+    from mapbox_vector_tile_spark.engine.verify import verify_roundtrip
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        list_parquet_files,
+    )
+
+    tp = _table(spark, tmp_path)
+    files = list_parquet_files(f"iceberg://{tp}")
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert len(list_parquet_files(f"iceberg://{tp}@1")) < len(files)
+
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    summary = encode_with_checkpoint_fused(
+        spark, f"iceberg://{tp}", out, ckpt, num_buckets=4
+    )
+    assert summary["tasks_processed"] >= 1
+    decoded = decode_dataframe(spark.read.parquet(out))
+    res = verify_roundtrip(ICE.read_table(spark, tp), decoded).first()
+    assert res.n_mismatch == 0 and res.n_docs == 180
+
+
+def test_iceberg_empty_and_errors(spark, tmp_path):
+    tp = str(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError):
+        ICE.load_metadata(tp)
+    ICE.create_table(tp, G.corpus_dataframe(spark, 1, 1).schema)
+    with pytest.raises(ValueError):
+        ICE.plan_scan(tp)  # no snapshots yet
