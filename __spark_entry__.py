@@ -1769,6 +1769,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["iceberg_encode_roundtrip"] = iceberg_encode_roundtrip
+
+    # v2 position deletes merge-on-read: DELETE WHERE commits a
+    # (file_path, pos) delete file through a content=1 manifest; the read
+    # anti-joins _metadata.row_index against it (sequence rule enforced)
+    def iceberg_mor_deletes(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(spark, _corpus(spark, sf_dir), tp)
+            ICE.delete_where(
+                spark, tp,
+                "doc_id >= 'doc-00000100' AND doc_id < 'doc-00000150'",
+            )
+            res = _per_doc_result(ICE.read_table(spark, tp))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_mor_deletes"] = iceberg_mor_deletes
     return q
 
 
@@ -1782,6 +1806,10 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_encode_roundtrip": per_doc,
         "iceberg_time_travel": C.per_doc_checksum_sql(
             "documents WHERE doc_id < 250", string_doc_id=True
+        ),
+        "iceberg_mor_deletes": C.per_doc_checksum_sql(
+            "documents WHERE NOT (doc_id >= 100 AND doc_id < 150)",
+            string_doc_id=True,
         ),
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(

@@ -179,6 +179,9 @@ MANIFEST_ENTRY_SCHEMA = {
 # entry statuses (spec)
 EXISTING, ADDED, DELETED = 0, 1, 2
 
+# file content ids (spec): data, position deletes, equality deletes
+DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+
 
 # ---------------------------------------------------------------------------
 # metadata tree
@@ -193,6 +196,9 @@ class DataFile:
     # inheritance — a null entry seq inherits the manifest's); carried
     # so EXISTING entries keep their original lineage across rewrites
     sequence_number: int | None = None
+    # spec content id: 0 data, 1 position deletes (parquet of
+    # (file_path, pos) rows), 2 equality deletes (not implemented)
+    content: int = DATA
 
 
 def _meta_dir(table_path: str) -> str:
@@ -284,85 +290,96 @@ def _commit(
     if meta["current-snapshot-id"] != -1:
         prev_seq = {
             f.file_path: f.sequence_number
-            for f in _plan_files(table_path, meta, meta["current-snapshot-id"])
+            for f in _plan_files(
+                table_path, meta, meta["current-snapshot-id"], content=None
+            )
         }
-
-    entries = []
-    n_added = n_existing = n_deleted = 0
-    r_added = r_existing = r_deleted = 0
-    for df in live_files:
-        status = EXISTING if df.file_path in prev_seq else ADDED
-        if status == ADDED:
-            n_added += 1
-            r_added += df.record_count
-        else:
-            n_existing += 1
-            r_existing += df.record_count
-        entries.append({
-            "status": status,
-            "snapshot_id": snap_id,
-            # ADDED inherits the committing manifest's seq (null); EXISTING
-            # keeps the data sequence number it was added at
-            "sequence_number": (
-                None if status == ADDED else prev_seq[df.file_path]
-            ),
-            "file_sequence_number": None,
-            "data_file": {
-                "content": 0,
-                "file_path": df.file_path,
-                "file_format": "PARQUET",
-                "record_count": df.record_count,
-                "file_size_in_bytes": df.file_size_in_bytes,
-            },
-        })
-    for df in removed_files:
-        n_deleted += 1
-        r_deleted += df.record_count
-        entries.append({
-            "status": DELETED,
-            "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "file_sequence_number": None,
-            "data_file": {
-                "content": 0,
-                "file_path": df.file_path,
-                "file_format": "PARQUET",
-                "record_count": df.record_count,
-                "file_size_in_bytes": df.file_size_in_bytes,
-            },
-        })
 
     md = _meta_dir(table_path)
     os.makedirs(md, exist_ok=True)
-    muuid = _det_uuid(f"{table_path}:manifest:{snap_id}")
-    manifest_name = f"{muuid}-m0.avro"
-    manifest_path = os.path.join(md, manifest_name)
-    manifest_bytes = A.write_ocf(
-        MANIFEST_ENTRY_SCHEMA,
-        entries,
-        codec="deflate",
-        extra_meta={
-            "schema": json.dumps(meta["schemas"][0]).encode(),
-            "partition-spec": b"[]",
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": b"data",
-        },
-    )
-    with open(manifest_path, "wb") as fh:
-        fh.write(manifest_bytes)
+    manifests = []  # manifest-list rows
+    counters = {"added": 0, "existing": 0, "deleted": 0,
+                "r_added": 0, "r_deleted": 0}
 
-    mlist_name = f"snap-{snap_id}-1-{_det_uuid(f'{table_path}:snap:{snap_id}')}.avro"
-    mlist_path = os.path.join(md, mlist_name)
-    mlist_bytes = A.write_ocf(
-        MANIFEST_LIST_SCHEMA,
-        [{
+    # one manifest per content kind present (spec: a manifest stores data
+    # files OR delete files, never both)
+    by_content: dict[int, tuple[list[DataFile], list[DataFile]]] = {}
+    for df in live_files:
+        by_content.setdefault(df.content, ([], []))[0].append(df)
+    for df in removed_files:
+        by_content.setdefault(df.content, ([], []))[1].append(df)
+
+    for mi, (content_id, (live, gone)) in enumerate(sorted(by_content.items())):
+        entries = []
+        n_added = n_existing = n_deleted = 0
+        r_added = r_existing = r_deleted = 0
+        min_seq = seq
+        for df in live:
+            status = EXISTING if df.file_path in prev_seq else ADDED
+            if status == ADDED:
+                n_added += 1
+                r_added += df.record_count
+            else:
+                n_existing += 1
+                r_existing += df.record_count
+                if prev_seq[df.file_path] is not None:
+                    min_seq = min(min_seq, prev_seq[df.file_path])
+            entries.append({
+                "status": status,
+                "snapshot_id": snap_id,
+                # ADDED inherits the committing manifest's seq (null);
+                # EXISTING keeps the sequence number it was added at
+                "sequence_number": (
+                    None if status == ADDED else prev_seq[df.file_path]
+                ),
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": df.content,
+                    "file_path": df.file_path,
+                    "file_format": "PARQUET",
+                    "record_count": df.record_count,
+                    "file_size_in_bytes": df.file_size_in_bytes,
+                },
+            })
+        for df in gone:
+            n_deleted += 1
+            r_deleted += df.record_count
+            entries.append({
+                "status": DELETED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": df.content,
+                    "file_path": df.file_path,
+                    "file_format": "PARQUET",
+                    "record_count": df.record_count,
+                    "file_size_in_bytes": df.file_size_in_bytes,
+                },
+            })
+        muuid = _det_uuid(f"{table_path}:manifest:{snap_id}:{content_id}")
+        manifest_path = os.path.join(md, f"{muuid}-m{mi}.avro")
+        manifest_bytes = A.write_ocf(
+            MANIFEST_ENTRY_SCHEMA,
+            entries,
+            codec="deflate",
+            extra_meta={
+                "schema": json.dumps(meta["schemas"][0]).encode(),
+                "partition-spec": b"[]",
+                "partition-spec-id": b"0",
+                "format-version": b"2",
+                "content": b"data" if content_id == DATA else b"deletes",
+            },
+        )
+        with open(manifest_path, "wb") as fh:
+            fh.write(manifest_bytes)
+        manifests.append({
             "manifest_path": manifest_path,
             "manifest_length": len(manifest_bytes),
             "partition_spec_id": 0,
-            "content": 0,
+            "content": 0 if content_id == DATA else 1,
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            "min_sequence_number": min_seq,
             "added_snapshot_id": snap_id,
             "added_files_count": n_added,
             "existing_files_count": n_existing,
@@ -370,12 +387,25 @@ def _commit(
             "added_rows_count": r_added,
             "existing_rows_count": r_existing,
             "deleted_rows_count": r_deleted,
-        }],
+        })
+        if content_id == DATA:
+            counters["added"] += n_added
+            counters["deleted"] += n_deleted
+            counters["r_added"] += r_added
+            counters["r_deleted"] += r_deleted
+
+    mlist_name = f"snap-{snap_id}-1-{_det_uuid(f'{table_path}:snap:{snap_id}')}.avro"
+    mlist_path = os.path.join(md, mlist_name)
+    mlist_bytes = A.write_ocf(
+        MANIFEST_LIST_SCHEMA,
+        manifests,
         codec="deflate",
         extra_meta={"format-version": b"2"},
     )
     with open(mlist_path, "wb") as fh:
         fh.write(mlist_bytes)
+    n_added, n_deleted = counters["added"], counters["deleted"]
+    r_added, r_deleted = counters["r_added"], counters["r_deleted"]
 
     snapshot = {
         "snapshot-id": snap_id,
@@ -411,7 +441,9 @@ def commit_append(table_path: str, new_files: list[DataFile]) -> dict:
     meta = load_metadata(table_path)
     live = []
     if meta["current-snapshot-id"] != -1:
-        live = _plan_files(table_path, meta, meta["current-snapshot-id"])
+        live = _plan_files(
+            table_path, meta, meta["current-snapshot-id"], content=None
+        )
     return _commit(table_path, live + new_files, [], "append")
 
 
@@ -420,7 +452,9 @@ def commit_delete_files(table_path: str, remove_paths: set[str]) -> dict:
     DELETED manifest entries; the parquet files themselves stay for time
     travel, like real Iceberg until expire-snapshots)."""
     meta = load_metadata(table_path)
-    cur = _plan_files(table_path, meta, meta["current-snapshot-id"])
+    cur = _plan_files(
+        table_path, meta, meta["current-snapshot-id"], content=None
+    )
     keep = [f for f in cur if f.file_path not in remove_paths]
     gone = [f for f in cur if f.file_path in remove_paths]
     return _commit(table_path, keep, gone, "delete")
@@ -442,51 +476,158 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
 
 
 def _plan_files(
-    table_path: str, meta: dict, snapshot_id: int | None
+    table_path: str,
+    meta: dict,
+    snapshot_id: int | None,
+    content: int | None = DATA,
 ) -> list[DataFile]:
-    """Manifest-list -> manifests -> live data files for a snapshot."""
+    """Manifest-list -> manifests -> live files for a snapshot.
+    ``content`` filters to data (0) or position-delete (1) files;
+    ``None`` returns everything live (commit carry-over planning)."""
     snap = _snapshot(meta, snapshot_id)
     with open(snap["manifest-list"], "rb") as fh:
         _, _, manifests = A.read_ocf(fh.read())
     out: list[DataFile] = []
     for m in manifests:
-        if m.get("content", 0) != 0:  # delete manifests: not planned here
-            continue
         with open(m["manifest_path"], "rb") as fh:
             _, _mmeta, entries = A.read_ocf(fh.read())
         for e in entries:
             if e["status"] == DELETED:
                 continue
             d = e["data_file"]
-            if d.get("content", 0) != 0:
+            if content is not None and d.get("content", 0) != content:
                 continue
             eff_seq = e.get("sequence_number")
             if eff_seq is None:  # spec inheritance from the manifest
                 eff_seq = m.get("sequence_number")
             out.append(DataFile(
                 d["file_path"], d["record_count"], d["file_size_in_bytes"],
-                eff_seq,
+                eff_seq, d.get("content", 0),
             ))
     return out
 
 
-def plan_scan(table_path: str, snapshot_id: int | None = None) -> list[DataFile]:
-    return _plan_files(table_path, load_metadata(table_path), snapshot_id)
+def plan_scan(
+    table_path: str,
+    snapshot_id: int | None = None,
+    content: int | None = DATA,
+) -> list[DataFile]:
+    return _plan_files(table_path, load_metadata(table_path), snapshot_id,
+                       content)
 
 
 def read_table(spark, table_path: str, snapshot_id: int | None = None):
-    """Snapshot scan -> one Spark parquet read over the planned files.
+    """Snapshot scan -> one Spark parquet read over the planned files,
+    with position deletes applied merge-on-read.
 
     The planned file list is metadata-sized; token arrays flow through
     Spark's vectorized parquet reader exactly as a native table would —
     every downstream operator (encode pipeline, dedup, search) is
-    unchanged."""
+    unchanged. When the snapshot carries position-delete files (spec
+    content=1: parquet rows of ``(file_path, pos)``), the scan projects
+    ``_metadata.file_path``/``_metadata.row_index`` and LEFT-ANTI joins
+    the delete rows — a broadcast-sized join in practice (AQE picks it),
+    exactly Iceberg's v2 MoR read. The spec sequence rule is honored:
+    a delete file applies only to data files whose data sequence number
+    is <= the delete file's (enforced by pre-filtering delete rows
+    against the metadata-sized file->seq map)."""
+    from pyspark.sql import functions as F
+
     files = plan_scan(table_path, snapshot_id)
     meta = load_metadata(table_path)
     ddl = iceberg_to_spark_ddl(meta["schemas"][0])
     if not files:
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+    dels = plan_scan(table_path, snapshot_id, content=POSITION_DELETES)
+    df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+    if not dels:
+        return df
+    cols = df.columns
+    df = df.withColumns({
+        "__fp": F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+        "__pos": F.col("_metadata.row_index"),
+    })
+    # delete-file seq comes from ITS manifest entry (spec), joined in via
+    # the metadata-sized (delete file -> seq) map
+    del_df = spark.read.parquet(*[d.file_path for d in dels]).select(
+        F.regexp_replace("file_path", "^file:", "").alias("__dfp"),
+        F.col("pos").alias("__dpos"),
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+        .alias("__delfile"),
+    )
+    dseq_df = spark.createDataFrame(
+        [(d.file_path, d.sequence_number) for d in dels],
+        "__delfile string, __delete_seq bigint",
+    )
+    del_df = del_df.join(dseq_df, "__delfile")
+    # sequence rule: keep only delete rows targeting data files whose data
+    # seq <= the delete file's seq (file->seq map is metadata-sized)
+    seq_rows = [(f.file_path, f.sequence_number) for f in files]
+    seq_df = spark.createDataFrame(
+        seq_rows, "__dfp string, __data_seq bigint"
+    )
+    del_df = del_df.join(seq_df, "__dfp").filter(
+        F.col("__data_seq") <= F.col("__delete_seq")
+    )
+    out = df.join(
+        del_df,
+        (df["__fp"] == del_df["__dfp"]) & (df["__pos"] == del_df["__dpos"]),
+        "left_anti",
+    )
+    return out.select(*cols)
+
+
+def commit_position_deletes(
+    table_path: str, delete_rows: list[tuple[str, int]]
+) -> dict:
+    """Commit row-level deletes as a v2 position-delete file: parquet of
+    ``(file_path, pos)`` sorted by that pair (spec ordering), registered
+    through a content=1 manifest. Existing data/delete files carry over.
+    The driver writes one delete file per commit — delete sets are
+    bounded by the rows of ONE maintenance operation; a distributed
+    delete-file writer is the scale extension (same worker-side-sink
+    pattern as ``sources/parquet_direct``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = load_metadata(table_path)
+    seq = meta["last-sequence-number"] + 1
+    rows = sorted(delete_rows)
+    tbl = pa.table({
+        "file_path": pa.array([r[0] for r in rows], type=pa.string()),
+        "pos": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+    dd = os.path.join(table_path, "data", f"deletes-seq={seq}")
+    os.makedirs(dd, exist_ok=True)
+    path = os.path.join(dd, f"delete-{_det_uuid(f'{table_path}:del:{seq}')}.parquet")
+    pq.write_table(tbl, path)
+    live = _plan_files(
+        table_path, meta, meta["current-snapshot-id"], content=None
+    )
+    new = DataFile(path, len(rows), os.path.getsize(path),
+                   content=POSITION_DELETES)
+    return _commit(table_path, live + [new], [], "delete")
+
+
+def delete_where(spark, table_path: str, predicate: str) -> dict:
+    """Row-level DELETE WHERE: find matching rows' (file, position) via
+    the metadata columns, commit them as one position-delete file. The
+    position scan is fully distributed; only the matched positions reach
+    the driver (bounded by the delete, not the table)."""
+    from pyspark.sql import functions as F
+
+    files = plan_scan(table_path)
+    meta = load_metadata(table_path)
+    ddl = iceberg_to_spark_ddl(meta["schemas"][0])
+    df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+    hits = df.filter(predicate).select(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+        .alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    ).collect()
+    return commit_position_deletes(
+        table_path, [(r.file_path, r.pos) for r in hits]
+    )
 
 
 def snapshots_df(spark, table_path: str):

@@ -204,6 +204,47 @@ def test_iceberg_uri_feeds_fused_encode(spark, tmp_path):
     assert res.n_mismatch == 0 and res.n_docs == 180
 
 
+def test_iceberg_position_deletes_mor(spark, tmp_path):
+    """v2 position-delete files: DELETE WHERE commits (file_path, pos)
+    rows through a content=1 manifest; reads apply them merge-on-read."""
+    tp = _table(spark, tmp_path)  # 180 docs across 2 snapshots
+    ICE.delete_where(
+        spark, tp, "doc_id >= 'doc-00000030' AND doc_id < 'doc-00000050'"
+    )
+    got = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    assert len(got) == 160
+    assert "doc-00000030" not in got and "doc-00000049" not in got
+    assert "doc-00000029" in got and "doc-00000050" in got
+    # pre-delete snapshot unaffected (time travel)
+    assert ICE.read_table(spark, tp, snapshot_id=2).count() == 180
+    # delete files carry over across a later append, still applied
+    extra = G.corpus_dataframe(spark, 200, num_partitions=1).filter(
+        F.col("doc_id") >= "doc-00000180"
+    )
+    ICE.append_dataframe(spark, extra, tp)
+    after = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    assert len(after) == 180 and "doc-00000030" not in after
+    assert "doc-00000199" in after
+    # delete-manifest planning surfaces the delete file with its seq
+    dels = ICE.plan_scan(tp, content=ICE.POSITION_DELETES)
+    assert len(dels) == 1 and dels[0].record_count == 20
+    assert dels[0].sequence_number == 3  # committed after two appends
+    # the file-level scan path refuses tables with live deletes
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        list_parquet_files,
+    )
+
+    with pytest.raises(ValueError, match="position deletes"):
+        list_parquet_files(f"iceberg://{tp}")
+    # row-identical to the engine-native expectation
+    want = {
+        r.doc_id
+        for r in G.corpus_dataframe(spark, 200, 2).collect()
+        if not ("doc-00000030" <= r.doc_id < "doc-00000050")
+    }
+    assert after == want
+
+
 def test_iceberg_empty_and_errors(spark, tmp_path):
     tp = str(tmp_path / "empty")
     with pytest.raises(FileNotFoundError):
