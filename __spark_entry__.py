@@ -1793,6 +1793,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["iceberg_mor_deletes"] = iceberg_mor_deletes
+
+    # WAP on Iceberg branch refs: a duplicate-carrying batch stages on the
+    # audit branch and is REJECTED (ref dropped, main never sees it); the
+    # good remainder stages and PUBLISHES via metadata-only fast-forward.
+    # Row count + hash catch both failure modes (dup rows kept, or good
+    # batch lost).
+    def iceberg_wap_publish(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            corpus = _corpus(spark, sf_dir)
+            first = corpus.filter(F.col("doc_id") < "doc-00000200")
+            ICE.append_dataframe(spark, first, tp)
+
+            # bad batch: overlaps docs 100-299 -> duplicate audit fails
+            bad = corpus.filter(
+                (F.col("doc_id") >= "doc-00000100")
+                & (F.col("doc_id") < "doc-00000300")
+            )
+            ICE.append_dataframe(spark, bad, tp, branch="audit")
+            staged = ICE.read_table(spark, tp, branch="audit")
+            if (
+                staged.count()
+                != staged.select("doc_id").distinct().count()
+            ):
+                ICE.drop_branch(tp, "audit")
+
+            good = corpus.filter(F.col("doc_id") >= "doc-00000200")
+            ICE.append_dataframe(spark, good, tp, branch="audit")
+            staged = ICE.read_table(spark, tp, branch="audit")
+            if (
+                staged.count()
+                == staged.select("doc_id").distinct().count()
+            ):
+                ICE.publish_branch(tp, "audit")
+
+            res = _per_doc_result(ICE.read_table(spark, tp))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_wap_publish"] = iceberg_wap_publish
     return q
 
 
@@ -1811,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
             "documents WHERE NOT (doc_id >= 100 AND doc_id < 150)",
             string_doc_id=True,
         ),
+        "iceberg_wap_publish": per_doc,
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",

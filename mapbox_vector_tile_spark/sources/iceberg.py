@@ -267,11 +267,21 @@ def create_table(table_path: str, spark_schema) -> dict:
     return meta
 
 
+def _branch_head(meta: dict, branch: str) -> int:
+    """Snapshot id a commit on ``branch`` builds on: the branch ref if it
+    exists, else the current main head (a new branch forks from main)."""
+    ref = meta.get("refs", {}).get(branch)
+    if ref is not None:
+        return ref["snapshot-id"]
+    return meta["current-snapshot-id"]
+
+
 def _commit(
     table_path: str,
     live_files: list[DataFile],
     removed_files: list[DataFile],
     operation: str,
+    branch: str = "main",
 ) -> dict:
     """Write manifest + manifest list + next metadata version. The new
     snapshot's single manifest carries every live file (EXISTING for
@@ -286,13 +296,12 @@ def _commit(
         if meta["snapshots"] else 1
     )
 
+    base_snap = _branch_head(meta, branch)
     prev_seq: dict[str, int | None] = {}
-    if meta["current-snapshot-id"] != -1:
+    if base_snap != -1:
         prev_seq = {
             f.file_path: f.sequence_number
-            for f in _plan_files(
-                table_path, meta, meta["current-snapshot-id"], content=None
-            )
+            for f in _plan_files(table_path, meta, base_snap, content=None)
         }
 
     md = _meta_dir(table_path)
@@ -409,10 +418,7 @@ def _commit(
 
     snapshot = {
         "snapshot-id": snap_id,
-        "parent-snapshot-id": (
-            meta["current-snapshot-id"]
-            if meta["current-snapshot-id"] != -1 else None
-        ),
+        "parent-snapshot-id": base_snap if base_snap != -1 else None,
         "sequence-number": seq,
         "timestamp-ms": _EPOCH_MS + version,
         "manifest-list": mlist_path,
@@ -426,25 +432,29 @@ def _commit(
         },
     }
     meta["snapshots"].append(snapshot)
-    meta["snapshot-log"].append(
-        {"snapshot-id": snap_id, "timestamp-ms": _EPOCH_MS + version}
-    )
-    meta["current-snapshot-id"] = snap_id
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    meta.setdefault("refs", {})[branch] = {
+        "snapshot-id": snap_id, "type": "branch"
+    }
+    if branch == "main":
+        meta["snapshot-log"].append(
+            {"snapshot-id": snap_id, "timestamp-ms": _EPOCH_MS + version}
+        )
+        meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = _EPOCH_MS + version
     _write_metadata(table_path, meta, version)
     return snapshot
 
 
-def commit_append(table_path: str, new_files: list[DataFile]) -> dict:
+def commit_append(
+    table_path: str, new_files: list[DataFile], branch: str = "main"
+) -> dict:
     meta = load_metadata(table_path)
+    base = _branch_head(meta, branch)
     live = []
-    if meta["current-snapshot-id"] != -1:
-        live = _plan_files(
-            table_path, meta, meta["current-snapshot-id"], content=None
-        )
-    return _commit(table_path, live + new_files, [], "append")
+    if base != -1:
+        live = _plan_files(table_path, meta, base, content=None)
+    return _commit(table_path, live + new_files, [], "append", branch)
 
 
 def commit_delete_files(table_path: str, remove_paths: set[str]) -> dict:
@@ -463,6 +473,39 @@ def commit_delete_files(table_path: str, remove_paths: set[str]) -> dict:
 # ---------------------------------------------------------------------------
 # scan planning
 # ---------------------------------------------------------------------------
+
+def publish_branch(table_path: str, branch: str) -> dict:
+    """WAP publish: fast-forward main to the branch head — a metadata-only
+    operation (new metadata version, NO new snapshot), exactly Iceberg's
+    ref move. Readers following main see the staged commits atomically."""
+    meta = load_metadata(table_path)
+    ref = meta.get("refs", {}).get(branch)
+    if ref is None:
+        raise ValueError(f"unknown branch {branch!r}")
+    version = _read_version(table_path) + 1
+    meta["refs"]["main"] = {"snapshot-id": ref["snapshot-id"], "type": "branch"}
+    meta["current-snapshot-id"] = ref["snapshot-id"]
+    meta["snapshot-log"].append(
+        {"snapshot-id": ref["snapshot-id"], "timestamp-ms": _EPOCH_MS + version}
+    )
+    meta["last-updated-ms"] = _EPOCH_MS + version
+    del meta["refs"][branch]
+    _write_metadata(table_path, meta, version)
+    return meta
+
+
+def drop_branch(table_path: str, branch: str) -> dict:
+    """WAP reject: drop the staging ref; main never saw the audit's
+    commits (their snapshots stay in history, unreferenced — expirable)."""
+    meta = load_metadata(table_path)
+    if branch not in meta.get("refs", {}):
+        raise ValueError(f"unknown branch {branch!r}")
+    version = _read_version(table_path) + 1
+    del meta["refs"][branch]
+    meta["last-updated-ms"] = _EPOCH_MS + version
+    _write_metadata(table_path, meta, version)
+    return meta
+
 
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     if snapshot_id is None:
@@ -516,7 +559,12 @@ def plan_scan(
                        content)
 
 
-def read_table(spark, table_path: str, snapshot_id: int | None = None):
+def read_table(
+    spark,
+    table_path: str,
+    snapshot_id: int | None = None,
+    branch: str | None = None,
+):
     """Snapshot scan -> one Spark parquet read over the planned files,
     with position deletes applied merge-on-read.
 
@@ -533,8 +581,15 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None):
     against the metadata-sized file->seq map)."""
     from pyspark.sql import functions as F
 
-    files = plan_scan(table_path, snapshot_id)
     meta = load_metadata(table_path)
+    if branch is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR branch, not both")
+        ref = meta.get("refs", {}).get(branch)
+        if ref is None:
+            raise ValueError(f"unknown branch {branch!r}")
+        snapshot_id = ref["snapshot-id"]
+    files = plan_scan(table_path, snapshot_id)
     ddl = iceberg_to_spark_ddl(meta["schemas"][0])
     if not files:
         return spark.createDataFrame([], ddl)
@@ -655,7 +710,7 @@ def snapshots_df(spark, table_path: str):
 # Spark write entry: DataFrame -> data files -> commit
 # ---------------------------------------------------------------------------
 
-def append_dataframe(spark, df, table_path: str) -> dict:
+def append_dataframe(spark, df, table_path: str, branch: str = "main") -> dict:
     """Write ``df`` as parquet data files and commit them as one APPEND
     snapshot. The write is fully distributed (Spark parquet sink into a
     staging dir); the commit reads only the new files' FOOTERS on the
@@ -678,4 +733,4 @@ def append_dataframe(spark, df, table_path: str) -> dict:
         path = os.path.join(data_dir, name)
         md = pq.read_metadata(path)
         new_files.append(DataFile(path, md.num_rows, os.path.getsize(path)))
-    return commit_append(table_path, new_files)
+    return commit_append(table_path, new_files, branch)

@@ -245,6 +245,40 @@ def test_iceberg_position_deletes_mor(spark, tmp_path):
     assert after == want
 
 
+def test_iceberg_branch_wap(spark, tmp_path):
+    """Write-audit-publish on branch refs: staged commits are invisible to
+    main until a metadata-only fast-forward; rejects drop the ref."""
+    tp = str(tmp_path / "wap")
+    base = G.corpus_dataframe(spark, 120, 2)
+    ICE.append_dataframe(spark, base, tp)
+
+    # stage a bad batch (duplicates of existing docs) on the audit branch
+    dup = G.corpus_dataframe(spark, 60, 1)
+    ICE.append_dataframe(spark, dup, tp, branch="audit")
+    assert ICE.read_table(spark, tp).count() == 120  # main unaffected
+    assert ICE.read_table(spark, tp, branch="audit").count() == 180
+    # audit fails (duplicate doc ids) -> reject
+    audit = ICE.read_table(spark, tp, branch="audit")
+    assert audit.count() != audit.select("doc_id").distinct().count()
+    ICE.drop_branch(tp, "audit")
+    assert "audit" not in ICE.load_metadata(tp)["refs"]
+    assert ICE.read_table(spark, tp).count() == 120
+
+    # stage a good batch and publish: main fast-forwards, row set exact
+    good = G.corpus_dataframe(spark, 200, 2).filter(
+        F.col("doc_id") >= "doc-00000120"
+    )
+    ICE.append_dataframe(spark, good, tp, branch="audit")
+    assert ICE.read_table(spark, tp).count() == 120
+    ICE.publish_branch(tp, "audit")
+    got = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    want = {r.doc_id for r in G.corpus_dataframe(spark, 200, 2).collect()}
+    assert got == want
+    # publish was metadata-only: no extra snapshot was created by it
+    snaps = ICE.snapshots_df(spark, tp).count()
+    assert snaps == 3  # base append + rejected stage + published stage
+
+
 def test_iceberg_empty_and_errors(spark, tmp_path):
     tp = str(tmp_path / "empty")
     with pytest.raises(FileNotFoundError):
