@@ -1840,6 +1840,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["iceberg_wap_publish"] = iceberg_wap_publish
+
+    # equality deletes (content=2): delete BY VALUE — data files written
+    # before the delete commit drop matching rows at read time
+    def iceberg_eq_deletes(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(spark, _corpus(spark, sf_dir), tp)
+            victims = ICE.read_table(spark, tp).filter(
+                "doc_id >= 'doc-00000300' AND doc_id < 'doc-00000350'"
+            ).select("doc_id")
+            ICE.commit_equality_deletes(spark, tp, victims, ["doc_id"])
+            res = _per_doc_result(ICE.read_table(spark, tp))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_eq_deletes"] = iceberg_eq_deletes
+
+    # rewrite_data_files: MoR deletes folded into fresh files; content
+    # must be bit-identical to the pre-compaction MERGE-ON-READ view, and
+    # the compacted table feeds the fused encode pipeline again
+    def iceberg_compacted_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(spark, _corpus(spark, sf_dir), tp)
+            ICE.delete_where(
+                spark, tp,
+                "doc_id >= 'doc-00000100' AND doc_id < 'doc-00000150'",
+            )
+            ICE.rewrite_data_files(spark, tp)
+            decoded = decode_dataframe(
+                encode_dataframe(ICE.read_table(spark, tp), EncodeOptions())
+            )
+            res = _per_doc_result(decoded)
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_compacted_roundtrip"] = iceberg_compacted_roundtrip
     return q
 
 
@@ -1859,6 +1910,14 @@ def oracle_sql() -> dict[str, str]:
             string_doc_id=True,
         ),
         "iceberg_wap_publish": per_doc,
+        "iceberg_eq_deletes": C.per_doc_checksum_sql(
+            "documents WHERE NOT (doc_id >= 300 AND doc_id < 350)",
+            string_doc_id=True,
+        ),
+        "iceberg_compacted_roundtrip": C.per_doc_checksum_sql(
+            "documents WHERE NOT (doc_id >= 100 AND doc_id < 150)",
+            string_doc_id=True,
+        ),
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",

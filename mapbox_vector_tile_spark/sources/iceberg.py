@@ -171,6 +171,10 @@ MANIFEST_ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string", "field-id": 101},
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None, "field-id": 135},
             ],
         }},
     ],
@@ -197,8 +201,10 @@ class DataFile:
     # so EXISTING entries keep their original lineage across rewrites
     sequence_number: int | None = None
     # spec content id: 0 data, 1 position deletes (parquet of
-    # (file_path, pos) rows), 2 equality deletes (not implemented)
+    # (file_path, pos) rows), 2 equality deletes (parquet of the equality
+    # columns; field ids in equality_ids)
     content: int = DATA
+    equality_ids: list[int] | None = None
 
 
 def _meta_dir(table_path: str) -> str:
@@ -348,6 +354,7 @@ def _commit(
                     "file_format": "PARQUET",
                     "record_count": df.record_count,
                     "file_size_in_bytes": df.file_size_in_bytes,
+                    "equality_ids": df.equality_ids,
                 },
             })
         for df in gone:
@@ -545,7 +552,7 @@ def _plan_files(
                 eff_seq = m.get("sequence_number")
             out.append(DataFile(
                 d["file_path"], d["record_count"], d["file_size_in_bytes"],
-                eff_seq, d.get("content", 0),
+                eff_seq, d.get("content", 0), d.get("equality_ids"),
             ))
     return out
 
@@ -593,43 +600,106 @@ def read_table(
     ddl = iceberg_to_spark_ddl(meta["schemas"][0])
     if not files:
         return spark.createDataFrame([], ddl)
-    dels = plan_scan(table_path, snapshot_id, content=POSITION_DELETES)
+    pos_dels = plan_scan(table_path, snapshot_id, content=POSITION_DELETES)
+    eq_dels = plan_scan(table_path, snapshot_id, content=EQUALITY_DELETES)
     df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
-    if not dels:
+    if not pos_dels and not eq_dels:
         return df
     cols = df.columns
     df = df.withColumns({
         "__fp": F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
         "__pos": F.col("_metadata.row_index"),
     })
-    # delete-file seq comes from ITS manifest entry (spec), joined in via
-    # the metadata-sized (delete file -> seq) map
-    del_df = spark.read.parquet(*[d.file_path for d in dels]).select(
-        F.regexp_replace("file_path", "^file:", "").alias("__dfp"),
-        F.col("pos").alias("__dpos"),
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
-        .alias("__delfile"),
-    )
-    dseq_df = spark.createDataFrame(
-        [(d.file_path, d.sequence_number) for d in dels],
-        "__delfile string, __delete_seq bigint",
-    )
-    del_df = del_df.join(dseq_df, "__delfile")
-    # sequence rule: keep only delete rows targeting data files whose data
-    # seq <= the delete file's seq (file->seq map is metadata-sized)
-    seq_rows = [(f.file_path, f.sequence_number) for f in files]
+    # per-data-file sequence numbers (metadata-sized map) — both delete
+    # kinds gate on them
     seq_df = spark.createDataFrame(
-        seq_rows, "__dfp string, __data_seq bigint"
+        [(f.file_path, f.sequence_number) for f in files],
+        "__fp string, __data_seq bigint",
     )
-    del_df = del_df.join(seq_df, "__dfp").filter(
-        F.col("__data_seq") <= F.col("__delete_seq")
+    df = df.join(F.broadcast(seq_df), "__fp")
+
+    if pos_dels:
+        # delete-file seq comes from ITS manifest entry (spec), joined in
+        # via the metadata-sized (delete file -> seq) map
+        del_df = spark.read.parquet(*[d.file_path for d in pos_dels]).select(
+            F.regexp_replace("file_path", "^file:", "").alias("__dfp"),
+            F.col("pos").alias("__dpos"),
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+            .alias("__delfile"),
+        )
+        dseq_df = spark.createDataFrame(
+            [(d.file_path, d.sequence_number) for d in pos_dels],
+            "__delfile string, __delete_seq bigint",
+        )
+        del_df = del_df.join(F.broadcast(dseq_df), "__delfile")
+        # position deletes apply to data files with data seq <= delete seq
+        df = df.join(
+            del_df,
+            (df["__fp"] == del_df["__dfp"])
+            & (df["__pos"] == del_df["__dpos"])
+            & (df["__data_seq"] <= del_df["__delete_seq"]),
+            "left_anti",
+        )
+
+    if eq_dels:
+        id_to_name = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
+        # group delete files by their equality column set
+        by_ids: dict[tuple[int, ...], list[DataFile]] = {}
+        for d in eq_dels:
+            by_ids.setdefault(tuple(d.equality_ids or ()), []).append(d)
+        for ids, dfiles in sorted(by_ids.items()):
+            names = [id_to_name[i] for i in ids]
+            eq_df = spark.read.parquet(
+                *[d.file_path for d in dfiles]
+            ).select(
+                *[F.col(n).alias(f"__eq_{n}") for n in names],
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+                .alias("__delfile"),
+            )
+            eseq_df = spark.createDataFrame(
+                [(d.file_path, d.sequence_number) for d in dfiles],
+                "__delfile string, __eq_seq bigint",
+            )
+            eq_df = eq_df.join(F.broadcast(eseq_df), "__delfile")
+            # equality deletes apply only to data files with data seq
+            # STRICTLY LESS than the delete file's (spec)
+            cond = df["__data_seq"] < eq_df["__eq_seq"]
+            for n in names:
+                cond = cond & (df[n] == eq_df[f"__eq_{n}"])
+            df = df.join(eq_df, cond, "left_anti")
+
+    return df.select(*cols)
+
+
+def commit_equality_deletes(
+    spark, table_path: str, values_df, equality_cols: list[str]
+) -> dict:
+    """Commit row-level deletes BY VALUE (spec content=2): a parquet file
+    of the equality columns; at read time every data file written BEFORE
+    this commit drops rows matching any delete row. The natural form for
+    dedup/retention pipelines ('remove these doc_ids wherever they are')
+    — no position scan needed at delete time, the cost moves to reads
+    until the next rewrite_data_files."""
+    meta = load_metadata(table_path)
+    seq = meta["last-sequence-number"] + 1
+    name_to_id = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    ids = [name_to_id[c] for c in equality_cols]
+    dd = os.path.join(table_path, "data", f"deletes-seq={seq}")
+    os.makedirs(dd, exist_ok=True)
+    path = os.path.join(
+        dd, f"eqdelete-{_det_uuid(f'{table_path}:eqdel:{seq}')}.parquet"
     )
-    out = df.join(
-        del_df,
-        (df["__fp"] == del_df["__dfp"]) & (df["__pos"] == del_df["__dpos"]),
-        "left_anti",
+    pdf = values_df.select(*equality_cols).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    live = _plan_files(
+        table_path, meta, meta["current-snapshot-id"], content=None
     )
-    return out.select(*cols)
+    new = DataFile(path, len(pdf), os.path.getsize(path),
+                   content=EQUALITY_DELETES, equality_ids=ids)
+    return _commit(table_path, live + [new], [], "delete")
 
 
 def commit_position_deletes(
@@ -704,6 +774,82 @@ def snapshots_df(spark, table_path: str):
         "snapshot_id long, parent_id long, sequence_number long, "
         "operation string, added_files int, deleted_files int",
     )
+
+
+def rewrite_data_files(spark, table_path: str) -> dict:
+    """Compaction (the rewrite_data_files action): read the current
+    snapshot MERGE-ON-READ, write the surviving rows as fresh data files,
+    and commit a REPLACE snapshot that drops every old data file AND every
+    position-delete file. Content is bit-identical (time travel keeps the
+    old layout); afterwards the table has zero live deletes, so the
+    file-level ``iceberg://`` fused-encode path accepts it again — the
+    standard maintenance step between MoR deletes and bulk scans.
+
+    The rewrite itself is one distributed Spark write; only footers of the
+    new files touch the driver (same bounded commit contract as
+    :func:`append_dataframe`)."""
+    import pyarrow.parquet as pq
+
+    meta = load_metadata(table_path)
+    cur = _plan_files(
+        table_path, meta, meta["current-snapshot-id"], content=None
+    )
+    df = read_table(spark, table_path)  # deletes applied
+    seq = meta["last-sequence-number"] + 1
+    data_dir = os.path.join(table_path, "data", f"seq={seq}-rewrite")
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = []
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet"):
+            path = os.path.join(data_dir, name)
+            md = pq.read_metadata(path)
+            new_files.append(DataFile(path, md.num_rows, os.path.getsize(path)))
+    return _commit(table_path, new_files, cur, "replace")
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Snapshot expiration (the expire_snapshots maintenance action): keep
+    the newest ``keep_last`` snapshots plus anything a ref points at; drop
+    the rest from metadata and DELETE files no surviving snapshot
+    references (manifest lists, manifests, data/delete files). Bounds the
+    metadata tree and reclaims storage — time travel is traded away for
+    exactly the expired range, like real Iceberg."""
+    meta = load_metadata(table_path)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
+    keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    keep_ids |= {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    survivors = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return meta
+
+    def _referenced(snapshots: list[dict]) -> tuple[set, set]:
+        metas, datas = set(), set()
+        for s in snapshots:
+            metas.add(s["manifest-list"])
+            with open(s["manifest-list"], "rb") as fh:
+                _, _, manifests = A.read_ocf(fh.read())
+            for m in manifests:
+                metas.add(m["manifest_path"])
+                with open(m["manifest_path"], "rb") as fh:
+                    _, _, entries = A.read_ocf(fh.read())
+                for e in entries:
+                    datas.add(e["data_file"]["file_path"])
+        return metas, datas
+
+    live_meta, live_data = _referenced(survivors)
+    dead_meta, dead_data = _referenced(expired)
+    for p in sorted((dead_meta - live_meta) | (dead_data - live_data)):
+        if os.path.exists(p):
+            os.remove(p)
+    version = _read_version(table_path) + 1
+    meta["snapshots"] = survivors
+    meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
+    ]
+    meta["last-updated-ms"] = _EPOCH_MS + version
+    _write_metadata(table_path, meta, version)
+    return meta
 
 
 # ---------------------------------------------------------------------------

@@ -131,17 +131,22 @@ def list_parquet_files(path: str) -> list[str]:
     (:mod:`.iceberg`) — the whole fused/direct deployment surface then
     consumes Iceberg tables natively, including time travel."""
     if path.startswith("iceberg://"):
-        from .iceberg import POSITION_DELETES, plan_scan
+        from .iceberg import plan_scan
 
         spec = path[len("iceberg://"):]
         table, _, snap = spec.partition("@")
         snapshot_id = int(snap) if snap else None
-        if plan_scan(table, snapshot_id, content=POSITION_DELETES):
+        live_deletes = [
+            f
+            for f in plan_scan(table, snapshot_id, content=None)
+            if f.content != 0
+        ]
+        if live_deletes:
             raise ValueError(
-                "iceberg table has live position deletes; the file-level "
-                "scan path cannot apply them — read via "
-                "sources.iceberg.read_table (merge-on-read) or compact "
-                "the deletes first"
+                "iceberg table has live position/equality deletes; the "
+                "file-level scan path cannot apply them — read via "
+                "sources.iceberg.read_table (merge-on-read) or run "
+                "rewrite_data_files first"
             )
         return sorted(f.file_path for f in plan_scan(table, snapshot_id))
     return sorted(

@@ -234,7 +234,7 @@ def test_iceberg_position_deletes_mor(spark, tmp_path):
         list_parquet_files,
     )
 
-    with pytest.raises(ValueError, match="position deletes"):
+    with pytest.raises(ValueError, match="position/equality deletes"):
         list_parquet_files(f"iceberg://{tp}")
     # row-identical to the engine-native expectation
     want = {
@@ -277,6 +277,74 @@ def test_iceberg_branch_wap(spark, tmp_path):
     # publish was metadata-only: no extra snapshot was created by it
     snaps = ICE.snapshots_df(spark, tp).count()
     assert snaps == 3  # base append + rejected stage + published stage
+
+
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """content=2 equality deletes: delete BY VALUE applies to data files
+    written strictly before the delete commit."""
+    tp = _table(spark, tmp_path)  # 180 docs, snapshots 1-2
+    victims = ICE.read_table(spark, tp).filter(
+        "doc_id >= 'doc-00000010' AND doc_id < 'doc-00000025'"
+    ).select("doc_id")
+    ICE.commit_equality_deletes(spark, tp, victims, ["doc_id"])
+    got = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    assert len(got) == 165 and "doc-00000010" not in got
+    # the delete is by value: re-appending one victim doc AFTER the delete
+    # commit resurrects it (strict seq rule: new data seq > delete seq)
+    reborn = G.corpus_dataframe(spark, 11, 1).filter(
+        F.col("doc_id") == "doc-00000010"
+    )
+    ICE.append_dataframe(spark, reborn, tp)
+    after = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    assert "doc-00000010" in after and len(after) == 166
+    assert "doc-00000011" not in after  # other victims stay deleted
+    # file-level path refuses eq-delete tables too
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        list_parquet_files,
+    )
+
+    with pytest.raises(ValueError, match="deletes"):
+        list_parquet_files(f"iceberg://{tp}")
+
+
+def test_iceberg_rewrite_data_files(spark, tmp_path):
+    """Compaction folds MoR deletes into fresh data files: content
+    identical, zero live deletes afterwards, fused path accepts again."""
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        list_parquet_files,
+    )
+
+    tp = _table(spark, tmp_path)
+    ICE.delete_where(
+        spark, tp, "doc_id >= 'doc-00000030' AND doc_id < 'doc-00000050'"
+    )
+    before = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    snap = ICE.rewrite_data_files(spark, tp)
+    assert snap["summary"]["operation"] == "replace"
+    after = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
+    assert after == before and len(after) == 160
+    assert not ICE.plan_scan(tp, content=ICE.POSITION_DELETES)
+    assert list_parquet_files(f"iceberg://{tp}")  # accepted again
+    # pre-compaction snapshot still readable (old layout kept)
+    assert ICE.read_table(spark, tp, snapshot_id=2).count() == 180
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    tp = _table(spark, tmp_path)
+    ICE.delete_where(
+        spark, tp, "doc_id >= 'doc-00000030' AND doc_id < 'doc-00000050'"
+    )
+    ICE.rewrite_data_files(spark, tp)  # snapshots 1-4
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(tp))
+    ICE.expire_snapshots(tp, keep_last=1)
+    meta = ICE.load_metadata(tp)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [4]
+    # expired-only files are gone from disk, current read unaffected
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(tp))
+    assert n_files_after < n_files_before
+    assert ICE.read_table(spark, tp).count() == 160
+    with pytest.raises(ValueError):
+        ICE.read_table(spark, tp, snapshot_id=2)  # time travel traded away
 
 
 def test_iceberg_empty_and_errors(spark, tmp_path):
