@@ -1891,10 +1891,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["iceberg_compacted_roundtrip"] = iceberg_compacted_roundtrip
+
+    # DSIR-style importance scores (hashed-bigram target/raw ratio models,
+    # integer-exact linear-space form): both count models collapse to
+    # <= 1024 buckets (broadcast ratio table by construction)
+    def dsir_importance_screen(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import importance as IMP
+
+        return IMP.importance_scores(_docs(spark, sf_dir), "books")
+
+    q["dsir_importance_screen"] = dsir_importance_screen
     return q
 
 
 def oracle_sql() -> dict[str, str]:
+    from mapbox_vector_tile_spark.functions import importance as IMP
+
     per_doc = C.per_doc_checksum_sql("documents", string_doc_id=True)
     by_regime = C.per_regime_checksum_sql("documents")
     o = {
@@ -1918,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
             "documents WHERE NOT (doc_id >= 100 AND doc_id < 150)",
             string_doc_id=True,
         ),
+        "dsir_importance_screen": IMP.importance_scores_sql("books"),
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",
