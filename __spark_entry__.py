@@ -1901,6 +1901,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return IMP.importance_scores(_docs(spark, sf_dir), "books")
 
     q["dsir_importance_screen"] = dsir_importance_screen
+
+    # identity-partitioned Iceberg table: partition values live in
+    # manifest entries; the partition_filter prunes at the METADATA level
+    # (non-matching data files never reach the parquet reader)
+    def iceberg_partition_pruned(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(
+                spark, _corpus(spark, sf_dir), tp, partition_by=["source"]
+            )
+            pruned = ICE.read_table(
+                spark, tp, partition_filter={"source": "web"}
+            )
+            res = _per_doc_result(pruned)
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_partition_pruned"] = iceberg_partition_pruned
     return q
 
 
@@ -1931,6 +1956,11 @@ def oracle_sql() -> dict[str, str]:
             string_doc_id=True,
         ),
         "dsir_importance_screen": IMP.importance_scores_sql("books"),
+        "iceberg_partition_pruned": C.per_doc_checksum_sql(
+            "documents WHERE "
+            f"({C.source_case_sql('doc_id')}) = 'web'",
+            string_doc_id=True,
+        ),
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",

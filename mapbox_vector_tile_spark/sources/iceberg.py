@@ -153,32 +153,53 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
-         "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "default": None,
-         "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 4},
-        {"name": "data_file", "field-id": 2, "type": {
-            "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int", "field-id": 134},
-                {"name": "file_path", "type": "string", "field-id": 100},
-                {"name": "file_format", "type": "string", "field-id": 101},
-                {"name": "record_count", "type": "long", "field-id": 103},
-                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-                {"name": "equality_ids",
-                 "type": ["null", {"type": "array", "items": "int",
-                                   "element-id": 136}],
-                 "default": None, "field-id": 135},
-            ],
-        }},
-    ],
-}
+def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    """The manifest_entry avro schema; partitioned tables add the spec's
+    ``partition`` record (field-id 102, one field per partition field with
+    its spec field-id) — value types string-only here (identity transform
+    on a string column, what the corpus partitions by)."""
+    data_file_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+    ]
+    if partition_fields:
+        data_file_fields.append({
+            "name": "partition", "field-id": 102, "type": {
+                "type": "record", "name": "r102", "fields": [
+                    {"name": pf["name"], "type": ["null", "string"],
+                     "default": None, "field-id": pf["field-id"]}
+                    for pf in partition_fields
+                ],
+            },
+        })
+    data_file_fields += [
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": data_file_fields,
+            }},
+        ],
+    }
+
+
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema()
 
 # entry statuses (spec)
 EXISTING, ADDED, DELETED = 0, 1, 2
@@ -205,6 +226,8 @@ class DataFile:
     # columns; field ids in equality_ids)
     content: int = DATA
     equality_ids: list[int] | None = None
+    # identity-transform partition values, e.g. {"source": "web"}
+    partition: dict | None = None
 
 
 def _meta_dir(table_path: str) -> str:
@@ -246,8 +269,24 @@ def _det_uuid(seed: str) -> str:
     return str(_uuid.UUID(bytes=hashlib.md5(seed.encode()).digest()))
 
 
-def create_table(table_path: str, spark_schema) -> dict:
-    """CREATE: v1 metadata, no snapshots yet."""
+def create_table(
+    table_path: str, spark_schema, partition_by: list[str] | None = None
+) -> dict:
+    """CREATE: v1 metadata, no snapshots yet. ``partition_by`` declares an
+    identity-transform partition spec over the named (string) columns —
+    partition values then live in manifest entries and scans prune at the
+    METADATA level before any parquet file is opened."""
+    ice_schema = schema_to_iceberg(spark_schema)
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by or [])
+    ]
     meta = {
         "format-version": FORMAT_VERSION,
         "table-uuid": _det_uuid(table_path),
@@ -256,10 +295,10 @@ def create_table(table_path: str, spark_schema) -> dict:
         "last-updated-ms": _EPOCH_MS,
         "last-column-id": 64,
         "current-schema-id": 0,
-        "schemas": [schema_to_iceberg(spark_schema)],
+        "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -352,6 +391,7 @@ def _commit(
                     "content": df.content,
                     "file_path": df.file_path,
                     "file_format": "PARQUET",
+                    "partition": df.partition or {},
                     "record_count": df.record_count,
                     "file_size_in_bytes": df.file_size_in_bytes,
                     "equality_ids": df.equality_ids,
@@ -369,19 +409,22 @@ def _commit(
                     "content": df.content,
                     "file_path": df.file_path,
                     "file_format": "PARQUET",
+                    "partition": df.partition or {},
                     "record_count": df.record_count,
                     "file_size_in_bytes": df.file_size_in_bytes,
+                    "equality_ids": df.equality_ids,
                 },
             })
         muuid = _det_uuid(f"{table_path}:manifest:{snap_id}:{content_id}")
         manifest_path = os.path.join(md, f"{muuid}-m{mi}.avro")
+        spec_fields = meta["partition-specs"][0]["fields"]
         manifest_bytes = A.write_ocf(
-            MANIFEST_ENTRY_SCHEMA,
+            manifest_entry_schema(spec_fields or None),
             entries,
             codec="deflate",
             extra_meta={
                 "schema": json.dumps(meta["schemas"][0]).encode(),
-                "partition-spec": b"[]",
+                "partition-spec": json.dumps(spec_fields).encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
                 "content": b"data" if content_id == DATA else b"deletes",
@@ -553,6 +596,7 @@ def _plan_files(
             out.append(DataFile(
                 d["file_path"], d["record_count"], d["file_size_in_bytes"],
                 eff_seq, d.get("content", 0), d.get("equality_ids"),
+                d.get("partition") or None,
             ))
     return out
 
@@ -561,9 +605,76 @@ def plan_scan(
     table_path: str,
     snapshot_id: int | None = None,
     content: int | None = DATA,
+    partition_filter: dict | None = None,
 ) -> list[DataFile]:
-    return _plan_files(table_path, load_metadata(table_path), snapshot_id,
-                       content)
+    """Live files of a snapshot; ``partition_filter`` (e.g.
+    ``{"source": "web"}``) prunes by the manifest-entry partition values —
+    non-matching data files are dropped from the plan before any parquet
+    footer or byte is touched, the metadata-level pruning identity
+    partitioning exists for."""
+    files = _plan_files(table_path, load_metadata(table_path), snapshot_id,
+                        content)
+    if partition_filter:
+        files = [
+            f for f in files
+            if f.partition
+            and all(f.partition.get(k) == v
+                    for k, v in partition_filter.items())
+        ]
+    return files
+
+
+def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
+                          need_meta: bool):
+    """One logical scan over planned data files. Partitioned tables group
+    files by partition value (data files do not store partition columns;
+    the values come from manifest metadata, spec identity semantics) and
+    union the per-value scans — after pruning this is usually ONE group.
+    ``need_meta`` attaches ``__fp``/``__pos`` inside each scan (metadata
+    columns only exist at the FileScan, not across unions)."""
+    from pyspark.sql import functions as F
+
+    schema_fields = meta["schemas"][0]["fields"]
+    spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
+    full_ddl = iceberg_to_spark_ddl(meta["schemas"][0])
+
+    def attach_meta(df):
+        if not need_meta:
+            return df
+        return df.withColumns({
+            "__fp": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""
+            ),
+            "__pos": F.col("_metadata.row_index"),
+        })
+
+    if not spec_cols:
+        return attach_meta(
+            spark.read.schema(full_ddl).parquet(*[f.file_path for f in files])
+        )
+
+    reduced = {
+        "type": "struct", "schema-id": 0,
+        "fields": [f for f in schema_fields if f["name"] not in spec_cols],
+    }
+    reduced_ddl = iceberg_to_spark_ddl(reduced)
+    order = [f["name"] for f in schema_fields] + (
+        ["__fp", "__pos"] if need_meta else []
+    )
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple((f.partition or {}).get(c) for c in spec_cols)
+        groups.setdefault(key, []).append(f.file_path)
+    parts = []
+    for key, paths in sorted(groups.items()):
+        g = attach_meta(spark.read.schema(reduced_ddl).parquet(*paths))
+        for c, v in zip(spec_cols, key):
+            g = g.withColumn(c, F.lit(v).cast("string"))
+        parts.append(g.select(*order))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_table(
@@ -571,6 +682,7 @@ def read_table(
     table_path: str,
     snapshot_id: int | None = None,
     branch: str | None = None,
+    partition_filter: dict | None = None,
 ):
     """Snapshot scan -> one Spark parquet read over the planned files,
     with position deletes applied merge-on-read.
@@ -596,20 +708,17 @@ def read_table(
         if ref is None:
             raise ValueError(f"unknown branch {branch!r}")
         snapshot_id = ref["snapshot-id"]
-    files = plan_scan(table_path, snapshot_id)
+    files = plan_scan(table_path, snapshot_id, partition_filter=partition_filter)
     ddl = iceberg_to_spark_ddl(meta["schemas"][0])
     if not files:
         return spark.createDataFrame([], ddl)
     pos_dels = plan_scan(table_path, snapshot_id, content=POSITION_DELETES)
     eq_dels = plan_scan(table_path, snapshot_id, content=EQUALITY_DELETES)
-    df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
-    if not pos_dels and not eq_dels:
+    need_meta = bool(pos_dels or eq_dels)
+    df = _scan_with_partitions(spark, meta, files, need_meta)
+    if not need_meta:
         return df
-    cols = df.columns
-    df = df.withColumns({
-        "__fp": F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-        "__pos": F.col("_metadata.row_index"),
-    })
+    cols = [c for c in df.columns if not c.startswith("__")]
     # per-data-file sequence numbers (metadata-sized map) — both delete
     # kinds gate on them
     seq_df = spark.createDataFrame(
@@ -743,12 +852,10 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
 
     files = plan_scan(table_path)
     meta = load_metadata(table_path)
-    ddl = iceberg_to_spark_ddl(meta["schemas"][0])
-    df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+    df = _scan_with_partitions(spark, meta, files, need_meta=True)
     hits = df.filter(predicate).select(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
-        .alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
+        F.col("__fp").alias("file_path"),
+        F.col("__pos").alias("pos"),
     ).collect()
     return commit_position_deletes(
         table_path, [(r.file_path, r.pos) for r in hits]
@@ -788,8 +895,6 @@ def rewrite_data_files(spark, table_path: str) -> dict:
     The rewrite itself is one distributed Spark write; only footers of the
     new files touch the driver (same bounded commit contract as
     :func:`append_dataframe`)."""
-    import pyarrow.parquet as pq
-
     meta = load_metadata(table_path)
     cur = _plan_files(
         table_path, meta, meta["current-snapshot-id"], content=None
@@ -797,13 +902,8 @@ def rewrite_data_files(spark, table_path: str) -> dict:
     df = read_table(spark, table_path)  # deletes applied
     seq = meta["last-sequence-number"] + 1
     data_dir = os.path.join(table_path, "data", f"seq={seq}-rewrite")
-    df.write.mode("overwrite").parquet(data_dir)
-    new_files = []
-    for name in sorted(os.listdir(data_dir)):
-        if name.endswith(".parquet"):
-            path = os.path.join(data_dir, name)
-            md = pq.read_metadata(path)
-            new_files.append(DataFile(path, md.num_rows, os.path.getsize(path)))
+    spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
+    new_files = _write_data_files(df, data_dir, spec_cols)
     return _commit(table_path, new_files, cur, "replace")
 
 
@@ -856,7 +956,13 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
 # Spark write entry: DataFrame -> data files -> commit
 # ---------------------------------------------------------------------------
 
-def append_dataframe(spark, df, table_path: str, branch: str = "main") -> dict:
+def append_dataframe(
+    spark,
+    df,
+    table_path: str,
+    branch: str = "main",
+    partition_by: list[str] | None = None,
+) -> dict:
     """Write ``df`` as parquet data files and commit them as one APPEND
     snapshot. The write is fully distributed (Spark parquet sink into a
     staging dir); the commit reads only the new files' FOOTERS on the
@@ -864,19 +970,40 @@ def append_dataframe(spark, df, table_path: str, branch: str = "main") -> dict:
     as real Iceberg's commit path (which gets counts from the writer
     tasks; a worker-side stats sink is the obvious upgrade, as
     ``sources/parquet_direct`` does for the native blocks store)."""
-    import pyarrow.parquet as pq
-
     if not os.path.exists(os.path.join(_meta_dir(table_path), "version-hint.text")):
-        create_table(table_path, df.schema)
+        create_table(table_path, df.schema, partition_by)
     meta = load_metadata(table_path)
+    spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
     seq = meta["last-sequence-number"] + 1
     data_dir = os.path.join(table_path, "data", f"seq={seq}")
-    df.write.mode("overwrite").parquet(data_dir)
-    new_files = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        path = os.path.join(data_dir, name)
-        md = pq.read_metadata(path)
-        new_files.append(DataFile(path, md.num_rows, os.path.getsize(path)))
+    new_files = _write_data_files(df, data_dir, spec_cols)
     return commit_append(table_path, new_files, branch)
+
+
+def _write_data_files(df, data_dir: str, spec_cols: list[str]) -> list[DataFile]:
+    """Distributed parquet write (partitionBy for partitioned specs) +
+    footer walk of the new files; partition values come back from the
+    col=value path segments (identity transform)."""
+    import pyarrow.parquet as pq
+
+    writer = df.write.mode("overwrite")
+    if spec_cols:
+        writer = writer.partitionBy(*spec_cols)
+    writer.parquet(data_dir)
+    new_files = []
+    for dp, _dirs, names in sorted(os.walk(data_dir)):
+        rel = os.path.relpath(dp, data_dir)
+        pvals = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
+        )
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(dp, name)
+            md = pq.read_metadata(path)
+            new_files.append(DataFile(
+                path, md.num_rows, os.path.getsize(path),
+                partition={c: pvals[c] for c in spec_cols} if spec_cols
+                else None,
+            ))
+    return new_files

@@ -347,6 +347,46 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
         ICE.read_table(spark, tp, snapshot_id=2)  # time travel traded away
 
 
+def test_iceberg_identity_partitioning(spark, tmp_path):
+    """Identity partition spec: values live in manifest entries; scans
+    prune at the METADATA level before touching any parquet file."""
+    tp = str(tmp_path / "part")
+    corpus = G.corpus_dataframe(spark, 200, 2)
+    ICE.append_dataframe(spark, corpus, tp, partition_by=["source"])
+    meta = ICE.load_metadata(tp)
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "identity"
+
+    all_files = ICE.plan_scan(tp)
+    sources = [r.source for r in corpus.select("source").distinct().collect()]
+    pruned = ICE.plan_scan(tp, partition_filter={"source": sources[0]})
+    assert 0 < len(pruned) < len(all_files)
+    assert all(f.partition == {"source": sources[0]} for f in pruned)
+
+    # full read reattaches partition columns and matches the input exactly
+    got = {(r.doc_id, r.source) for r in ICE.read_table(spark, tp).collect()}
+    want = {(r.doc_id, r.source)
+            for r in corpus.select("doc_id", "source").collect()}
+    assert got == want
+
+    # pruned read == engine filter, token arrays intact
+    one = ICE.read_table(spark, tp, partition_filter={"source": sources[0]})
+    want_one = corpus.filter(F.col("source") == sources[0])
+    assert one.count() == want_one.count()
+    a = {r.doc_id: list(r.tokens) for r in one.collect()}
+    b = {r.doc_id: list(r.tokens) for r in want_one.collect()}
+    assert a == b
+
+    # deletes + compaction keep the partition layout
+    ICE.delete_where(spark, tp, f"source = '{sources[0]}'")
+    assert ICE.read_table(
+        spark, tp, partition_filter={"source": sources[0]}
+    ).count() == 0
+    ICE.rewrite_data_files(spark, tp)
+    assert all(f.partition for f in ICE.plan_scan(tp))
+    left = {r.source for r in ICE.read_table(spark, tp).collect()}
+    assert sources[0] not in left and len(left) >= 1
+
+
 def test_iceberg_empty_and_errors(spark, tmp_path):
     tp = str(tmp_path / "empty")
     with pytest.raises(FileNotFoundError):
