@@ -50,6 +50,7 @@ _CODECS = [
     "dict_bitpack",
     "dict_escape",
     "paged",
+    "for_patch",
 ]
 
 

@@ -42,6 +42,7 @@ from .blocks import (
     DICT_BITPACK,
     DICT_ESCAPE,
     FOR_BITPACK,
+    FOR_PATCH,
     MAGIC,
     PAGED,
     RAW,
@@ -53,6 +54,7 @@ from .blocks import (
     _DICT,
     _FOR,
     _HDR,
+    _PFOR,
     _PGD,
     _RLE,
     _DECODERS,
@@ -165,6 +167,28 @@ def _stats_dict_escape(body: memoryview, n: int, need_sum: bool) -> Stats:
     return n, s, mn, mx, n
 
 
+def _stats_for_patch(body: memoryview, n: int, need_sum: bool) -> Stats:
+    lo, w, n_exc, pos_w, ew = _PFOR.unpack_from(body)
+    off = _PFOR.size
+    rel = K.bitunpack(body[off : off + _nbytes(n, w)], w, n).astype(np.int64)
+    if n_exc:
+        off += _nbytes(n, w)
+        pos = K.bitunpack(
+            body[off : off + _nbytes(n_exc, pos_w)], pos_w, n_exc
+        ).astype(np.int64)
+        off += _nbytes(n_exc, pos_w)
+        exc = K.bitunpack(body[off:], ew, n_exc).astype(np.int64) + (1 << w)
+        rel[pos] = exc
+    # reductions over the patched relative stream; absolute array never built
+    return (
+        n,
+        n * lo + int(rel.sum()),
+        lo + int(rel.min()),
+        lo + int(rel.max()),
+        n,
+    )
+
+
 def _stats_paged(body: memoryview, n: int, need_sum: bool) -> Stats:
     _, n_pages = _PGD.unpack_from(body)
     off = _PGD.size
@@ -200,6 +224,7 @@ _STATS_BODY = {
     DICT_BITPACK: _stats_dict_bitpack,
     DICT_ESCAPE: _stats_dict_escape,
     PAGED: _stats_paged,
+    FOR_PATCH: _stats_for_patch,
 }
 
 

@@ -21,7 +21,7 @@ class ChunkAnalysis:
         "a", "_zz", "_first", "_deltas", "_zzd", "_mvt", "_runs",
         "_vmin", "_vmax", "_dmin", "_dmax", "_n_runs", "_card_sample",
         "_sample_uc", "_heavy", "_paged_plan", "_card_cap", "seg_bounds",
-        "_varint_mvt",
+        "_varint_mvt", "_pfor",
     )
 
     def __init__(
@@ -54,6 +54,7 @@ class ChunkAnalysis:
         self._heavy = None
         self._paged_plan = None  # (page_size, [(sub_analysis, cid, size)])
         self._varint_mvt = None
+        self._pfor = None  # (base_width, n_exc, pos_width, exc_width)
 
     @property
     def n(self) -> int:

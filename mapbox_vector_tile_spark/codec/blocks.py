@@ -40,6 +40,7 @@ RLE = 6
 DICT_BITPACK = 7
 DICT_ESCAPE = 8  # heavy-hitter head codes + escaped tail (zipf-shaped data)
 PAGED = 9  # per-page codec re-selection inside one chunk (mixed regimes)
+FOR_PATCH = 10  # PFOR: narrow FOR base width + patched outliers (skewed tails)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -52,6 +53,7 @@ CODEC_NAMES = {
     DICT_BITPACK: "dict_bitpack",
     DICT_ESCAPE: "dict_escape",
     PAGED: "paged",
+    FOR_PATCH: "for_patch",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -272,6 +274,94 @@ def _dec_dict_escape(buf: memoryview, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# FOR_PATCH (PFOR): frame-of-reference at a REDUCED base width, with the few
+# values that don't fit stored as patched exceptions (positions + remainders).
+# Covers "narrow body, heavy tail" chunks — lengths with rare long outliers,
+# id streams with occasional jumps — where plain FOR pays the outlier's full
+# width on every value and DICT_ESCAPE pays a code per value. Classic PFOR
+# (Zukowski et al., ICDE 2006, public); the reference has no analog — its
+# varint stream (geom_encoder.py:47-76) handles outliers per-value instead.
+# ---------------------------------------------------------------------------
+
+# lo, base_width, n_exc, pos_width, exc_width
+_PFOR = struct.Struct("<qBqBB")
+
+
+def for_patch_size(n: int, w: int, n_exc: int, pos_w: int, ew: int) -> int:
+    """Exact params+payload size for FOR_PATCH (shared with the selector)."""
+    return _PFOR.size + _nbytes(n, w) + _nbytes(n_exc, pos_w) + _nbytes(n_exc, ew)
+
+
+def for_patch_params(an: ChunkAnalysis) -> tuple[int, int, int, int]:
+    """(base_width, n_exc, pos_width, exc_width) minimizing the exact encoded
+    size — from one bit-length histogram of (a - vmin), cached on the
+    analysis so the selector's sizing pass and the encoder share it."""
+    if an._pfor is not None:
+        return an._pfor
+    n = an.n
+    pos_w = K.bit_width(max(n - 1, 0))
+    wr = an.width_range
+    if wr == 0:
+        an._pfor = (0, 0, pos_w, 0)
+        return an._pfor
+    rel = _rel_u32(an.a, an.vmin)
+    # bit_length per value: floor(log2) + 1 (float64 log2 is exact-enough for
+    # uint32: error << gap to the next integer boundary)
+    bl = np.zeros(n, dtype=np.int64)
+    nz = rel != 0
+    if nz.any():
+        bl[nz] = np.floor(np.log2(rel[nz].astype(np.float64))).astype(np.int64) + 1
+    hist = np.bincount(bl, minlength=wr + 1)
+    # cnt_gt[w] = count(bit_length > w) = count(rel >= 2^w)
+    cnt_gt = np.cumsum(hist[::-1])[::-1]
+    relmax = an.vmax - an.vmin
+    best = None
+    for w in range(wr):
+        n_exc = int(cnt_gt[w + 1]) if w + 1 <= wr else 0
+        ew = (relmax - (1 << w)).bit_length()
+        size = for_patch_size(n, w, n_exc, pos_w, ew)
+        if best is None or size < best[0]:
+            best = (size, w, n_exc, ew)
+    an._pfor = (best[1], best[2], pos_w, best[3])
+    return an._pfor
+
+
+def _enc_for_patch(an: ChunkAnalysis) -> bytes:
+    w, n_exc, pos_w, ew = for_patch_params(an)
+    lo = an.vmin
+    rel = _rel_u32(an.a, lo)
+    if n_exc:
+        exc_mask = rel >= np.uint32(1 << w) if w < 32 else np.zeros(an.n, bool)
+        pos = np.flatnonzero(exc_mask).astype(np.uint32)
+        exc = rel[exc_mask] - np.uint32(1 << w)
+        base = rel.copy()
+        base[exc_mask] = 0
+    else:
+        pos = np.zeros(0, dtype=np.uint32)
+        exc = np.zeros(0, dtype=np.uint32)
+        base = rel
+    return (
+        _PFOR.pack(lo, w, n_exc, pos_w, ew)
+        + K.bitpack(base, w)
+        + K.bitpack(pos, pos_w)
+        + K.bitpack(exc, ew)
+    )
+
+
+def _dec_for_patch(buf: memoryview, n: int) -> np.ndarray:
+    lo, w, n_exc, pos_w, ew = _PFOR.unpack_from(buf)
+    off = _PFOR.size
+    rel = K.bitunpack(buf[off : off + _nbytes(n, w)], w, n)
+    if n_exc:
+        off += _nbytes(n, w)
+        pos = K.bitunpack(buf[off : off + _nbytes(n_exc, pos_w)], pos_w, n_exc)
+        off += _nbytes(n_exc, pos_w)
+        exc = K.bitunpack(buf[off:], ew, n_exc) + np.uint32(1 << w)
+        rel[pos.astype(np.int64)] = exc
+    return (rel + np.uint32(lo & 0xFFFFFFFF)).view(np.int32)
+
+
+# ---------------------------------------------------------------------------
 # PAGED: re-pick the codec every `page_size` values inside one chunk — the
 # granularity analog of the reference re-choosing the encoding per feature
 # (/root/reference/mapbox_vector_tile/optimise.py:193-202). Sub-blocks are
@@ -329,6 +419,7 @@ _ENCODERS = {
     DICT_BITPACK: _enc_dict_bitpack,
     DICT_ESCAPE: _enc_dict_escape,
     PAGED: _enc_paged,
+    FOR_PATCH: _enc_for_patch,
 }
 _DECODERS = {
     RAW: _dec_raw,
@@ -341,6 +432,7 @@ _DECODERS = {
     DICT_BITPACK: _dec_dict_bitpack,
     DICT_ESCAPE: _dec_dict_escape,
     PAGED: _dec_paged,
+    FOR_PATCH: _dec_for_patch,
 }
 
 

@@ -42,6 +42,7 @@ from .blocks import (
     DICT_BITPACK,
     DICT_ESCAPE,
     FOR_BITPACK,
+    FOR_PATCH,
     MAGIC,
     PAGED,
     RAW,
@@ -53,6 +54,7 @@ from .blocks import (
     _DICT,
     _FOR,
     _HDR,
+    _PFOR,
     _PGD,
     _RLE,
     _DECODERS,
@@ -189,6 +191,37 @@ def _hit_dict_escape(body: memoryview, n: int, x: int) -> tuple[np.ndarray, int]
     return pos.astype(np.int64), n
 
 
+def _hit_for_patch(body: memoryview, n: int, x: int) -> tuple[np.ndarray, int]:
+    lo, w, n_exc, pos_w, ew = _PFOR.unpack_from(body)
+    rx = _rel32(x, lo)
+    base_end = _PFOR.size + _nbytes(n, w)
+    pos_end = base_end + _nbytes(n_exc, pos_w)
+    if w == 32 or rx < (1 << w):
+        rel = K.bitunpack(body[_PFOR.size : base_end], w, n)
+        hits = np.nonzero(rel == np.uint32(rx))[0].astype(np.int64)
+        # patched positions hold base code 0 but store values >= lo + 2^w:
+        # exclude them when probing the base-zero value itself
+        if rx == 0 and n_exc and hits.size:
+            pos = K.bitunpack(
+                body[base_end:pos_end], pos_w, n_exc
+            ).astype(np.int64)
+            hits = np.setdiff1d(hits, pos, assume_unique=True)
+        return hits, n
+    # probe above the base domain: only the O(n_exc) exception arrays are
+    # read — the O(n) base stream stays untouched (the PFOR pruning win)
+    if not n_exc:
+        return _EMPTY, 0
+    erx = rx - (1 << w)
+    if ew < 32 and erx >= (1 << ew):
+        return _EMPTY, 0
+    exc = K.bitunpack(body[pos_end:], ew, n_exc)
+    m = exc == np.uint32(erx)
+    if not m.any():
+        return _EMPTY, 0
+    pos = K.bitunpack(body[base_end:pos_end], pos_w, n_exc).astype(np.int64)
+    return pos[m], 0
+
+
 def _hit_decode(codec_id: int):
     def fn(body: memoryview, n: int, x: int) -> tuple[np.ndarray, int]:
         a = _DECODERS[codec_id](body, n)
@@ -230,6 +263,7 @@ _HIT_BODY = {
     DICT_BITPACK: _hit_dict_bitpack,
     DICT_ESCAPE: _hit_dict_escape,
     PAGED: _hit_paged,
+    FOR_PATCH: _hit_for_patch,
 }
 
 
@@ -362,6 +396,50 @@ def _range_dict_escape(body, n, lo, hi):
     return pos.astype(np.int64), n
 
 
+def _range_for_patch(body, n, lo, hi):
+    base_lo, w, n_exc, pos_w, ew = _PFOR.unpack_from(body)
+    off = _PFOR.size
+    base_end = off + _nbytes(n, w)
+    pos_end = base_end + _nbytes(n_exc, pos_w)
+    base_dom_hi = base_lo + ((1 << w) - 1 if w < 32 else 0xFFFFFFFF)
+    exc_lo = base_lo + (1 << w)
+    exc_dom_hi = exc_lo + ((1 << ew) - 1 if ew < 32 else 0xFFFFFFFF)
+    want_base = not (hi < base_lo or lo > base_dom_hi)
+    want_exc = bool(n_exc) and not (hi < exc_lo or lo > exc_dom_hi)
+    if not want_base and not want_exc:
+        return _EMPTY, 0
+    parts: list[np.ndarray] = []
+    decoded = 0
+    pos = None
+    if want_base:
+        rel = K.bitunpack(body[off:base_end], w, n).astype(np.int64)
+        rlo, rhi = max(lo - base_lo, 0), hi - base_lo
+        m = (rel >= rlo) & (rel <= rhi)
+        decoded += n
+        if n_exc and rlo == 0:
+            # patched positions hold 0 but store values above the base domain
+            pos = K.bitunpack(
+                body[base_end:pos_end], pos_w, n_exc
+            ).astype(np.int64)
+            m[pos] = False
+        bh = np.nonzero(m)[0]
+        if bh.size:
+            parts.append(bh)
+    if want_exc:
+        exc = K.bitunpack(body[pos_end:], ew, n_exc).astype(np.int64) + exc_lo
+        em = (exc >= lo) & (exc <= hi)
+        if em.any():
+            if pos is None:
+                pos = K.bitunpack(
+                    body[base_end:pos_end], pos_w, n_exc
+                ).astype(np.int64)
+            parts.append(pos[em])
+    if not parts:
+        return _EMPTY, decoded
+    out = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+    return out.astype(np.int64), decoded
+
+
 def _range_decode(codec_id: int):
     def fn(body, n, lo, hi):
         a = _DECODERS[codec_id](body, n)
@@ -408,4 +486,5 @@ _RANGE_BODY = {
     DICT_BITPACK: _range_dict_bitpack,
     DICT_ESCAPE: _range_dict_escape,
     PAGED: _range_paged,
+    FOR_PATCH: _range_for_patch,
 }

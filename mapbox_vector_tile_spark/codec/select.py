@@ -159,6 +159,38 @@ def candidate_sizes(
     sizes[B.DELTA_ZZ_BITPACK] = 5 + _nbits_bytes(n - 1, an.width_delta_zz)
     sizes[B.DELTA_ZZ_VARINT] = an.varint_size_mvt()
     best_so_far = min(sizes.values())
+    # FOR_PATCH (PFOR): only promising when the value range is wide but the
+    # sampled distribution says most values fit a much narrower base width.
+    # Screen from the cached cardinality sample (scaled bit-length histogram,
+    # optimistic); the exact histogram pass runs only when the estimate beats
+    # the leader, and its result is cached for the winning encoder.
+    if an.width_range >= 6 and n >= 64:
+        vals, counts = an.sample_uc
+        rel_s = vals.astype(np.int64) - an.vmin
+        bl_s = np.zeros(rel_s.size, dtype=np.int64)
+        nz = rel_s > 0
+        if nz.any():
+            bl_s[nz] = (
+                np.floor(np.log2(rel_s[nz].astype(np.float64))).astype(np.int64)
+                + 1
+            )
+        hist_s = np.bincount(bl_s, weights=counts, minlength=an.width_range + 1)
+        tot_s = float(counts.sum())
+        scale = n / tot_s if tot_s else 0.0
+        cnt_ge = np.cumsum(hist_s[::-1])[::-1] * scale
+        pos_w = K.bit_width(max(n - 1, 0))
+        relmax = an.vmax - an.vmin
+        est_best = None
+        for w in range(an.width_range):
+            n_exc = cnt_ge[w + 1] if w + 1 <= an.width_range else 0.0
+            ew = (relmax - (1 << w)).bit_length()
+            est = 19 + _nbits_bytes(n, w) + int(n_exc * (pos_w + ew) * 0.75) // 8
+            if est_best is None or est < est_best:
+                est_best = est
+        if est_best is not None and est_best <= best_so_far:
+            w, n_exc, pos_w, ew = B.for_patch_params(an)
+            sizes[B.FOR_PATCH] = B.for_patch_size(n, w, n_exc, pos_w, ew)
+            best_so_far = min(best_so_far, sizes[B.FOR_PATCH])
     # RLE: run count is one boolean reduction; only build the run arrays if
     # a TIGHT lower bound could beat the best candidate so far. Every chunk
     # value appears as some run's value, so the run-value span equals the
@@ -227,6 +259,7 @@ _TIE_ORDER = [
     B.CONSTANT,
     B.RAW,
     B.FOR_BITPACK,
+    B.FOR_PATCH,
     B.BITPACK_ZZ,
     B.DELTA_ZZ_BITPACK,
     B.RLE,

@@ -32,6 +32,13 @@ CORPORA = {
     "single": np.array([123456], dtype=I32),
     "single_neg": np.array([-(2**31)], dtype=I32),
     "empty": np.array([], dtype=I32),
+    # narrow body + rare heavy tail: the PFOR regime (lengths with a few
+    # giant outliers); plain FOR pays the outlier width on every value
+    "outlier_tail": np.where(
+        rng.integers(0, 1000, 20000) < 5,
+        rng.integers(10**6, 2**31 - 1, 20000),
+        rng.integers(0, 128, 20000),
+    ).astype(I32),
 }
 
 ALL_CODECS = [c for c in B.CODEC_NAMES if c != B.CONSTANT]
@@ -86,11 +93,38 @@ def test_candidate_sizes_are_exact():
         ("sorted_ids", {B.DELTA_ZZ_BITPACK}),
         ("clustered", {B.FOR_BITPACK, B.DICT_BITPACK}),
         ("uniform", {B.RAW, B.BITPACK_ZZ}),
-        ("zipf_ish", {B.DICT_ESCAPE}),
+        ("zipf_ish", {B.DICT_ESCAPE, B.FOR_PATCH}),
+        ("outlier_tail", {B.FOR_PATCH}),
     ],
 )
 def test_selector_expected_pick(name, expected):
     assert S.choose_codec(CORPORA[name]) in expected
+
+
+def test_for_patch_beats_for_bitpack_on_outliers():
+    a = CORPORA["outlier_tail"]
+    sizes = S.candidate_sizes(a)
+    assert sizes[B.FOR_PATCH] < sizes[B.FOR_BITPACK] // 3
+    blk = B.encode_block(a, B.FOR_PATCH)
+    np.testing.assert_array_equal(B.decode_block(blk), a)
+    assert len(blk) - B.header_size() == sizes[B.FOR_PATCH]
+
+
+def test_for_patch_exception_probe_skips_base_stream():
+    """Probing a value above the base domain reads only the O(n_exc)
+    exception arrays (values_decoded == 0 by the RLE convention)."""
+    from mapbox_vector_tile_spark.codec.search import hit_positions
+
+    a = CORPORA["outlier_tail"].copy()
+    a[17] = 10**9 + 7  # a unique outlier
+    blk = B.encode_block(a, B.FOR_PATCH)
+    pos, decoded = hit_positions(blk, 10**9 + 7)
+    np.testing.assert_array_equal(pos, [17])
+    assert decoded == 0
+    # base-domain probe decodes the base stream and excludes patches
+    pos0, decoded0 = hit_positions(blk, 0)
+    np.testing.assert_array_equal(pos0, np.nonzero(a == 0)[0])
+    assert decoded0 == a.size
 
 
 def test_never_worse_than_raw_plus_header():
