@@ -1331,6 +1331,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scalar_column_roundtrip"] = scalar_roundtrip
 
+    # text-column encode: documents.text stored as FSST+dict string chunks,
+    # decoded back; per-chunk order-sensitive text checksums are the gate
+    def text_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.text_column import (
+            text_roundtrip_rollup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return text_roundtrip_rollup(docs)
+
+    q["text_column_roundtrip"] = text_roundtrip
+
     # write-audit-publish: a good batch publishes, a duplicate batch is
     # rejected by the audit and never reaches the main branch
     def wap_rollup(spark, sf_dir):
@@ -2159,6 +2173,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["scalar_column_roundtrip"] = scalar_roundtrip_rollup_sql()
+    from mapbox_vector_tile_spark.engine.text_column import (
+        text_roundtrip_rollup_sql,
+    )
+
+    o["text_column_roundtrip"] = text_roundtrip_rollup_sql()
     # wap oracle: main holds exactly the full corpus (good batches only)
     o["wap_publish_rollup"] = C.per_regime_checksum_sql("documents")
     from mapbox_vector_tile_spark.functions.olap import (
