@@ -1345,6 +1345,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_column_roundtrip"] = text_roundtrip
 
+    # nullable scalar column: validity bitmap + codec ladder over the
+    # non-null values; null POSITIONS are gated by the rank-weighted sum
+    def scalar_nullable_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.columnar import (
+            scalar_nullable_roundtrip_rollup,
+        )
+
+        v = F.round(F.col("value") * 100).cast("long")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.when(F.pmod(v, F.lit(7)) == 0, F.lit(None))
+            .otherwise(v)
+            .cast("long")
+            .alias("value_n"),
+        )
+        return scalar_nullable_roundtrip_rollup(ev, "value_n", "event_id")
+
+    q["scalar_nullable_roundtrip"] = scalar_nullable_roundtrip
+
     # write-audit-publish: a good batch publishes, a duplicate batch is
     # rejected by the audit and never reaches the main branch
     def wap_rollup(spark, sf_dir):
@@ -2178,6 +2197,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["text_column_roundtrip"] = text_roundtrip_rollup_sql()
+    from mapbox_vector_tile_spark.engine.columnar import (
+        scalar_nullable_roundtrip_rollup_sql,
+    )
+
+    o["scalar_nullable_roundtrip"] = scalar_nullable_roundtrip_rollup_sql()
     # wap oracle: main holds exactly the full corpus (good batches only)
     o["wap_publish_rollup"] = C.per_regime_checksum_sql("documents")
     from mapbox_vector_tile_spark.functions.olap import (

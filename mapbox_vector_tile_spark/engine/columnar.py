@@ -25,6 +25,7 @@ tables per tile); this generalizes it to arbitrary table columns.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,6 +37,13 @@ from ..codec.blocks import CODEC_NAMES, decode_block
 from ..codec.select import encode_auto
 
 CHUNK_ROWS = 1024
+
+# nullable wrapper: n_rows, n_valid | packed validity bitmap | inner frame.
+# Nulls are a COLUMN-level concern (Arrow separates validity from values the
+# same way), so the wrapper sits outside the codec ladder: the inner frame
+# encodes only the non-null values and every codec stays null-free.
+_NULL_FMT = "<qq"  # format string, not a Struct: worker closures pickle it
+_NULL_HDR_SIZE = struct.calcsize(_NULL_FMT)
 
 _BLOCKS_SCHEMA = (
     "chunk long, n_values long, codec string, bytes_enc long, "
@@ -112,6 +120,144 @@ def decode_scalar_column(blocks: DataFrame) -> DataFrame:
     return blocks.select("chunk", "payload").mapInArrow(
         dec, "chunk long, pos long, value long"
     )
+
+
+def encode_scalar_column_nullable(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Nullable variant: a packed validity bitmap precedes the inner block,
+    which encodes only the non-null values through the normal ladder (so
+    e.g. a column that is constant-when-present still picks CONSTANT)."""
+    chunk = (
+        (F.col(order_col) - F.pmod(F.col(order_col), F.lit(chunk_rows)))
+        / chunk_rows
+    ).cast("long")
+    rows = df.select(
+        chunk.alias("chunk"),
+        F.col(order_col).cast("long").alias("k"),
+        F.col(value_col).isNull().alias("is_null"),
+        F.coalesce(F.col(value_col).cast("int"), F.lit(0)).alias("v"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k", ignore_index=True)
+        valid = ~pdf["is_null"].to_numpy(bool)
+        a = pdf["v"].to_numpy(np.int32)[valid]
+        inner, codec_id = encode_auto(a)
+        payload = (
+            struct.pack(_NULL_FMT, valid.size, int(valid.sum()))
+            + np.packbits(valid).tobytes()
+            + inner
+        )
+        return pd.DataFrame(
+            {
+                "chunk": [int(pdf["chunk"].iloc[0])],
+                "n_values": [int(valid.size)],
+                "codec": [CODEC_NAMES[codec_id]],
+                "bytes_enc": [len(payload)],
+                "bytes_raw": [4 * int(valid.size)],
+                "payload": [payload],
+            }
+        )
+
+    return rows.groupBy("chunk").applyInPandas(enc, _BLOCKS_SCHEMA)
+
+
+def decode_scalar_column_nullable(blocks: DataFrame) -> DataFrame:
+    """Inverse: ``(chunk, pos, value)`` with SQL NULLs restored at their
+    original positions (pos covers null rows too — total order is kept)."""
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            chunks = batch.column("chunk").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload")
+            arrs = []
+            for i in range(batch.num_rows):
+                mv = memoryview(payloads[i].as_buffer())
+                n_rows, n_valid = struct.unpack_from(_NULL_FMT, mv)
+                off = _NULL_HDR_SIZE
+                nb = (n_rows + 7) // 8
+                valid = np.unpackbits(
+                    np.frombuffer(mv, np.uint8, count=nb, offset=off)
+                )[:n_rows].astype(bool)
+                vals = decode_block(mv[off + nb :])
+                if vals.size != n_valid:
+                    raise ValueError(
+                        f"nullable chunk: {vals.size} values, want {n_valid}"
+                    )
+                full = np.zeros(n_rows, dtype=np.int64)
+                full[valid] = vals.astype(np.int64)
+                arrs.append(
+                    pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.full(n_rows, chunks[i], np.int64)),
+                            pa.array(np.arange(n_rows, dtype=np.int64)),
+                            pa.array(full, pa.int64(), mask=~valid),
+                        ],
+                        schema=pa.schema(
+                            [
+                                ("chunk", pa.int64()),
+                                ("pos", pa.int64()),
+                                ("value", pa.int64()),
+                            ]
+                        ),
+                    )
+                )
+            yield from arrs
+
+    return blocks.select("chunk", "payload").mapInArrow(
+        dec, "chunk long, pos long, value long"
+    )
+
+
+def scalar_nullable_roundtrip_rollup(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Gated end-to-end: nulls must survive at their exact positions.
+    ``(chunk, n, n_null, sum_v, wcks)`` — wcks weights non-null values by
+    their in-chunk rank INCLUDING null rows, so null placement is gated."""
+    blocks = encode_scalar_column_nullable(df, value_col, order_col, chunk_rows)
+    dec = decode_scalar_column_nullable(blocks)
+    return (
+        dec.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+            F.coalesce(F.sum("value"), F.lit(0)).alias("sum_v"),
+            F.coalesce(
+                F.sum(F.col("value") * (F.col("pos") + 1)), F.lit(0)
+            ).alias("wcks"),
+        )
+        .orderBy("chunk")
+    )
+
+
+def scalar_nullable_roundtrip_rollup_sql(
+    chunk_rows: int = CHUNK_ROWS,
+) -> str:
+    """Oracle over raw events with the same deterministic null pattern the
+    query injects (value cents divisible by 7 -> NULL; sign-safe pmod)."""
+    return f"""
+WITH rows_ AS (
+  SELECT event_id // {chunk_rows} AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // {chunk_rows}
+                            ORDER BY event_id) - 1 AS pos,
+         CASE WHEN ((CAST(round(value * 100) AS BIGINT) % 7) + 7) % 7 = 0
+              THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS v
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_v,
+       CAST(COALESCE(SUM(v * (pos + 1)), 0) AS BIGINT) AS wcks
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
 
 
 def scalar_roundtrip_rollup(

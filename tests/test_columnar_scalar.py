@@ -73,3 +73,54 @@ def test_parallelism_invariance(spark, events):
         events.repartition(7), "value_c", "event_id", 256
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_nullable_roundtrip_positions_and_values(spark):
+    from mapbox_vector_tile_spark.engine.columnar import (
+        decode_scalar_column_nullable,
+        encode_scalar_column_nullable,
+    )
+
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.pmod(F.col("id"), 7) == 0, F.lit(None))
+        .otherwise(F.col("id") * 3)
+        .cast("long")
+        .alias("v"),
+    )
+    blocks = encode_scalar_column_nullable(df, "v", "k", 1024)
+    dec = decode_scalar_column_nullable(blocks)
+    got = {(r.chunk, r.pos): r.value for r in dec.collect()}
+    want = {
+        (i // 1024, i % 1024): (None if i % 7 == 0 else i * 3)
+        for i in range(n)
+    }
+    assert got == want
+
+
+def test_nullable_all_null_and_no_null_chunks(spark):
+    from mapbox_vector_tile_spark.engine.columnar import (
+        decode_scalar_column_nullable,
+        encode_scalar_column_nullable,
+    )
+
+    # chunk 0 all null, chunk 1 no nulls
+    df = spark.range(2048).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1024, F.lit(None))
+        .otherwise(F.lit(42))
+        .cast("long")
+        .alias("v"),
+    )
+    rows = encode_scalar_column_nullable(df, "v", "k", 1024).collect()
+    by_chunk = {r.chunk: r for r in rows}
+    assert by_chunk[0].n_values == 1024 and by_chunk[1].n_values == 1024
+    # constant-when-present picks CONSTANT for the non-null chunk
+    assert by_chunk[1].codec == "constant"
+    dec = decode_scalar_column_nullable(
+        encode_scalar_column_nullable(df, "v", "k", 1024)
+    ).collect()
+    nulls = sum(1 for r in dec if r.value is None)
+    assert nulls == 1024
+    assert all(r.value == 42 for r in dec if r.value is not None)
