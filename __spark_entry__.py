@@ -1331,6 +1331,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scalar_column_roundtrip"] = scalar_roundtrip
 
+    # int64 column encode: events.ts as epoch micros through the int64
+    # outer transforms (delta32 / delta-planes / planes); modular
+    # order-sensitive checksums gate bit-exact reconstruction
+    def int64_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.columnar import (
+            int64_roundtrip_rollup,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+        )
+        return int64_roundtrip_rollup(ev, "ts_us", "event_id")
+
+    q["timestamp_column_roundtrip"] = int64_roundtrip
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2192,6 +2207,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["scalar_column_roundtrip"] = scalar_roundtrip_rollup_sql()
+    from mapbox_vector_tile_spark.engine.columnar import (
+        int64_roundtrip_rollup_sql,
+    )
+
+    o["timestamp_column_roundtrip"] = int64_roundtrip_rollup_sql()
     from mapbox_vector_tile_spark.engine.text_column import (
         text_roundtrip_rollup_sql,
     )

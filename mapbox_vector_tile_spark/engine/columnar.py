@@ -297,3 +297,143 @@ SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(v * (pos + 1)) AS BIGINT) AS wcks
 FROM rows_ GROUP BY chunk ORDER BY chunk
 """
+
+
+# ---------------------------------------------------------------------------
+# int64 columns (timestamps, wide ids) — codec/int64.py outer transforms
+# ---------------------------------------------------------------------------
+
+_I64_BLOCKS_SCHEMA = (
+    "chunk long, n_values long, mode string, bytes_enc long, "
+    "bytes_raw long, payload binary"
+)
+
+
+def encode_int64_column(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Encode an int64 column (epoch-micros timestamps, 64-bit ids) into
+    self-describing blocks via the int64 outer transforms
+    (``codec/int64.py``: delta32 / delta-planes / planes, inner streams
+    through the full int32 ladder). Same deterministic chunk contract as
+    :func:`encode_scalar_column` — one shuffle on the chunk id, worker
+    memory O(chunk_rows), layout a pure function of the data."""
+    from ..codec.int64 import INT64_MODE_NAMES, encode_int64_auto
+
+    chunk = (
+        (F.col(order_col) - F.pmod(F.col(order_col), F.lit(chunk_rows)))
+        / chunk_rows
+    ).cast("long")
+    rows = df.select(
+        chunk.alias("chunk"),
+        F.col(order_col).cast("long").alias("k"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k", ignore_index=True)
+        a = pdf["v"].to_numpy(np.int64)
+        payload, mode = encode_int64_auto(a)
+        return pd.DataFrame(
+            {
+                "chunk": [int(pdf["chunk"].iloc[0])],
+                "n_values": [len(a)],
+                "mode": [INT64_MODE_NAMES[mode]],
+                "bytes_enc": [len(payload)],
+                "bytes_raw": [8 * len(a)],
+                "payload": [payload],
+            }
+        )
+
+    return rows.groupBy("chunk").applyInPandas(enc, _I64_BLOCKS_SCHEMA)
+
+
+def decode_int64_column(blocks: DataFrame) -> DataFrame:
+    """Stateless inverse map: ``(chunk, pos, value)`` int64-exact."""
+    from ..codec.int64 import decode_int64
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            chunks = batch.column("chunk").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload")
+            out_c, out_p, out_v = [], [], []
+            for i in range(batch.num_rows):
+                vals = decode_int64(memoryview(payloads[i].as_buffer()))
+                out_c.append(np.full(len(vals), chunks[i], np.int64))
+                out_p.append(np.arange(len(vals), dtype=np.int64))
+                out_v.append(vals)
+            if out_c:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_c), pa.int64()),
+                        pa.array(np.concatenate(out_p), pa.int64()),
+                        pa.array(np.concatenate(out_v), pa.int64()),
+                    ],
+                    schema=pa.schema(
+                        [
+                            ("chunk", pa.int64()),
+                            ("pos", pa.int64()),
+                            ("value", pa.int64()),
+                        ]
+                    ),
+                )
+
+    return blocks.select("chunk", "payload").mapInArrow(
+        dec, "chunk long, pos long, value long"
+    )
+
+
+_I64_MOD = 1_000_003  # modular checksum base: micros sums overflow int64
+
+
+def int64_roundtrip_rollup(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    chunk_rows: int = CHUNK_ROWS,
+) -> DataFrame:
+    """Gated end-to-end for int64 columns. Epoch-micros sums overflow
+    int64 under rank weighting, so the checksums are modular: per chunk
+    ``(n, min_v, max_v, sum_mod, wcks_mod)`` where
+    ``wcks_mod = SUM(pmod(v, M) * (pos+1)) % M`` gates value ORDER and
+    min/max gate the raw domain."""
+    blocks = encode_int64_column(df, value_col, order_col, chunk_rows)
+    dec = decode_int64_column(blocks)
+    vm = F.pmod(F.col("value"), F.lit(_I64_MOD))
+    return (
+        dec.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.pmod(F.sum(vm), F.lit(_I64_MOD)).alias("sum_mod"),
+            F.pmod(F.sum(vm * (F.col("pos") + 1)), F.lit(_I64_MOD)).alias(
+                "wcks_mod"
+            ),
+        )
+        .orderBy("chunk")
+    )
+
+
+def int64_roundtrip_rollup_sql(chunk_rows: int = CHUNK_ROWS) -> str:
+    """Oracle straight from events.ts as epoch micros (DuckDB
+    ``epoch_us``), identical modular rollup."""
+    m = _I64_MOD
+    return f"""
+WITH rows_ AS (
+  SELECT event_id // {chunk_rows} AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // {chunk_rows}
+                            ORDER BY event_id) - 1 AS pos,
+         epoch_us(ts) AS v
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS min_v,
+       CAST(MAX(v) AS BIGINT) AS max_v,
+       CAST(((SUM(v % {m}) % {m}) + {m}) % {m} AS BIGINT) AS sum_mod,
+       CAST(((SUM((v % {m}) * (pos + 1)) % {m}) + {m}) % {m} AS BIGINT)
+         AS wcks_mod
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
