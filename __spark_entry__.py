@@ -381,6 +381,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_remap_pushdown"] = vocab_remap_pushdown
 
+    # global shared dictionary: corpus-wide frequency-ranked code space
+    # built from codec metadata (no decode); chunks re-encoded so equal
+    # tokens have equal codes everywhere
+    def global_dict_table(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.global_dict import (
+            build_global_dict,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        return build_global_dict(blocks).filter(F.col("code") < 200)
+
+    q["global_dict_table"] = global_dict_table
+
+    def global_dict_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.global_dict import (
+            build_global_dict,
+            decode_global_dict,
+            encode_with_global_dict,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        gdict = build_global_dict(blocks).cache()
+        coded = encode_with_global_dict(blocks, gdict)
+        return regime_rollup(
+            with_doc_checksums(decode_global_dict(coded, gdict))
+        )
+
+    q["global_dict_roundtrip"] = global_dict_roundtrip
+
+    # cross-chunk code-space property: the histogram pushdown over the
+    # re-encoded blocks counts CODES — must equal counts by corpus-wide
+    # frequency rank (no per-chunk translation anywhere)
+    def global_dict_code_counts(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.global_dict import (
+            build_global_dict,
+            encode_with_global_dict,
+        )
+        from mapbox_vector_tile_spark.engine.stats import token_histogram
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        gdict = build_global_dict(blocks).cache()
+        coded = encode_with_global_dict(blocks, gdict)
+        return token_histogram(coded, 0, 63)
+
+    q["global_dict_code_counts"] = global_dict_code_counts
+
     # exact heavy hitters: full-domain histogram partials from codec
     # metadata, TakeOrderedAndProject top-k (no global sort)
     def top_k_frequent_tokens(spark, sf_dir):
@@ -2038,6 +2087,9 @@ def oracle_sql() -> dict[str, str]:
     o["token_range_search"] = C.token_range_search_sql(40000, 40500)
     o["distinct_token_pushdown"] = C.distinct_count_sql()
     o["token_histogram_pushdown"] = C.token_histogram_sql(0, 63)
+    o["global_dict_table"] = C.global_dict_table_sql(200)
+    o["global_dict_roundtrip"] = C.per_regime_checksum_sql()
+    o["global_dict_code_counts"] = C.global_dict_code_counts_sql(63)
     o["vocab_remap_pushdown"] = C.per_regime_checksum_mapped_sql(
         "(CASE WHEN tok BETWEEN 0 AND 255 THEN tok + 1000000 ELSE tok END)"
     )

@@ -832,3 +832,34 @@ FROM full_docs
 GROUP BY regime
 ORDER BY regime
 """
+
+
+def global_dict_table_sql(limit: int, doc_source: str = "documents") -> str:
+    """Frequency-ordered global dictionary prefix ``(code, tok, n)`` — the
+    oracle for :func:`.engine.global_dict.build_global_dict` (ties break
+    on token id, identical rank rule)."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  counts AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+  ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) - 1 AS code, tok, n
+    FROM counts)
+SELECT CAST(code AS BIGINT) AS code, CAST(tok AS BIGINT) AS tok,
+       CAST(n AS BIGINT) AS n
+FROM ranked WHERE code < {int(limit)} ORDER BY code
+"""
+
+
+def global_dict_code_counts_sql(hi: int, doc_source: str = "documents") -> str:
+    """Counts BY GLOBAL CODE for codes ``[0, hi]`` — the cross-chunk
+    code-space property: the histogram pushdown over globally re-encoded
+    blocks must equal counts by frequency rank of the raw corpus."""
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  counts AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+  ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) - 1 AS code, n
+    FROM counts)
+SELECT CAST(code AS BIGINT) AS tok, CAST(n AS BIGINT) AS n
+FROM ranked WHERE code BETWEEN 0 AND {int(hi)} ORDER BY tok
+"""
