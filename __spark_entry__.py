@@ -1939,6 +1939,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iceberg_wap_publish"] = iceberg_wap_publish
 
+    # schema evolution: rename + add + drop, resolved BY FIELD ID — old
+    # data files read their write-time physical names, added columns
+    # backfill NULL, dropped columns stop projecting; metadata-only
+    def iceberg_schema_evolution(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/docs_table"
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "lang", "source", "n_chars"
+            )
+            ICE.append_dataframe(
+                spark, docs.filter(F.col("doc_id") < 250), tp
+            )
+            ICE.evolve_schema(
+                tp,
+                add=[("quality", "int")],
+                rename={"n_chars": "char_count"},
+                drop=["lang"],
+            )
+            ICE.append_dataframe(
+                spark,
+                docs.filter(F.col("doc_id") >= 250).select(
+                    "doc_id",
+                    "source",
+                    F.col("n_chars").alias("char_count"),
+                    F.pmod(F.col("n_chars"), F.lit(100))
+                    .cast("int")
+                    .alias("quality"),
+                ),
+                tp,
+            )
+            res = ICE.read_table(spark, tp).select(
+                "doc_id", "source", "char_count", "quality"
+            ).orderBy("doc_id")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_schema_evolution"] = iceberg_schema_evolution
+
     # equality deletes (content=2): delete BY VALUE — data files written
     # before the delete commit drop matching rows at read time
     def iceberg_eq_deletes(spark, sf_dir):
@@ -2045,6 +2090,14 @@ def oracle_sql() -> dict[str, str]:
             string_doc_id=True,
         ),
         "iceberg_wap_publish": per_doc,
+        "iceberg_schema_evolution": """
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS char_count,
+       CASE WHEN doc_id < 250 THEN NULL
+            ELSE CAST(n_chars % 100 AS INTEGER) END AS quality
+FROM documents
+ORDER BY doc_id
+""",
         "iceberg_eq_deletes": C.per_doc_checksum_sql(
             "documents WHERE NOT (doc_id >= 300 AND doc_id < 350)",
             string_doc_id=True,

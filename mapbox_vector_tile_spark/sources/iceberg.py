@@ -118,6 +118,110 @@ def schema_to_iceberg(spark_schema) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def current_schema(meta: dict) -> dict:
+    sid = meta.get("current-schema-id", 0)
+    for s in meta["schemas"]:
+        if s.get("schema-id", 0) == sid:
+            return s
+    raise ValueError(f"current-schema-id {sid} not in schemas")
+
+
+def _schema_by_id(meta: dict, sid: int) -> dict:
+    for s in meta["schemas"]:
+        if s.get("schema-id", 0) == sid:
+            return s
+    # pre-evolution metadata never recorded per-snapshot schema ids;
+    # those tables have exactly one schema
+    return meta["schemas"][0]
+
+
+def _spark_type_of(field: dict) -> str:
+    t = field["type"]
+    if isinstance(t, dict) and t.get("type") == "list":
+        return f"array<{_ICE_TO_SPARK[t['element']]}>"
+    return _ICE_TO_SPARK[t]
+
+
+def evolve_schema(
+    table_path: str,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """Metadata-only schema evolution (spec: no snapshot, no data rewrite).
+
+    ``add`` = [(name, spark_type)] assigns FRESH field ids from
+    ``last-column-id`` (ids are never reused — the spec invariant that
+    makes renames and drops safe); ``rename`` keeps the field id and
+    changes only the name; ``drop`` retires the field (old data files
+    keep the bytes, scans stop projecting them). Partition source columns
+    refuse rename/drop (their spec fields reference them by id but
+    readers key manifests by name here).
+
+    Readers resolve every data file BY FIELD ID against the schema the
+    file was written under (each snapshot records its ``schema-id``):
+    renamed columns read the old physical name, added columns backfill
+    NULL for pre-evolution files — Iceberg's column-resolution contract.
+    """
+    meta = load_metadata(table_path)
+    cur = current_schema(meta)
+    spec_cols = {f["name"] for f in meta["partition-specs"][0]["fields"]}
+    fields = [dict(f) for f in cur["fields"]]
+    names = {f["name"] for f in fields}
+
+    for name in drop or []:
+        if name in spec_cols:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if name not in names:
+            raise ValueError(f"drop: unknown column {name!r}")
+        fields = [f for f in fields if f["name"] != name]
+        names.discard(name)
+    for old, new in (rename or {}).items():
+        if old in spec_cols:
+            raise ValueError(f"cannot rename partition column {old!r}")
+        if old not in names:
+            raise ValueError(f"rename: unknown column {old!r}")
+        if new in names:
+            raise ValueError(f"rename: column {new!r} already exists")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        names.discard(old)
+        names.add(new)
+
+    next_id = meta.get("last-column-id", 0)
+    for name, spark_type in add or []:
+        if name in names:
+            raise ValueError(f"add: column {name!r} already exists")
+        next_id += 1
+        fid = next_id
+        if spark_type.startswith("array<"):
+            elem = spark_type[6:-1]
+            next_id += 1
+            ftype: Any = {
+                "type": "list",
+                "element-id": next_id,
+                "element": _PRIM_TO_ICE[elem],
+                "element-required": False,
+            }
+        else:
+            ftype = _PRIM_TO_ICE[spark_type]
+        fields.append(
+            {"id": fid, "name": name, "required": False, "type": ftype}
+        )
+        names.add(name)
+
+    new_sid = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+    new_schema = {"type": "struct", "schema-id": new_sid, "fields": fields}
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = max(meta.get("last-column-id", 0), next_id)
+    version = _read_version(table_path) + 1
+    meta["last-updated-ms"] = _EPOCH_MS + version
+    _write_metadata(table_path, meta, version)
+    return new_schema
+
+
 def iceberg_to_spark_ddl(schema: dict) -> str:
     cols = []
     for f in schema["fields"]:
@@ -423,7 +527,7 @@ def _commit(
             entries,
             codec="deflate",
             extra_meta={
-                "schema": json.dumps(meta["schemas"][0]).encode(),
+                "schema": json.dumps(current_schema(meta)).encode(),
                 "partition-spec": json.dumps(spec_fields).encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
@@ -472,7 +576,7 @@ def _commit(
         "sequence-number": seq,
         "timestamp-ms": _EPOCH_MS + version,
         "manifest-list": mlist_path,
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {
             "operation": operation,
             "added-data-files": str(n_added),
@@ -625,18 +729,21 @@ def plan_scan(
 
 
 def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
-                          need_meta: bool):
+                          need_meta: bool, schema: dict | None = None):
     """One logical scan over planned data files. Partitioned tables group
     files by partition value (data files do not store partition columns;
     the values come from manifest metadata, spec identity semantics) and
     union the per-value scans — after pruning this is usually ONE group.
     ``need_meta`` attaches ``__fp``/``__pos`` inside each scan (metadata
-    columns only exist at the FileScan, not across unions)."""
+    columns only exist at the FileScan, not across unions). ``schema``
+    overrides the read schema — the WRITE-TIME schema of this file group
+    when the table has evolved."""
     from pyspark.sql import functions as F
 
-    schema_fields = meta["schemas"][0]["fields"]
+    schema = schema or current_schema(meta)
+    schema_fields = schema["fields"]
     spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
-    full_ddl = iceberg_to_spark_ddl(meta["schemas"][0])
+    full_ddl = iceberg_to_spark_ddl(schema)
 
     def attach_meta(df):
         if not need_meta:
@@ -709,13 +816,53 @@ def read_table(
             raise ValueError(f"unknown branch {branch!r}")
         snapshot_id = ref["snapshot-id"]
     files = plan_scan(table_path, snapshot_id, partition_filter=partition_filter)
-    ddl = iceberg_to_spark_ddl(meta["schemas"][0])
+    cur = current_schema(meta)
+    ddl = iceberg_to_spark_ddl(cur)
     if not files:
         return spark.createDataFrame([], ddl)
     pos_dels = plan_scan(table_path, snapshot_id, content=POSITION_DELETES)
     eq_dels = plan_scan(table_path, snapshot_id, content=EQUALITY_DELETES)
     need_meta = bool(pos_dels or eq_dels)
-    df = _scan_with_partitions(spark, meta, files, need_meta)
+
+    # column resolution BY FIELD ID: group data files by the schema they
+    # were written under (snapshot schema-id via the file's data sequence
+    # number); each group scans with its write-time physical names, then
+    # projects to the current schema — renamed fields read the old name,
+    # fields added later backfill NULL. Single-schema tables (the common
+    # case) keep the one-scan fast path unchanged.
+    seq_to_sid = {
+        s["sequence-number"]: s.get("schema-id", 0)
+        for s in meta["snapshots"]
+    }
+    cur_sid = cur.get("schema-id", 0)
+    by_sid: dict[int, list[DataFile]] = {}
+    for f in files:
+        by_sid.setdefault(seq_to_sid.get(f.sequence_number, 0), []).append(f)
+    if set(by_sid) <= {cur_sid}:
+        df = _scan_with_partitions(spark, meta, files, need_meta)
+    else:
+        parts = []
+        for sid, group in sorted(by_sid.items()):
+            ws = _schema_by_id(meta, sid)
+            wname = {fld["id"]: fld["name"] for fld in ws["fields"]}
+            g = _scan_with_partitions(spark, meta, group, need_meta,
+                                      schema=ws)
+            proj = []
+            for fld in cur["fields"]:
+                wn = wname.get(fld["id"])
+                if wn is None:
+                    proj.append(
+                        F.lit(None).cast(_spark_type_of(fld))
+                        .alias(fld["name"])
+                    )
+                else:
+                    proj.append(F.col(wn).alias(fld["name"]))
+            if need_meta:
+                proj += [F.col("__fp"), F.col("__pos")]
+            parts.append(g.select(*proj))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     if not need_meta:
         return df
     cols = [c for c in df.columns if not c.startswith("__")]
@@ -751,17 +898,29 @@ def read_table(
         )
 
     if eq_dels:
-        id_to_name = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
-        # group delete files by their equality column set
-        by_ids: dict[tuple[int, ...], list[DataFile]] = {}
+        id_to_name = {f["id"]: f["name"] for f in cur["fields"]}
+        # group delete files by (equality column set, write schema): the
+        # parquet columns carry write-time PHYSICAL names, the comparison
+        # runs against current names — same field-id resolution as data
+        by_ids: dict[tuple[tuple[int, ...], int], list[DataFile]] = {}
         for d in eq_dels:
-            by_ids.setdefault(tuple(d.equality_ids or ()), []).append(d)
-        for ids, dfiles in sorted(by_ids.items()):
+            dsid = seq_to_sid.get(d.sequence_number, 0)
+            by_ids.setdefault(
+                (tuple(d.equality_ids or ()), dsid), []
+            ).append(d)
+        for (ids, dsid), dfiles in sorted(by_ids.items()):
             names = [id_to_name[i] for i in ids]
+            dname = {
+                fld["id"]: fld["name"]
+                for fld in _schema_by_id(meta, dsid)["fields"]
+            }
             eq_df = spark.read.parquet(
                 *[d.file_path for d in dfiles]
             ).select(
-                *[F.col(n).alias(f"__eq_{n}") for n in names],
+                *[
+                    F.col(dname[i]).alias(f"__eq_{id_to_name[i]}")
+                    for i in ids
+                ],
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
                 .alias("__delfile"),
             )
@@ -791,7 +950,7 @@ def commit_equality_deletes(
     until the next rewrite_data_files."""
     meta = load_metadata(table_path)
     seq = meta["last-sequence-number"] + 1
-    name_to_id = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    name_to_id = {f["name"]: f["id"] for f in current_schema(meta)["fields"]}
     ids = [name_to_id[c] for c in equality_cols]
     dd = os.path.join(table_path, "data", f"deletes-seq={seq}")
     os.makedirs(dd, exist_ok=True)
@@ -973,6 +1132,12 @@ def append_dataframe(
     if not os.path.exists(os.path.join(_meta_dir(table_path), "version-hint.text")):
         create_table(table_path, df.schema, partition_by)
     meta = load_metadata(table_path)
+    want = {f["name"] for f in current_schema(meta)["fields"]}
+    if set(df.columns) != want:
+        raise ValueError(
+            f"append columns {sorted(df.columns)} != current schema "
+            f"{sorted(want)} (did the table evolve?)"
+        )
     spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
     seq = meta["last-sequence-number"] + 1
     data_dir = os.path.join(table_path, "data", f"seq={seq}")

@@ -394,3 +394,64 @@ def test_iceberg_empty_and_errors(spark, tmp_path):
     ICE.create_table(tp, G.corpus_dataframe(spark, 1, 1).schema)
     with pytest.raises(ValueError):
         ICE.plan_scan(tp)  # no snapshots yet
+
+
+def test_iceberg_schema_evolution_field_id_resolution(spark, tmp_path):
+    """rename reads old physical names, add backfills NULL, drop stops
+    projecting; appends after evolution carry the new names."""
+    tp = str(tmp_path / "evo")
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id bigint, tag string, score bigint"
+    )
+    ICE.append_dataframe(spark, df1, tp)
+    ICE.evolve_schema(
+        tp, add=[("extra", "int")], rename={"score": "points"}, drop=["tag"]
+    )
+    df2 = spark.createDataFrame(
+        [(3, 30, 7)], "id bigint, points bigint, extra int"
+    )
+    ICE.append_dataframe(spark, df2, tp)
+    rows = {r.id: r for r in ICE.read_table(spark, tp).collect()}
+    assert set(ICE.read_table(spark, tp).columns) == {"id", "points", "extra"}
+    assert rows[1].points == 10 and rows[1].extra is None
+    assert rows[2].points == 20 and rows[2].extra is None
+    assert rows[3].points == 30 and rows[3].extra == 7
+    # time travel to snapshot 1 still reads through the CURRENT schema
+    old = {r.id: r for r in
+           ICE.read_table(spark, tp, snapshot_id=1).collect()}
+    assert old[1].points == 10 and old[1].extra is None
+
+
+def test_iceberg_schema_evolution_guards(spark, tmp_path):
+    tp = str(tmp_path / "evo_g")
+    df1 = spark.createDataFrame([("x", 1)], "src string, v bigint")
+    ICE.append_dataframe(spark, df1, tp, partition_by=["src"])
+    with pytest.raises(ValueError, match="partition column"):
+        ICE.evolve_schema(tp, rename={"src": "origin"})
+    with pytest.raises(ValueError, match="partition column"):
+        ICE.evolve_schema(tp, drop=["src"])
+    ICE.evolve_schema(tp, rename={"v": "val"})
+    # stale-name append fails fast instead of writing unreadable files
+    with pytest.raises(ValueError, match="current schema"):
+        ICE.append_dataframe(
+            spark, spark.createDataFrame([("y", 2)], "src string, v bigint"), tp
+        )
+
+
+def test_iceberg_eq_deletes_after_rename(spark, tmp_path):
+    """Equality deletes committed AFTER a rename still hit data files
+    written BEFORE it — both sides resolve by field id."""
+    tp = str(tmp_path / "evo_del")
+    df1 = spark.createDataFrame(
+        [(1, "keep"), (2, "drop"), (3, "keep")], "id bigint, label string"
+    )
+    ICE.append_dataframe(spark, df1, tp)
+    ICE.evolve_schema(tp, rename={"id": "row_id"})
+    ICE.commit_equality_deletes(
+        spark,
+        tp,
+        spark.createDataFrame([(2,)], "row_id bigint"),
+        ["row_id"],
+    )
+    got = sorted(r.row_id for r in ICE.read_table(spark, tp).collect())
+    assert got == [1, 3]
