@@ -1395,6 +1395,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["timestamp_column_roundtrip"] = int64_roundtrip
 
+    # whole-table columnar encode: EVERY events column through its type's
+    # codec (int64 transforms, FSST+dict strings, float64 byte-stream
+    # split), one frame per (chunk, column); per-chunk per-column
+    # order-sensitive checksums gate the wide reconstruction
+    def table_roundtrip(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+
+        m = 1_000_003
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        dec = decode_table(blocks, ev.schema)
+        r = F.col("pos") + 1
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.pmod(F.sum(F.pmod("event_id", F.lit(m))), F.lit(m)).alias(
+                    "id_mod"
+                ),
+                F.pmod(
+                    F.sum(F.pmod("ts_us", F.lit(m)) * r), F.lit(m)
+                ).alias("ts_wcks"),
+                F.pmod(F.sum(F.pmod("user_id", F.lit(m))), F.lit(m)).alias(
+                    "uid_mod"
+                ),
+                F.pmod(F.sum(F.length("event_type") * r), F.lit(m)).alias(
+                    "type_wcks"
+                ),
+                F.min("event_type").alias("type_min"),
+                F.pmod(
+                    F.sum(
+                        F.pmod(
+                            F.round(F.col("value") * 100).cast("long"),
+                            F.lit(m),
+                        )
+                    ),
+                    F.lit(m),
+                ).alias("val_mod"),
+                F.pmod(F.sum(F.length("props") * r), F.lit(m)).alias(
+                    "props_wcks"
+                ),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_column_roundtrip"] = table_roundtrip
+
+    # zone-map range scan on the table store: chunk manifests prune on a
+    # Catalyst filter before any frame decodes
+    def table_range_scan(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_range,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        lo, hi = 1704240000000000, 1704844800000000  # 2024-01-03..10 UTC
+        return (
+            scan_table_range(blocks, ev.schema, "ts_us", lo, hi)
+            .select("event_id", "ts_us", "event_type")
+            .orderBy("event_id")
+        )
+
+    q["table_range_scan"] = table_range_scan
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2317,6 +2400,33 @@ ORDER BY doc_id
     )
 
     o["timestamp_column_roundtrip"] = int64_roundtrip_rollup_sql()
+    o["table_column_roundtrip"] = """
+WITH rows_ AS (
+  SELECT event_id // 256 AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // 256
+                            ORDER BY event_id) AS r,
+         event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(((SUM(event_id % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS id_mod,
+  CAST(((SUM((ts_us % 1000003) * r) % 1000003) + 1000003) % 1000003
+    AS BIGINT) AS ts_wcks,
+  CAST(((SUM(user_id % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS uid_mod,
+  CAST(SUM(LENGTH(event_type) * r) % 1000003 AS BIGINT) AS type_wcks,
+  MIN(event_type) AS type_min,
+  CAST(((SUM(CAST(round(value * 100) AS BIGINT) % 1000003) % 1000003)
+    + 1000003) % 1000003 AS BIGINT) AS val_mod,
+  CAST(SUM(LENGTH(props) * r) % 1000003 AS BIGINT) AS props_wcks
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
+    o["table_range_scan"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type
+FROM events
+WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704844800000000
+ORDER BY event_id
+"""
     from mapbox_vector_tile_spark.engine.text_column import (
         text_roundtrip_rollup_sql,
     )
