@@ -35,10 +35,16 @@ def test_float64_kernel_edges():
         _f64_rt(a)
 
 
-def test_float64_bss_beats_raw_on_measures():
+def test_float64_mode_selection():
+    from mapbox_vector_tile_spark.codec.float64 import F64_ALP
+
     rng = np.random.default_rng(5)
+    # cents-exact measures: the decimal path crushes byte-split
     mode, size = _f64_rt(rng.integers(0, 100_000, 8192) / 100.0)
-    assert mode == F64_BSS and size < 8 * 8192 * 0.75
+    assert mode == F64_ALP and size < 8 * 8192 * 0.35
+    # full-mantissa uniforms: no shared decimal exponent, BSS still wins
+    mode, size = _f64_rt(rng.random(8192))
+    assert mode == F64_BSS and size < 8 * 8192
 
 
 @settings(max_examples=150, deadline=None)
