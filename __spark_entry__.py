@@ -1478,6 +1478,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_range_scan"] = table_range_scan
 
+    # streaming ingest into the table store: events replayed through a
+    # real availableNow stream in several micro-batches; decoded content
+    # must equal the source bit-exactly regardless of the batch split
+    def streaming_table_ingest(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.table_encode import decode_table
+        from mapbox_vector_tile_spark.streaming.table_sink import (
+            start_table_encode_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_tblstream_")
+        try:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            ev.repartition(8).write.parquet(f"{work}/src")
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 3)
+                .parquet(f"{work}/src")
+            )
+            sq = start_table_encode_stream(
+                stream, "event_id", f"{work}/blocks", f"{work}/ckpt", 256
+            )
+            sq.awaitTermination()
+            blocks = spark.read.parquet(f"{work}/blocks").drop("batch_id")
+            dec = decode_table(blocks, ev.schema)
+            res = dec.select(
+                "event_id",
+                "ts_us",
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+                "props",
+            ).orderBy("event_id")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_table_ingest"] = streaming_table_ingest
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2420,6 +2468,11 @@ SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
     + 1000003) % 1000003 AS BIGINT) AS val_mod,
   CAST(SUM(LENGTH(props) * r) % 1000003 AS BIGINT) AS props_wcks
 FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
+    o["streaming_table_ingest"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_c, props
+FROM events ORDER BY event_id
 """
     o["table_range_scan"] = """
 SELECT event_id, epoch_us(ts) AS ts_us, event_type

@@ -126,3 +126,30 @@ def test_zone_map_range_scan_prunes_and_matches(spark, events):
         (F.element_at("mins", idx) <= hi) & (F.element_at("maxs", idx) >= lo)
     ).count()
     assert kept < blocks.count() / 3
+
+
+def test_streaming_table_ingest_multibatch(spark, events, tmp_path):
+    from mapbox_vector_tile_spark.engine.table_encode import decode_table
+    from mapbox_vector_tile_spark.streaming.table_sink import (
+        start_table_encode_stream,
+    )
+
+    src = str(tmp_path / "src")
+    events.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sq = start_table_encode_stream(
+        stream, "event_id", str(tmp_path / "blocks"), str(tmp_path / "ckpt"), 128
+    )
+    sq.awaitTermination()
+    blocks = spark.read.parquet(str(tmp_path / "blocks"))
+    assert blocks.select("batch_id").distinct().count() > 1  # real multi-batch
+    dec = decode_table(blocks.drop("batch_id"), events.schema)
+    got = {r.event_id: (r.ts_us, r.user_id, r.event_type, r.value, r.props)
+           for r in dec.collect()}
+    want = {r.event_id: (r.ts_us, r.user_id, r.event_type, r.value, r.props)
+            for r in events.collect()}
+    assert got == want
