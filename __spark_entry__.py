@@ -1526,6 +1526,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_table_ingest"] = streaming_table_ingest
 
+    # MERGE (upsert) on the table store: chunk-bounded copy-on-write;
+    # merged blocks are bit-identical to a from-scratch encode of the
+    # merged table, gated by the same per-chunk per-column checksums
+    def table_merge(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+            merge_table,
+        )
+
+        m = 1_000_003
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            "props",
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        updates = ev.filter(F.pmod("event_id", F.lit(37)) == 0).select(
+            "event_id",
+            "ts_us",
+            "user_id",
+            F.lit("updated").alias("event_type"),
+            (F.col("value_c") + 100).alias("value_c"),
+            "props",
+        )
+        merged = merge_table(blocks, updates, "event_id", ev.schema, 256)
+        dec = decode_table(merged, ev.schema)
+        r = F.col("pos") + 1
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.pmod(
+                    F.sum(F.pmod("ts_us", F.lit(m)) * r), F.lit(m)
+                ).alias("ts_wcks"),
+                F.pmod(F.sum(F.length("event_type") * r), F.lit(m)).alias(
+                    "type_wcks"
+                ),
+                F.pmod(F.sum(F.pmod("value_c", F.lit(m))), F.lit(m)).alias(
+                    "val_mod"
+                ),
+                F.pmod(F.sum(F.length("props") * r), F.lit(m)).alias(
+                    "props_wcks"
+                ),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_merge_rollup"] = table_merge
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2466,6 +2519,27 @@ SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
   MIN(event_type) AS type_min,
   CAST(((SUM(CAST(round(value * 100) AS BIGINT) % 1000003) % 1000003)
     + 1000003) % 1000003 AS BIGINT) AS val_mod,
+  CAST(SUM(LENGTH(props) * r) % 1000003 AS BIGINT) AS props_wcks
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
+    o["table_merge_rollup"] = """
+WITH rows_ AS (
+  SELECT event_id // 256 AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // 256
+                            ORDER BY event_id) AS r,
+         epoch_us(ts) AS ts_us,
+         CASE WHEN event_id % 37 = 0 THEN 'updated'
+              ELSE event_type END AS event_type,
+         CAST(round(value * 100) AS BIGINT)
+           + CASE WHEN event_id % 37 = 0 THEN 100 ELSE 0 END AS value_c,
+         props
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(((SUM((ts_us % 1000003) * r) % 1000003) + 1000003) % 1000003
+    AS BIGINT) AS ts_wcks,
+  CAST(SUM(LENGTH(event_type) * r) % 1000003 AS BIGINT) AS type_wcks,
+  CAST(((SUM(value_c % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS val_mod,
   CAST(SUM(LENGTH(props) * r) % 1000003 AS BIGINT) AS props_wcks
 FROM rows_ GROUP BY chunk ORDER BY chunk
 """

@@ -234,3 +234,59 @@ def scan_table_range(
     )
     dec = decode_table(kept, df_schema)
     return dec.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+
+def merge_table(
+    blocks: DataFrame,
+    updates: DataFrame,
+    order_col: str,
+    df_schema,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """MERGE (upsert by the order key) with chunk-bounded copy-on-write:
+    only chunks whose key range the updates touch are decoded, merged and
+    re-encoded; every other block row passes through byte-verbatim.
+
+    Because the chunk layout is a pure function of the data, the merged
+    blocks are BIT-IDENTICAL to a from-scratch ``encode_table`` of the
+    merged table — the invariant the tests assert and the oracle gate
+    exploits. At scale the rewrite cost is O(touched chunks), the
+    classic copy-on-write MERGE bound; the untouched side never leaves
+    the manifest scan."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    names = [f.name for f in df_schema.fields]
+    chunk_of = (
+        (F.col(order_col) - F.pmod(F.col(order_col), F.lit(chunk_rows)))
+        / chunk_rows
+    ).cast("long")
+    upd = updates.select(chunk_of.alias("chunk"), *names)
+    touched = upd.select("chunk").distinct()
+
+    untouched = blocks.join(touched, "chunk", "left_anti")
+    old_rows = decode_table(
+        blocks.join(touched, "chunk", "left_semi"), df_schema
+    ).select(*names)
+
+    # updates win on key collision: src is the leading struct field, so
+    # max(struct) picks the update row deterministically
+    merged = (
+        old_rows.withColumn("__src", F.lit(0))
+        .unionByName(upd.select(*names).withColumn("__src", F.lit(1)))
+        .groupBy(order_col)
+        .agg(
+            F.max(
+                F.struct("__src", *[c for c in names if c != order_col])
+            ).alias("__row")
+        )
+        .select(
+            order_col,
+            *[F.col(f"__row.{c}").alias(c) for c in names if c != order_col],
+        )
+        .select(*names)
+    )
+    return untouched.unionByName(
+        encode_table(merged, order_col, chunk_rows)
+    )

@@ -153,3 +153,43 @@ def test_streaming_table_ingest_multibatch(spark, events, tmp_path):
     want = {r.event_id: (r.ts_us, r.user_id, r.event_type, r.value, r.props)
             for r in events.collect()}
     assert got == want
+
+
+def test_merge_bit_identical_to_full_reencode(spark, events):
+    from mapbox_vector_tile_spark.engine.table_encode import merge_table
+
+    blocks = encode_table(events, "event_id", 128)
+    blocks.cache().count()
+    # updates touch a narrow key band + insert brand-new keys past the end
+    upd_existing = events.filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 140)
+    ).withColumn("event_type", F.lit("patched"))
+    top = events.agg(F.max("event_id")).first()[0]
+    inserts = events.limit(5).select(
+        (F.col("event_id") + top + 1).alias("event_id"),
+        "ts_us", "user_id", F.lit("inserted").alias("event_type"),
+        "value", "props",
+    )
+    updates = upd_existing.unionByName(inserts)
+    merged = merge_table(blocks, updates, "event_id", events.schema, 128)
+
+    # ground truth: apply the merge relationally, re-encode from scratch
+    keys = [r.event_id for r in updates.select("event_id").collect()]
+    full = events.filter(~F.col("event_id").isin(keys)).unionByName(updates)
+    want = {
+        r.chunk: (r.n_rows, r.codecs, [bytes(x) for x in r.payloads])
+        for r in encode_table(full, "event_id", 128).collect()
+    }
+    got = {
+        r.chunk: (r.n_rows, r.codecs, [bytes(x) for x in r.payloads])
+        for r in merged.collect()
+    }
+    assert got == want
+    # copy-on-write is bounded: untouched chunks pass through byte-equal
+    touched = {k // 128 for k in keys}
+    n_blocks = blocks.count()
+    assert merged.count() == len(
+        set(got)
+    ) and n_blocks - len(touched & {r.chunk for r in blocks.collect()}) == len(
+        [c for c in got if c not in touched]
+    )
