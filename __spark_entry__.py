@@ -1579,6 +1579,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_merge_rollup"] = table_merge
 
+    def _events_table(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    # projection pushdown on the table store: only the two selected
+    # columns' frames are parsed (unselected frames' payload bytes stay
+    # untouched — proven by the poisoned-frame pytest); rollup checksums
+    # gate the projected content
+    def table_projection(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+
+        m = 1_000_003
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        dec = decode_table(blocks, ev.schema, ["event_id", "event_type"])
+        r = F.col("pos") + 1
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.pmod(F.sum(F.pmod("event_id", F.lit(m))), F.lit(m)).alias(
+                    "id_mod"
+                ),
+                F.pmod(F.sum(F.length("event_type") * r), F.lit(m)).alias(
+                    "type_wcks"
+                ),
+                F.min("event_type").alias("type_min"),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_projection_scan"] = table_projection
+
+    # float zone maps: range scan on the double measure column — lo/hi
+    # map through the order-preserving IEEE-754 key, manifest prunes in
+    # int64 key space, row predicate re-applies in the value domain
+    def table_float_range(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_range,
+        )
+
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        return (
+            scan_table_range(
+                blocks, ev.schema, "value", 50.0, 80.0,
+                ["event_id", "event_type", "value"],
+            )
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+
+    q["table_float_range_scan"] = table_float_range
+
+    # dictionary-predicate string equality: chunks without the value
+    # prune at dict-table cost (index stream + other frames untouched);
+    # matching chunks filter by integer code compare, surviving rows
+    # gather through Arrow take
+    def table_string_eq(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_string_eq,
+        )
+
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        return (
+            scan_table_string_eq(
+                blocks, ev.schema, "event_type", "purchase",
+                ["event_id", "event_type", "value"],
+            )
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+
+    q["table_string_eq_scan"] = table_string_eq
+
+    # ANALYZE from the manifest alone: per-column count + min/max out of
+    # the zone-map arrays (floats back through the inverse key map) — no
+    # frame ever decodes (poisoned-payload pytest proves it)
+    def table_stats_q(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            table_stats,
+        )
+
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        return table_stats(blocks, ev.schema).orderBy("col")
+
+    q["table_stats_analyze"] = table_stats_q
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2553,6 +2655,49 @@ SELECT event_id, epoch_us(ts) AS ts_us, event_type
 FROM events
 WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704844800000000
 ORDER BY event_id
+"""
+    o["table_projection_scan"] = """
+WITH rows_ AS (
+  SELECT event_id // 256 AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // 256
+                            ORDER BY event_id) AS r,
+         event_id, event_type
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(((SUM(event_id % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS id_mod,
+  CAST(SUM(LENGTH(event_type) * r) % 1000003 AS BIGINT) AS type_wcks,
+  MIN(event_type) AS type_min
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
+    o["table_float_range_scan"] = """
+SELECT event_id, event_type, value
+FROM events WHERE value BETWEEN 50.0 AND 80.0
+ORDER BY event_id
+"""
+    o["table_string_eq_scan"] = """
+SELECT event_id, event_type, value
+FROM events WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+    o["table_stats_analyze"] = """
+WITH s AS (SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    MIN(event_id) AS id_min, MAX(event_id) AS id_max,
+    MIN(epoch_us(ts)) AS ts_min, MAX(epoch_us(ts)) AS ts_max,
+    MIN(user_id) AS uid_min, MAX(user_id) AS uid_max,
+    MIN(value) AS v_min, MAX(value) AS v_max
+  FROM events)
+SELECT t.col, s.n AS n_rows,
+  CASE t.col WHEN 'event_id' THEN id_min WHEN 'ts_us' THEN ts_min
+             WHEN 'user_id' THEN uid_min END AS min_long,
+  CASE t.col WHEN 'event_id' THEN id_max WHEN 'ts_us' THEN ts_max
+             WHEN 'user_id' THEN uid_max END AS max_long,
+  CASE t.col WHEN 'value' THEN v_min END AS min_double,
+  CASE t.col WHEN 'value' THEN v_max END AS max_double
+FROM s, (VALUES ('event_id'), ('event_type'), ('props'), ('ts_us'),
+                ('user_id'), ('value')) t(col)
+ORDER BY t.col
 """
     from mapbox_vector_tile_spark.engine.text_column import (
         text_roundtrip_rollup_sql,

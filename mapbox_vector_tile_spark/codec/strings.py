@@ -45,6 +45,45 @@ def encode_string_chunk(values: list[str] | np.ndarray) -> bytes:
     )
 
 
+def string_chunk_find(buf: bytes | memoryview, value: str) -> int:
+    """Dictionary-only membership probe: the rank of ``value`` in the
+    chunk's frequency-ordered dictionary, or -1. Parses ONLY the dict
+    blob — the bit-packed index stream is never touched, and the scan
+    stops at the first hit (frequent values sit at the front of the
+    frequency order), so an equality predicate can prune a chunk at
+    dictionary cost instead of full-column decode cost."""
+    mv = memoryview(buf)
+    magic, n, card, _iw, blob_len = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError("bad string-chunk magic")
+    if n == 0:
+        return -1
+    off = _HDR.size
+    raw_blob = fsst.decompress(mv[off : off + blob_len])
+    needle = value.encode()
+    p = 0
+    for rank in range(card):
+        (ln,) = struct.unpack_from("<I", raw_blob, p)
+        p += 4
+        if ln == len(needle) and raw_blob[p : p + ln] == needle:
+            return rank
+        p += ln
+    return -1
+
+
+def string_chunk_indices(buf: bytes | memoryview) -> np.ndarray:
+    """The chunk's dictionary-code stream (one uint32 rank per row),
+    without materializing any string: predicates that resolved a value
+    to its rank (:func:`string_chunk_find`) compare integers here."""
+    mv = memoryview(buf)
+    magic, n, _card, iw, blob_len = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError("bad string-chunk magic")
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    return K.bitunpack(mv[_HDR.size + blob_len :], iw, n)
+
+
 def decode_string_chunk(buf: bytes | memoryview) -> list[str]:
     mv = memoryview(buf)
     magic, n, card, iw, blob_len = _HDR.unpack_from(mv)

@@ -64,6 +64,34 @@ _BLOCKS_SCHEMA = (
 )
 
 
+def _float_sort_keys(a: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 image of float64: the classic IEEE-754
+    total-order map (negatives flip all bits, non-negatives flip the sign
+    bit; then the unsigned result is re-biased to signed). Monotone, so a
+    column's [min, max] maps to the key-space [min, max] and float zone
+    maps live in the SAME int64 manifest arrays as the integer kinds."""
+    u = np.ascontiguousarray(a, dtype=np.float64).view(np.uint64)
+    mask = np.where(
+        u >> np.uint64(63),
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        np.uint64(0x8000000000000000),
+    )
+    return ((u ^ mask) ^ np.uint64(1 << 63)).view(np.int64)
+
+
+def _float_sort_key(x: float) -> int:
+    return int(_float_sort_keys(np.array([x], dtype=np.float64))[0])
+
+
+def _float_from_sort_keys(k: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_float_sort_keys` (used to report zone-map stats
+    back in the value domain)."""
+    ku = np.asarray(k, dtype=np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    neg = ~(ku >> np.uint64(63)).astype(bool)
+    u = np.where(neg, ~ku, ku ^ np.uint64(0x8000000000000000))
+    return u.astype(np.uint64).view(np.float64)
+
+
 def _encode_column(vals: pd.Series, kind: str) -> tuple[bytes, str, int]:
     """-> (payload, codec name, bytes_raw)."""
     if vals.isna().any():
@@ -146,7 +174,12 @@ def encode_table(
                 a = pdf[name].to_numpy(np.int64)
                 mins.append(int(a.min()))
                 maxs.append(int(a.max()))
-            else:  # zone maps are integer-domain; other kinds carry none
+            elif kind == KIND_FLOAT64:
+                # float zone maps in the order-preserving int64 key space
+                k = _float_sort_keys(pdf[name].to_numpy(np.float64))
+                mins.append(int(k.min()))
+                maxs.append(int(k.max()))
+            else:  # strings carry no zone map (dict probe prunes instead)
                 mins.append(None)
                 maxs.append(None)
         return pd.DataFrame(
@@ -167,18 +200,36 @@ def encode_table(
     return rows.groupBy("__chunk").applyInPandas(enc, _BLOCKS_SCHEMA)
 
 
-def decode_table(blocks: DataFrame, df_schema) -> DataFrame:
+def decode_table(
+    blocks: DataFrame, df_schema, columns: list[str] | None = None
+) -> DataFrame:
     """Inverse: wide rows ``(chunk, pos, <original columns>)``; ``pos`` is
     the in-chunk rank by the order key, so total order reconstructs.
-    ``df_schema`` is the original table's StructType (or DDL string)."""
+    ``df_schema`` is the original table's StructType (or DDL string).
+
+    ``columns`` is PROJECTION PUSHDOWN: only the named columns' frames
+    are parsed — every other frame's payload bytes stay untouched (a
+    two-column projection of a ten-column table pays two columns of
+    decode CPU and Arrow transfer, the classic columnar-store win; the
+    tests prove it by poisoning an unselected frame)."""
     from pyspark.sql.types import StructType
 
     if isinstance(df_schema, str):
         df_schema = StructType.fromDDL(df_schema)
-    names = [f.name for f in df_schema.fields]
+    all_names = [f.name for f in df_schema.fields]
+    if columns is None:
+        names = all_names
+    else:
+        unknown = set(columns) - set(all_names)
+        if unknown:
+            raise ValueError(f"projection names not in schema: {sorted(unknown)}")
+        names = [n for n in all_names if n in set(columns)]
+    wanted = set(names)
     arrow_fields = [("chunk", pa.int64()), ("pos", pa.int64())]
     spark_ddl = "chunk long, pos long"
     for f in df_schema.fields:
+        if f.name not in wanted:
+            continue
         s = f.dataType.simpleString()
         kind = _SPARK_TO_KIND[s]
         arrow_fields.append(
@@ -205,6 +256,8 @@ def decode_table(blocks: DataFrame, df_schema) -> DataFrame:
                 payloads = batch.column("payloads")[i]
                 by_name = {}
                 for j, (cname, kind) in enumerate(zip(cols, kinds_row)):
+                    if cname not in wanted:
+                        continue  # projection: frame never parsed
                     by_name[cname] = _decode_column(
                         memoryview(payloads[j].as_buffer()), kind, n
                     )
@@ -218,22 +271,171 @@ def decode_table(blocks: DataFrame, df_schema) -> DataFrame:
 
 
 def scan_table_range(
-    blocks: DataFrame, df_schema, col: str, lo: int, hi: int
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    lo,
+    hi,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Range scan with zone-map pruning: chunks whose ``[min, max]`` for
     ``col`` misses ``[lo, hi]`` are dropped by a CATALYST filter on the
     manifest arrays BEFORE any frame is decoded (payload bytes of pruned
     chunks are never touched — the filter reaches the blocks scan), then
-    the row predicate re-applies post-decode. Integer-domain columns only
-    (the zone maps stored by :func:`encode_table`)."""
+    the row predicate re-applies post-decode. Integer columns compare in
+    the value domain; float64 columns compare in the order-preserving
+    key space (``lo``/``hi`` are mapped through the same monotone map the
+    encoder stored, so the manifest filter stays a pure int64 range).
+    ``columns`` forwards projection pushdown (must include ``col``)."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kind = dict(
+        (f.name, _SPARK_TO_KIND[f.dataType.simpleString()])
+        for f in df_schema.fields
+    ).get(col)
+    if kind == KIND_FLOAT64:
+        klo, khi = _float_sort_key(float(lo)), _float_sort_key(float(hi))
+    elif kind in (KIND_INT32, KIND_INT64):
+        klo, khi = int(lo), int(hi)
+    else:
+        raise ValueError(f"range scan needs an int/float column, got {col!r}")
+    if columns is not None and col not in columns:
+        raise ValueError("projection must include the predicate column")
     idx = F.array_position(F.col("cols"), F.lit(col))
     kept = blocks.filter(
         (idx > 0)
-        & (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(hi))
-        & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(lo))
+        & (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(khi))
+        & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(klo))
     )
-    dec = decode_table(kept, df_schema)
+    dec = decode_table(kept, df_schema, columns)
     return dec.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
+
+def scan_table_string_eq(
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    value: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Equality scan on a dictionary-encoded string column, resolved at
+    DICTIONARY level: per chunk, the predicate value is probed against
+    the frame's frequency-ordered dict table alone
+    (:func:`~..codec.strings.string_chunk_find`) — a chunk without the
+    value is skipped having parsed ONLY its dict blob (no index stream,
+    no other column's frame); a chunk with it filters by integer code
+    compare on the bit-packed index stream, and only the surviving ROWS
+    of the projected columns materialize (Arrow ``take``). This is the
+    dictionary-predicate evaluation of the classic columnar engines,
+    over the engine's own string frames."""
+    from pyspark.sql.types import StructType
+
+    from ..codec.strings import string_chunk_find, string_chunk_indices
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {f.name: _SPARK_TO_KIND[f.dataType.simpleString()] for f in df_schema.fields}
+    if kinds.get(col) != KIND_STRING:
+        raise ValueError(f"{col!r} is not a string column")
+    all_names = [f.name for f in df_schema.fields]
+    names = all_names if columns is None else [n for n in all_names if n in set(columns)]
+    if columns is not None and set(columns) - set(all_names):
+        raise ValueError("projection names not in schema")
+    arrow_fields = [("chunk", pa.int64()), ("pos", pa.int64())]
+    spark_ddl = "chunk long, pos long"
+    pa_type = {
+        KIND_INT32: pa.int32(),
+        KIND_INT64: pa.int64(),
+        KIND_FLOAT64: pa.float64(),
+        KIND_STRING: pa.string(),
+    }
+    ddl_of = {f.name: f.dataType.simpleString() for f in df_schema.fields}
+    for n in names:
+        arrow_fields.append((n, pa_type[kinds[n]]))
+        spark_ddl += f", {n} {ddl_of[n]}"
+    out_schema = pa.schema(arrow_fields)
+    name_set = set(names)
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for i in range(batch.num_rows):
+                cols_row = batch.column("cols")[i].as_py()
+                payloads = batch.column("payloads")[i]
+                j_pred = cols_row.index(col)
+                pred_buf = memoryview(payloads[j_pred].as_buffer())
+                rank = string_chunk_find(pred_buf, value)
+                if rank < 0:
+                    continue  # dict probe pruned the chunk
+                codes = string_chunk_indices(pred_buf)
+                sel = np.flatnonzero(codes == np.uint32(rank))
+                if sel.size == 0:
+                    continue
+                chunk = batch.column("chunk")[i].as_py()
+                n = batch.column("n_rows")[i].as_py()
+                kinds_row = batch.column("kinds")[i].as_py()
+                take = pa.array(sel)
+                by_name = {}
+                for j, (cname, kind) in enumerate(zip(cols_row, kinds_row)):
+                    if cname not in name_set:
+                        continue
+                    full = _decode_column(
+                        memoryview(payloads[j].as_buffer()), kind, n
+                    )
+                    by_name[cname] = full.take(take)
+                arrays = [
+                    pa.array(np.full(sel.size, chunk, np.int64)),
+                    pa.array(sel.astype(np.int64)),
+                ] + [by_name[m] for m in names]
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return blocks.mapInArrow(scan, spark_ddl)
+
+
+def table_stats(blocks: DataFrame, df_schema) -> DataFrame:
+    """ANALYZE from the manifest alone: per-column row count and min/max
+    computed by a Catalyst aggregate over the zone-map arrays — NO frame
+    ever decodes (string columns report count only; their zone map is the
+    dict probe, not a range). Float extrema come back through the inverse
+    of the order-preserving key map. The aggregate input is the manifest
+    (one row per chunk), so at 100 TB this is a metadata-sized job."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    spark = blocks.sparkSession
+    z = blocks.select(
+        "n_rows",
+        F.explode(F.arrays_zip("cols", "kinds", "mins", "maxs")).alias("z"),
+    )
+    agg = (
+        z.groupBy(
+            F.col("z.cols").alias("col"), F.col("z.kinds").alias("kind")
+        )
+        .agg(
+            F.sum("n_rows").alias("n"),
+            F.min("z.mins").alias("kmin"),
+            F.max("z.maxs").alias("kmax"),
+        )
+    )
+    rows = agg.collect()  # one row per column: scalar-sized final result
+    order = {f.name: i for i, f in enumerate(df_schema.fields)}
+    out = []
+    for r in sorted(rows, key=lambda r: order.get(r["col"], len(order))):
+        if r["kind"] in (KIND_INT32, KIND_INT64):
+            out.append((r["col"], r["n"], r["kmin"], r["kmax"], None, None))
+        elif r["kind"] == KIND_FLOAT64:
+            lo = float(_float_from_sort_keys(np.array([r["kmin"]]))[0])
+            hi = float(_float_from_sort_keys(np.array([r["kmax"]]))[0])
+            out.append((r["col"], r["n"], None, None, lo, hi))
+        else:
+            out.append((r["col"], r["n"], None, None, None, None))
+    return spark.createDataFrame(
+        out,
+        "col string, n_rows long, min_long long, max_long long, "
+        "min_double double, max_double double",
+    )
 
 
 def merge_table(

@@ -193,3 +193,124 @@ def test_merge_bit_identical_to_full_reencode(spark, events):
     ) and n_blocks - len(touched & {r.chunk for r in blocks.collect()}) == len(
         [c for c in got if c not in touched]
     )
+
+
+def test_float_sort_key_monotone_and_inverse():
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        _float_from_sort_keys,
+        _float_sort_keys,
+    )
+
+    vals = np.array(
+        [-np.inf, -1.7e308, -1.0, -5e-324, -0.0, 0.0, 5e-324, 1.0, 1.7e308, np.inf]
+    )
+    keys = _float_sort_keys(vals)
+    assert (np.diff(keys) > 0).all()  # total order, -0.0 strictly below 0.0
+    back = _float_from_sort_keys(keys)
+    assert np.array_equal(back.view(np.uint64), vals.view(np.uint64))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_float_sort_key_order_parity(xs):
+    from mapbox_vector_tile_spark.engine.table_encode import _float_sort_keys
+
+    a = np.asarray(xs, np.float64)
+    keys = _float_sort_keys(a)
+    # ordering by key == ordering by value (-0.0/0.0 compare equal here)
+    assert np.array_equal(a[np.argsort(keys, kind="stable")], np.sort(a))
+
+
+def _poison_column(spark, blocks, col):
+    """Corrupt ``col``'s payload bytes in every chunk (pure Catalyst — a
+    pandas roundtrip would push the null-mixed zone-map longs through
+    float64 and shave their low bits)."""
+    j = F.array_position(F.col("cols"), F.lit(col))
+    return blocks.withColumn(
+        "payloads",
+        F.transform(
+            "payloads",
+            lambda p, i: F.when(i == j - 1, F.lit(b"\xde\xad\xbe\xef")).otherwise(p),
+        ),
+    )
+
+
+def test_projection_pushdown_skips_unselected_frames(spark, events):
+    blocks = encode_table(events, "event_id", 256)
+    poisoned = _poison_column(spark, blocks, "props")
+    # full decode must hit the poisoned frame
+    with pytest.raises(Exception):
+        decode_table(poisoned, events.schema).collect()
+    # projection that excludes it never parses the frame
+    dec = decode_table(poisoned, events.schema, ["event_id", "event_type"])
+    assert dec.columns == ["chunk", "pos", "event_id", "event_type"]
+    got = {r.event_id: r.event_type for r in dec.collect()}
+    want = {r.event_id: r.event_type for r in events.collect()}
+    assert got == want
+
+
+def test_float_range_scan_prunes_and_matches(spark, events):
+    from mapbox_vector_tile_spark.engine.table_encode import scan_table_range
+
+    blocks = encode_table(events, "event_id", 128)
+    blocks.cache().count()
+    lo, hi = 10.0, 60.0
+    got = scan_table_range(
+        blocks, events.schema, "value", lo, hi, ["event_id", "value"]
+    )
+    want = events.filter((F.col("value") >= lo) & (F.col("value") <= hi))
+    assert {r.event_id for r in got.collect()} == {
+        r.event_id for r in want.collect()
+    }
+
+
+def test_string_eq_scan_dict_prune(spark, events):
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        scan_table_string_eq,
+    )
+
+    blocks = encode_table(events, "event_id", 128)
+    val = events.groupBy("event_type").count().orderBy("count").first()[0]
+    got = scan_table_string_eq(
+        blocks, events.schema, "event_type", val, ["event_id", "event_type", "value"]
+    )
+    want = events.filter(F.col("event_type") == val)
+    g = {r.event_id: r.value for r in got.collect()}
+    w = {r.event_id: r.value for r in want.collect()}
+    assert g == w and all(
+        r.event_type == val for r in got.collect()
+    )
+    # absent value: every chunk prunes at dict cost, zero rows, and even a
+    # poisoned UNRELATED column never decodes
+    poisoned = _poison_column(spark, blocks, "props")
+    assert (
+        scan_table_string_eq(
+            poisoned, events.schema, "event_type", "no-such-type"
+        ).count()
+        == 0
+    )
+
+
+def test_table_stats_manifest_only(spark, events):
+    from mapbox_vector_tile_spark.engine.table_encode import table_stats
+
+    blocks = encode_table(events, "event_id", 256)
+    # stats must come from the manifest alone: poison EVERY payload
+    poisoned = blocks.withColumn(
+        "payloads",
+        F.transform("payloads", lambda p: F.lit(b"\xde\xad\xbe\xef")),
+    )
+    stats = {r.col: r for r in table_stats(poisoned, events.schema).collect()}
+    n = events.count()
+    assert all(r.n_rows == n for r in stats.values())
+    assert stats["event_id"].min_long == events.agg(F.min("event_id")).first()[0]
+    assert stats["ts_us"].max_long == events.agg(F.max("ts_us")).first()[0]
+    assert stats["value"].min_double == events.agg(F.min("value")).first()[0]
+    assert stats["value"].max_double == events.agg(F.max("value")).first()[0]
+    assert stats["event_type"].min_long is None
