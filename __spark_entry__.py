@@ -1526,6 +1526,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_table_ingest"] = streaming_table_ingest
 
+    # streaming MERGE into the versioned table store: base waves then an
+    # update wave through TWO sequential availableNow runs sharing one
+    # checkpoint (arrival order = apply order); each version dir holds
+    # ONLY the touched chunks (CoW bound, pytest-asserted); the decoded
+    # live table must equal last-writer-wins applied relationally
+    def streaming_table_upsert(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.table_encode import decode_table
+        from mapbox_vector_tile_spark.streaming.table_sink import (
+            read_current_table_blocks,
+            start_table_upsert_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_tblupsert_")
+        try:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+                "props",
+            )
+
+            def run_stream():
+                stream = (
+                    spark.readStream.schema(ev.schema)
+                    .option("maxFilesPerTrigger", 2)
+                    .parquet(f"{work}/src")
+                )
+                sq = start_table_upsert_stream(
+                    stream, "event_id", ev.schema,
+                    f"{work}/store", f"{work}/ckpt", 256,
+                )
+                sq.awaitTermination()
+
+            ev.repartition(4).write.parquet(f"{work}/src")
+            run_stream()  # base waves
+            updates = ev.filter(F.pmod("event_id", F.lit(37)) == 0).select(
+                "event_id", "ts_us", "user_id",
+                F.lit("updated").alias("event_type"),
+                (F.col("value_c") + 100).alias("value_c"), "props",
+            )
+            updates.coalesce(1).write.mode("append").parquet(f"{work}/src")
+            run_stream()  # update wave (new files only, same checkpoint)
+
+            cur = read_current_table_blocks(spark, f"{work}/store")
+            res = (
+                decode_table(cur, ev.schema)
+                .select(
+                    "event_id", "ts_us", "user_id", "event_type",
+                    "value_c", "props",
+                )
+                .orderBy("event_id")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_table_upsert"] = streaming_table_upsert
+
     # MERGE (upsert) on the table store: chunk-bounded copy-on-write;
     # merged blocks are bit-identical to a from-scratch encode of the
     # merged table, gated by the same per-chunk per-column checksums
@@ -1680,6 +1743,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return table_stats(blocks, ev.schema).orderBy("col")
 
     q["table_stats_analyze"] = table_stats_q
+
+    # analytics OVER the encoded store, pushdowns composed: time-range
+    # zone-map pruning + three-column projection feed a per-type rollup —
+    # the "query the compressed data directly" shape end to end
+    def table_analytics(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_range,
+        )
+
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        lo, hi = 1704240000000000, 1704844800000000  # 2024-01-03..10 UTC
+        rows = scan_table_range(
+            blocks, ev.schema, "ts_us", lo, hi,
+            ["ts_us", "event_type", "value"],
+        )
+        return (
+            rows.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "cents"
+                ),
+                F.min("ts_us").alias("ts_lo"),
+                F.max("ts_us").alias("ts_hi"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["table_analytics_rollup"] = table_analytics
 
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
@@ -2650,6 +2744,15 @@ SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
        CAST(round(value * 100) AS BIGINT) AS value_c, props
 FROM events ORDER BY event_id
 """
+    o["streaming_table_upsert"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+       CASE WHEN event_id % 37 = 0 THEN 'updated' ELSE event_type END
+         AS event_type,
+       CAST(round(value * 100) AS BIGINT)
+         + CASE WHEN event_id % 37 = 0 THEN 100 ELSE 0 END AS value_c,
+       props
+FROM events ORDER BY event_id
+"""
     o["table_range_scan"] = """
 SELECT event_id, epoch_us(ts) AS ts_us, event_type
 FROM events
@@ -2674,6 +2777,14 @@ FROM rows_ GROUP BY chunk ORDER BY chunk
 SELECT event_id, event_type, value
 FROM events WHERE value BETWEEN 50.0 AND 80.0
 ORDER BY event_id
+"""
+    o["table_analytics_rollup"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       MIN(epoch_us(ts)) AS ts_lo, MAX(epoch_us(ts)) AS ts_hi
+FROM events
+WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704844800000000
+GROUP BY event_type ORDER BY event_type
 """
     o["table_string_eq_scan"] = """
 SELECT event_id, event_type, value

@@ -444,6 +444,7 @@ def merge_table(
     order_col: str,
     df_schema,
     chunk_rows: int = 4096,
+    touched_only: bool = False,
 ) -> DataFrame:
     """MERGE (upsert by the order key) with chunk-bounded copy-on-write:
     only chunks whose key range the updates touch are decoded, merged and
@@ -454,7 +455,12 @@ def merge_table(
     merged table — the invariant the tests assert and the oracle gate
     exploits. At scale the rewrite cost is O(touched chunks), the
     classic copy-on-write MERGE bound; the untouched side never leaves
-    the manifest scan."""
+    the manifest scan.
+
+    ``touched_only=True`` returns ONLY the re-encoded touched chunks
+    (the CoW delta a versioned store persists per commit — see
+    ``streaming/table_sink.start_table_upsert_stream``); the caller owns
+    carrying the untouched blocks forward."""
     from pyspark.sql.types import StructType
 
     if isinstance(df_schema, str):
@@ -467,7 +473,10 @@ def merge_table(
     upd = updates.select(chunk_of.alias("chunk"), *names)
     touched = upd.select("chunk").distinct()
 
-    untouched = blocks.join(touched, "chunk", "left_anti")
+    if touched_only:
+        untouched = None
+    else:
+        untouched = blocks.join(touched, "chunk", "left_anti")
     old_rows = decode_table(
         blocks.join(touched, "chunk", "left_semi"), df_schema
     ).select(*names)
@@ -489,6 +498,7 @@ def merge_table(
         )
         .select(*names)
     )
-    return untouched.unionByName(
-        encode_table(merged, order_col, chunk_rows)
-    )
+    delta = encode_table(merged, order_col, chunk_rows)
+    if touched_only:
+        return delta
+    return untouched.unionByName(delta)

@@ -54,3 +54,130 @@ def start_table_encode_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming MERGE (upsert) into a VERSIONED table store — copy-on-write.
+#
+# Each micro-batch is a wave of upsert rows (last writer wins per order
+# key). A version directory holds ONLY the chunks that batch touched
+# (``merge_table(..., touched_only=True)``) — per-commit write cost is
+# O(touched chunks), never O(store), the Iceberg/Delta CoW MERGE bound.
+# Readers resolve the latest version of each chunk (one manifest-sized
+# window). Exactly-once mirrors the index/snapshot sinks: fresh
+# uuid-suffixed version dirs (a crashed attempt is unreferenced), the
+# ledger records batch_id, replays commit nothing, and the ledger append
+# is the publish point.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession, Window
+
+from ..engine.table_encode import merge_table
+
+
+def _upsert_log_path(store_root: str) -> str:
+    return os.path.join(store_root, "_versions.jsonl")
+
+
+def upsert_version_log(store_root: str) -> list[dict]:
+    path = _upsert_log_path(store_root)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def upserted_batch_ids(store_root: str) -> set[int]:
+    return {v["batch_id"] for v in upsert_version_log(store_root)}
+
+
+def read_current_table_blocks(
+    spark: SparkSession, store_root: str
+) -> DataFrame | None:
+    """The live table: latest version of every chunk. The version rank
+    runs over the MANIFEST rows only (one row per chunk per version that
+    touched it) — payload bytes of superseded versions are never read
+    past the scan."""
+    log = upsert_version_log(store_root)
+    if not log:
+        return None
+    parts = []
+    for i, v in enumerate(log):
+        parts.append(
+            spark.read.parquet(os.path.join(store_root, v["dir"]))
+            .withColumn("__v", F.lit(i))
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    w = Window.partitionBy("chunk").orderBy(F.desc("__v"))
+    return (
+        allb.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__v")
+    )
+
+
+def upsert_micro_batch(
+    spark: SparkSession,
+    store_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    order_col: str,
+    df_schema,
+    chunk_rows: int = 4096,
+) -> str | None:
+    """Apply one micro-batch of upserts as a new CoW version; ``None``
+    when the batch id is already in the ledger (a foreachBatch replay)."""
+    from ..engine.table_encode import encode_table
+
+    if int(batch_id) in upserted_batch_ids(store_root):
+        return None
+    os.makedirs(store_root, exist_ok=True)
+    cur = read_current_table_blocks(spark, store_root)
+    if cur is None:
+        delta = encode_table(batch_df, order_col, chunk_rows)
+    else:
+        delta = merge_table(
+            cur, batch_df, order_col, df_schema, chunk_rows, touched_only=True
+        )
+    vname = f"v{len(upsert_version_log(store_root)) + 1}-{uuid.uuid4().hex[:8]}"
+    delta.write.parquet(os.path.join(store_root, vname))
+    with open(_upsert_log_path(store_root), "a") as f:
+        f.write(json.dumps({"batch_id": int(batch_id), "dir": vname}) + "\n")
+    return vname
+
+
+def start_table_upsert_stream(
+    rows_stream: DataFrame,
+    order_col: str,
+    df_schema,
+    store_root: str,
+    stream_checkpoint_dir: str,
+    chunk_rows: int = 4096,
+    trigger_once: bool = True,
+):
+    """Start a streaming MERGE into the versioned table store. Returns
+    the StreamingQuery. Last writer wins per order key ACROSS batches
+    (micro-batch order is the stream's arrival order); rows within one
+    micro-batch should carry unique keys — upstream streaming dedup
+    (``dedup_stream``) is the companion operator."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_micro_batch(
+            batch_df.sparkSession, store_root, batch_df, batch_id,
+            order_col, df_schema, chunk_rows,
+        )
+
+    writer = (
+        rows_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -314,3 +314,72 @@ def test_table_stats_manifest_only(spark, events):
     assert stats["value"].min_double == events.agg(F.min("value")).first()[0]
     assert stats["value"].max_double == events.agg(F.max("value")).first()[0]
     assert stats["event_type"].min_long is None
+
+
+def test_streaming_upsert_cow_versions(spark, events, tmp_path):
+    from mapbox_vector_tile_spark.streaming.table_sink import (
+        read_current_table_blocks,
+        start_table_upsert_stream,
+        upsert_version_log,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    ev = events.select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"), "props",
+    )
+    ev.repartition(2).write.parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sq = start_table_upsert_stream(
+            stream, "event_id", ev.schema, store, ckpt, 128
+        )
+        sq.awaitTermination()
+
+    run_stream()  # base waves (2+ micro-batches)
+    n_base_versions = len(upsert_version_log(store))
+    assert n_base_versions >= 2
+
+    # update wave: a narrow key range -> only its chunks rewrite
+    updates = ev.filter(F.col("event_id") < 100).select(
+        "event_id", "ts_us", "user_id",
+        F.lit("updated").alias("event_type"),
+        (F.col("value_c") + 100).alias("value_c"), "props",
+    )
+    updates.coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    log = upsert_version_log(store)
+    assert len(log) == n_base_versions + 1
+
+    # CoW bound: the update version holds ONLY the touched chunks
+    import os
+
+    latest = spark.read.parquet(os.path.join(store, log[-1]["dir"]))
+    assert latest.count() == 1  # ids < 100 live in chunk 0 at 128 rows
+
+    # content: last writer wins per key
+    from mapbox_vector_tile_spark.engine.table_encode import decode_table
+
+    cur = read_current_table_blocks(spark, store)
+    dec = decode_table(cur, ev.schema)
+    got = {r.event_id: (r.event_type, r.value_c) for r in dec.collect()}
+    want = {
+        r.event_id: (
+            ("updated", r.value_c + 100)
+            if r.event_id < 100
+            else (r.event_type, r.value_c)
+        )
+        for r in ev.collect()
+    }
+    assert got == want
+
+    # replay: a rerun with the same checkpoint commits nothing
+    run_stream()
+    assert len(upsert_version_log(store)) == len(log)
