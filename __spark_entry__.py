@@ -1775,6 +1775,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_analytics_rollup"] = table_analytics
 
+    # nullable columns through the table store: validity bitmaps in the
+    # manifest, inner frames hold only non-null values, decode re-expands
+    # — per-chunk checksums + null counts gate position-exact nulls
+    def table_nullable(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+
+        m = 1_000_003
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.when(F.pmod("event_id", F.lit(7)) == 0, F.lit(None))
+            .otherwise(F.round(F.col("value") * 100).cast("long"))
+            .alias("value_c"),
+            F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        dec = decode_table(blocks, ev.schema)
+        r = F.col("pos") + 1
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.count("value_c").cast("long").alias("n_val"),
+                F.count("event_type").cast("long").alias("n_type"),
+                F.pmod(
+                    F.sum(F.coalesce(F.pmod("value_c", F.lit(m)), F.lit(0)) * r),
+                    F.lit(m),
+                ).alias("val_wcks"),
+                F.pmod(
+                    F.sum(F.coalesce(F.length("event_type"), F.lit(0)) * r),
+                    F.lit(m),
+                ).alias("type_wcks"),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_nullable_roundtrip"] = table_nullable
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2785,6 +2827,25 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM events
 WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704844800000000
 GROUP BY event_type ORDER BY event_type
+"""
+    o["table_nullable_roundtrip"] = """
+WITH rows_ AS (
+  SELECT event_id // 256 AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // 256
+                            ORDER BY event_id) AS r,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS value_c,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END
+           AS event_type
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(value_c) AS BIGINT) AS n_val,
+  CAST(COUNT(event_type) AS BIGINT) AS n_type,
+  CAST(((SUM(COALESCE(value_c % 1000003, 0) * r) % 1000003) + 1000003)
+    % 1000003 AS BIGINT) AS val_wcks,
+  CAST(SUM(COALESCE(LENGTH(event_type), 0) * r) % 1000003 AS BIGINT)
+    AS type_wcks
+FROM rows_ GROUP BY chunk ORDER BY chunk
 """
     o["table_string_eq_scan"] = """
 SELECT event_id, event_type, value

@@ -16,9 +16,12 @@ resume/oracle property everything else here has); encode is ONE shuffle
 on the chunk id with worker memory O(chunk_rows * columns); decode is a
 stateless ``mapInArrow`` emitting wide rows, parallel by chunk row.
 
-Null handling is fail-fast: nullable columns go through the validity
-wrapper (``engine/columnar.encode_scalar_column_nullable``) — this
-module keeps the frame layout orthogonal to null semantics.
+Null handling: a nullable column stores a packed validity bitmap in the
+``valids`` manifest column and its inner frame encodes only the
+non-null values (so a column that is constant-when-present still picks
+CONSTANT, and zone maps stay over real values); decode re-expands nulls
+with one vectorized Arrow ``take``. The order key must be null-free.
+All-null chunks store a zero-byte ``all_null`` frame.
 
 Reference parity: the reference stores per-feature attribute values in
 per-tile typed value tables (/root/reference/mapbox_vector_tile/
@@ -47,6 +50,8 @@ KIND_INT32 = "int32"
 KIND_INT64 = "int64"
 KIND_FLOAT64 = "float64"
 KIND_STRING = "string"
+KIND_DATE = "date"
+KIND_BOOL = "bool"
 
 _SPARK_TO_KIND = {
     "int": KIND_INT32,
@@ -55,12 +60,27 @@ _SPARK_TO_KIND = {
     "long": KIND_INT64,
     "double": KIND_FLOAT64,
     "string": KIND_STRING,
+    "date": KIND_DATE,
+    "boolean": KIND_BOOL,
 }
+
+_PA_TYPE = {
+    KIND_INT32: pa.int32(),
+    KIND_INT64: pa.int64(),
+    KIND_FLOAT64: pa.float64(),
+    KIND_STRING: pa.string(),
+    KIND_DATE: pa.date32(),
+    KIND_BOOL: pa.bool_(),
+}
+
+# all-null chunk marker: zero-byte payload, no inner frame at all
+_CODEC_ALL_NULL = "all_null"
 
 _BLOCKS_SCHEMA = (
     "chunk long, n_rows long, cols array<string>, kinds array<string>, "
     "codecs array<string>, bytes_enc array<long>, bytes_raw array<long>, "
-    "mins array<long>, maxs array<long>, payloads array<binary>"
+    "mins array<long>, maxs array<long>, valids array<binary>, "
+    "payloads array<binary>"
 )
 
 
@@ -92,12 +112,21 @@ def _float_from_sort_keys(k: np.ndarray) -> np.ndarray:
     return u.astype(np.uint64).view(np.float64)
 
 
+def _date_days(vals: pd.Series) -> np.ndarray:
+    return (
+        pd.to_datetime(vals)
+        .to_numpy()
+        .astype("datetime64[D]")
+        .astype(np.int64)
+        .astype(np.int32)
+    )
+
+
 def _encode_column(vals: pd.Series, kind: str) -> tuple[bytes, str, int]:
-    """-> (payload, codec name, bytes_raw)."""
+    """-> (payload, codec name, bytes_raw). ``vals`` must be null-free —
+    :func:`encode_table` strips nulls into the validity bitmap first."""
     if vals.isna().any():
-        raise ValueError(
-            "table encode is null-free; use the nullable scalar wrapper"
-        )
+        raise ValueError("inner frame encode is null-free by contract")
     if kind == KIND_INT32:
         a = vals.to_numpy(np.int32)
         payload, cid = encode_auto(a)
@@ -113,6 +142,14 @@ def _encode_column(vals: pd.Series, kind: str) -> tuple[bytes, str, int]:
     if kind == KIND_STRING:
         raw = sum(len(s.encode()) for s in vals)
         return encode_string_chunk(vals.to_numpy(object)), "dict_fsst", raw
+    if kind == KIND_DATE:
+        a = _date_days(vals)
+        payload, cid = encode_auto(a)
+        return payload, B.CODEC_NAMES[cid], 4 * a.size
+    if kind == KIND_BOOL:
+        a = vals.to_numpy(bool).astype(np.int32)
+        payload, cid = encode_auto(a)
+        return payload, B.CODEC_NAMES[cid], a.size  # 1 byte/val raw
     raise ValueError(f"unknown column kind {kind}")
 
 
@@ -126,11 +163,39 @@ def _decode_column(payload: memoryview, kind: str, n: int):
         arr = pa.array(decode_float64(payload), pa.float64())
     elif kind == KIND_STRING:
         arr = pa.array(decode_string_chunk(payload), pa.string())
+    elif kind == KIND_DATE:
+        days = B.decode_block(payload).astype(np.int32)
+        arr = pa.array(days, pa.int32()).cast(pa.date32())
+    elif kind == KIND_BOOL:
+        arr = pa.array(B.decode_block(payload).astype(bool), pa.bool_())
     else:
         raise ValueError(f"unknown column kind {kind}")
     if len(arr) != n:
         raise ValueError(f"column decoded {len(arr)} rows, want {n}")
     return arr
+
+
+def _decode_frame(payloads, valids, j: int, kind: str, n: int):
+    """Decode column ``j`` of a chunk row to a FULL-LENGTH Arrow array:
+    when a validity bitmap is present, the inner frame holds only the
+    non-null values and nulls re-expand through an Arrow ``take`` with
+    null indices (one vectorized gather, any kind)."""
+    vbuf = None if valids is None else valids[j]
+    if vbuf is None or not vbuf.is_valid:
+        return _decode_column(
+            memoryview(payloads[j].as_buffer()), kind, n
+        )
+    packed = np.frombuffer(vbuf.as_buffer(), np.uint8)
+    valid = np.unpackbits(packed, count=n).astype(bool)
+    n_valid = int(valid.sum())
+    if n_valid == 0:
+        return pa.nulls(n, _PA_TYPE[kind])
+    inner = _decode_column(
+        memoryview(payloads[j].as_buffer()), kind, n_valid
+    )
+    idx = np.zeros(n, np.int64)
+    idx[valid] = np.arange(n_valid)
+    return inner.take(pa.array(idx, mask=~valid))
 
 
 def table_kinds(df: DataFrame, order_col: str) -> list[tuple[str, str]]:
@@ -163,22 +228,48 @@ def encode_table(
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, ignore_index=True)
         payloads, codecs, enc_b, raw_b = [], [], [], []
-        mins, maxs = [], []
+        mins, maxs, valids = [], [], []
         for name, kind in kinds:
-            payload, codec, raw = _encode_column(pdf[name], kind)
+            col = pdf[name]
+            isna = col.isna().to_numpy(bool)
+            if isna.any():
+                if name == order_col:
+                    raise ValueError("the order key must be null-free")
+                sub = col[~isna].reset_index(drop=True)
+                valids.append(np.packbits(~isna).tobytes())
+            else:
+                sub = col
+                valids.append(None)
+            if len(sub) == 0:
+                payloads.append(b"")
+                codecs.append(_CODEC_ALL_NULL)
+                enc_b.append(0)
+                raw_b.append(0)
+                mins.append(None)
+                maxs.append(None)
+                continue
+            payload, codec, raw = _encode_column(sub, kind)
             payloads.append(payload)
             codecs.append(codec)
             enc_b.append(len(payload))
             raw_b.append(raw)
             if kind in (KIND_INT32, KIND_INT64):
-                a = pdf[name].to_numpy(np.int64)
+                a = sub.to_numpy(np.int64)
                 mins.append(int(a.min()))
                 maxs.append(int(a.max()))
             elif kind == KIND_FLOAT64:
                 # float zone maps in the order-preserving int64 key space
-                k = _float_sort_keys(pdf[name].to_numpy(np.float64))
+                k = _float_sort_keys(sub.to_numpy(np.float64))
                 mins.append(int(k.min()))
                 maxs.append(int(k.max()))
+            elif kind == KIND_DATE:
+                d = _date_days(sub)
+                mins.append(int(d.min()))
+                maxs.append(int(d.max()))
+            elif kind == KIND_BOOL:
+                b = sub.to_numpy(bool)
+                mins.append(int(b.min()))
+                maxs.append(int(b.max()))
             else:  # strings carry no zone map (dict probe prunes instead)
                 mins.append(None)
                 maxs.append(None)
@@ -193,6 +284,7 @@ def encode_table(
                 "bytes_raw": [raw_b],
                 "mins": [mins],
                 "maxs": [maxs],
+                "valids": [valids],
                 "payloads": [payloads],
             }
         )
@@ -232,34 +324,26 @@ def decode_table(
             continue
         s = f.dataType.simpleString()
         kind = _SPARK_TO_KIND[s]
-        arrow_fields.append(
-            (
-                f.name,
-                {
-                    KIND_INT32: pa.int32(),
-                    KIND_INT64: pa.int64(),
-                    KIND_FLOAT64: pa.float64(),
-                    KIND_STRING: pa.string(),
-                }[kind],
-            )
-        )
+        arrow_fields.append((f.name, _PA_TYPE[kind]))
         spark_ddl += f", {f.name} {s}"
     out_schema = pa.schema(arrow_fields)
 
     def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            has_valids = "valids" in batch.schema.names
             for i in range(batch.num_rows):
                 chunk = batch.column("chunk")[i].as_py()
                 n = batch.column("n_rows")[i].as_py()
                 cols = batch.column("cols")[i].as_py()
                 kinds_row = batch.column("kinds")[i].as_py()
                 payloads = batch.column("payloads")[i]
+                valids_row = batch.column("valids")[i] if has_valids else None
                 by_name = {}
                 for j, (cname, kind) in enumerate(zip(cols, kinds_row)):
                     if cname not in wanted:
                         continue  # projection: frame never parsed
-                    by_name[cname] = _decode_column(
-                        memoryview(payloads[j].as_buffer()), kind, n
+                    by_name[cname] = _decode_frame(
+                        payloads, valids_row, j, kind, n
                     )
                 arrays = [
                     pa.array(np.full(n, chunk, np.int64)),
@@ -297,10 +381,16 @@ def scan_table_range(
     ).get(col)
     if kind == KIND_FLOAT64:
         klo, khi = _float_sort_key(float(lo)), _float_sort_key(float(hi))
-    elif kind in (KIND_INT32, KIND_INT64):
+        flo, fhi = F.lit(lo), F.lit(hi)
+    elif kind in (KIND_INT32, KIND_INT64, KIND_BOOL):
         klo, khi = int(lo), int(hi)
+        flo, fhi = F.lit(lo), F.lit(hi)
+    elif kind == KIND_DATE:  # lo/hi as unix-epoch day numbers
+        klo, khi = int(lo), int(hi)
+        flo = F.date_from_unix_date(F.lit(klo))
+        fhi = F.date_from_unix_date(F.lit(khi))
     else:
-        raise ValueError(f"range scan needs an int/float column, got {col!r}")
+        raise ValueError(f"range scan needs an ordered-domain column, got {col!r}")
     if columns is not None and col not in columns:
         raise ValueError("projection must include the predicate column")
     idx = F.array_position(F.col("cols"), F.lit(col))
@@ -310,7 +400,7 @@ def scan_table_range(
         & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(klo))
     )
     dec = decode_table(kept, df_schema, columns)
-    return dec.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return dec.filter((F.col(col) >= flo) & (F.col(col) <= fhi))
 
 
 def scan_table_string_eq(
@@ -345,26 +435,25 @@ def scan_table_string_eq(
         raise ValueError("projection names not in schema")
     arrow_fields = [("chunk", pa.int64()), ("pos", pa.int64())]
     spark_ddl = "chunk long, pos long"
-    pa_type = {
-        KIND_INT32: pa.int32(),
-        KIND_INT64: pa.int64(),
-        KIND_FLOAT64: pa.float64(),
-        KIND_STRING: pa.string(),
-    }
     ddl_of = {f.name: f.dataType.simpleString() for f in df_schema.fields}
     for n in names:
-        arrow_fields.append((n, pa_type[kinds[n]]))
+        arrow_fields.append((n, _PA_TYPE[kinds[n]]))
         spark_ddl += f", {n} {ddl_of[n]}"
     out_schema = pa.schema(arrow_fields)
     name_set = set(names)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            has_valids = "valids" in batch.schema.names
             for i in range(batch.num_rows):
                 cols_row = batch.column("cols")[i].as_py()
                 payloads = batch.column("payloads")[i]
+                valids_row = batch.column("valids")[i] if has_valids else None
                 j_pred = cols_row.index(col)
-                pred_buf = memoryview(payloads[j_pred].as_buffer())
+                pred_payload = payloads[j_pred]
+                if len(pred_payload.as_buffer()) == 0:
+                    continue  # all-null predicate column: nothing matches
+                pred_buf = memoryview(pred_payload.as_buffer())
                 rank = string_chunk_find(pred_buf, value)
                 if rank < 0:
                     continue  # dict probe pruned the chunk
@@ -375,14 +464,18 @@ def scan_table_string_eq(
                 chunk = batch.column("chunk")[i].as_py()
                 n = batch.column("n_rows")[i].as_py()
                 kinds_row = batch.column("kinds")[i].as_py()
+                pred_vbuf = None if valids_row is None else valids_row[j_pred]
+                if pred_vbuf is not None and pred_vbuf.is_valid:
+                    # codes index the NON-NULL rows: map back to row space
+                    packed = np.frombuffer(pred_vbuf.as_buffer(), np.uint8)
+                    valid = np.unpackbits(packed, count=n).astype(bool)
+                    sel = np.flatnonzero(valid)[sel]
                 take = pa.array(sel)
                 by_name = {}
                 for j, (cname, kind) in enumerate(zip(cols_row, kinds_row)):
                     if cname not in name_set:
                         continue
-                    full = _decode_column(
-                        memoryview(payloads[j].as_buffer()), kind, n
-                    )
+                    full = _decode_frame(payloads, valids_row, j, kind, n)
                     by_name[cname] = full.take(take)
                 arrays = [
                     pa.array(np.full(sel.size, chunk, np.int64)),
@@ -423,7 +516,7 @@ def table_stats(blocks: DataFrame, df_schema) -> DataFrame:
     order = {f.name: i for i, f in enumerate(df_schema.fields)}
     out = []
     for r in sorted(rows, key=lambda r: order.get(r["col"], len(order))):
-        if r["kind"] in (KIND_INT32, KIND_INT64):
+        if r["kind"] in (KIND_INT32, KIND_INT64, KIND_DATE, KIND_BOOL):
             out.append((r["col"], r["n"], r["kmin"], r["kmax"], None, None))
         elif r["kind"] == KIND_FLOAT64:
             lo = float(_float_from_sort_keys(np.array([r["kmin"]]))[0])

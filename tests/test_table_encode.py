@@ -99,12 +99,91 @@ def test_per_column_codecs_engage(spark, events):
     assert enc["event_type"] < raw["event_type"] / 2
 
 
-def test_null_fails_fast(spark):
+def test_null_order_key_fails_fast(spark):
     df = spark.createDataFrame(
-        [(1, "a"), (2, None)], "k bigint, s string"
+        [(1, "a"), (None, "b")], "k bigint, s string"
     )
     with pytest.raises(Exception, match="null-free"):
         encode_table(df, "k").collect()
+
+
+def test_nullable_columns_roundtrip(spark):
+    import datetime
+
+    rows = [
+        (0, "a", 1.5, 10, datetime.date(2024, 1, 1), True),
+        (1, None, None, None, None, None),
+        (2, "b", -0.0, 30, datetime.date(2024, 3, 1), False),
+        (3, None, 7.25, None, datetime.date(2024, 1, 5), None),
+        (4, "a", None, 50, None, True),
+        # chunk 1: an ALL-null column chunk
+        (256, None, 2.0, 60, datetime.date(2024, 2, 2), False),
+        (257, None, 3.0, 70, datetime.date(2024, 2, 3), True),
+    ]
+    ddl = "k bigint, s string, x double, v int, d date, b boolean"
+    df = spark.createDataFrame(rows, ddl)
+    blocks = encode_table(df, "k", 256)
+    dec = decode_table(blocks, df.schema)
+    got = {r.k: (r.s, r.x, r.v, r.d, r.b) for r in dec.collect()}
+    want = {r.k: (r.s, r.x, r.v, r.d, r.b) for r in df.collect()}
+    assert got == want
+    # the all-null chunk stores a zero-byte frame, visible in the manifest
+    row1 = blocks.filter("chunk = 1").first()
+    j = list(row1.cols).index("s")
+    assert row1.codecs[j] == "all_null" and len(row1.payloads[j]) == 0
+    # validity bitmaps appear ONLY where nulls exist
+    row0 = blocks.filter("chunk = 0").first()
+    by = dict(zip(row0.cols, row0.valids))
+    assert by["k"] is None and by["s"] is not None
+
+
+def test_date_bool_kinds_roundtrip_and_range_scan(spark):
+    import datetime
+
+    from mapbox_vector_tile_spark.engine.table_encode import scan_table_range
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i % 400), i % 3 == 0)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, d date, b boolean")
+    blocks = encode_table(df, "k", 128)
+    dec = decode_table(blocks, df.schema)
+    got = {r.k: (r.d, r.b) for r in dec.collect()}
+    want = {r.k: (r.d, r.b) for r in df.collect()}
+    assert got == want
+    # date range scan: unix-epoch day numbers, zone-map pruned
+    lo = (base - datetime.date(1970, 1, 1)).days
+    got_ids = {
+        r.k
+        for r in scan_table_range(
+            blocks, df.schema, "d", lo, lo + 30
+        ).collect()
+    }
+    want_ids = {
+        r.k
+        for r in df.filter(
+            (F.col("d") >= base)
+            & (F.col("d") <= base + datetime.timedelta(days=30))
+        ).collect()
+    }
+    assert got_ids == want_ids
+
+
+def test_string_eq_scan_nullable_predicate(spark):
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        scan_table_string_eq,
+    )
+
+    rows = [(i, None if i % 3 == 0 else ("hit" if i % 7 == 0 else "miss"), i * 2)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, s string, v bigint")
+    blocks = encode_table(df, "k", 128)
+    got = {r.k: r.v for r in scan_table_string_eq(
+        blocks, df.schema, "s", "hit").collect()}
+    want = {r.k: r.v for r in df.filter(F.col("s") == "hit").collect()}
+    assert got == want
 
 
 def test_zone_map_range_scan_prunes_and_matches(spark, events):
