@@ -1817,6 +1817,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_nullable_roundtrip"] = table_nullable
 
+    # GROUP BY pushed into the dictionary encoding: distinct values from
+    # the per-chunk dict table, counts from a bincount over the code
+    # stream — shuffle carries <= cardinality rows per chunk, never rows
+    def table_group_count_q(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            table_group_count,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        return table_group_count(blocks, ev.schema, "event_type").orderBy(
+            "value"
+        )
+
+    q["table_group_count"] = table_group_count_q
+
+    # COUNT/SUM/MIN/MAX pushed into the codec: CONSTANT closed-form, RLE
+    # O(runs), DICT from table + code histogram; SQL null semantics via
+    # the validity bitmaps (values_decoded telemetry is pytest-bounded)
+    def table_sum_pushdown(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            table_int_stats,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.when(F.pmod("event_id", F.lit(7)) == 0, F.lit(None))
+            .otherwise(F.round(F.col("value") * 100).cast("int"))
+            .alias("value_c"),
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        return table_int_stats(blocks, ev.schema, "value_c").select(
+            "col", "n", "n_valid", "sum_v", "min_v", "max_v"
+        )
+
+    q["table_sum_pushdown"] = table_sum_pushdown
+
+    # the relational store hosted IN the Iceberg layer: table-store block
+    # rows committed as Iceberg data files (two appends = two snapshots);
+    # read back via snapshot scan planning, decoded, checksum-gated —
+    # snapshots/time-travel/WAP now apply to the whole-table store too
+    def iceberg_table_store(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+        from mapbox_vector_tile_spark.sources.iceberg import (
+            append_dataframe,
+            read_table,
+        )
+
+        m = 1_000_003
+        work = tempfile.mkdtemp(prefix="mvt_icetbl_")
+        try:
+            tbl = f"{work}/tbl"
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            )
+            # split on a chunk boundary so no chunk straddles the appends
+            half = (ev.agg(F.max("event_id")).first()[0] // 2) // 256 * 256 - 1
+            blocks_a = encode_table(
+                ev.filter(F.col("event_id") <= half), "event_id", 256
+            )
+            blocks_b = encode_table(
+                ev.filter(F.col("event_id") > half), "event_id", 256
+            )
+            append_dataframe(spark, blocks_a, tbl)
+            append_dataframe(spark, blocks_b, tbl)
+            dec = decode_table(read_table(spark, tbl), ev.schema)
+            r = F.col("pos") + 1
+            res = (
+                dec.groupBy("chunk")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.pmod(
+                        F.sum(F.pmod("event_id", F.lit(m))), F.lit(m)
+                    ).alias("id_mod"),
+                    F.pmod(
+                        F.sum(F.pmod("ts_us", F.lit(m)) * r), F.lit(m)
+                    ).alias("ts_wcks"),
+                    F.pmod(
+                        F.sum(F.length("event_type") * r), F.lit(m)
+                    ).alias("type_wcks"),
+                    F.pmod(
+                        F.sum(F.pmod("value_c", F.lit(m))), F.lit(m)
+                    ).alias("val_mod"),
+                )
+                .orderBy("chunk")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_table_store_roundtrip"] = iceberg_table_store
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2846,6 +2954,40 @@ SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(SUM(COALESCE(LENGTH(event_type), 0) * r) % 1000003 AS BIGINT)
     AS type_wcks
 FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
+    o["iceberg_table_store_roundtrip"] = """
+WITH rows_ AS (
+  SELECT event_id // 256 AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // 256
+                            ORDER BY event_id) AS r,
+         event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(((SUM(event_id % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS id_mod,
+  CAST(((SUM((ts_us % 1000003) * r) % 1000003) + 1000003) % 1000003
+    AS BIGINT) AS ts_wcks,
+  CAST(SUM(LENGTH(event_type) * r) % 1000003 AS BIGINT) AS type_wcks,
+  CAST(((SUM(value_c % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS val_mod
+FROM rows_ GROUP BY chunk ORDER BY chunk
+"""
+    o["table_sum_pushdown"] = """
+WITH x AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS INTEGER) END AS v
+  FROM events)
+SELECT 'value_c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(v) AS BIGINT) AS n_valid,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+FROM x
+"""
+    o["table_group_count"] = """
+SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS value,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
 """
     o["table_string_eq_scan"] = """
 SELECT event_id, event_type, value

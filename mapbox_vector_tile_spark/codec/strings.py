@@ -71,6 +71,28 @@ def string_chunk_find(buf: bytes | memoryview, value: str) -> int:
     return -1
 
 
+def string_chunk_table(buf: bytes | memoryview) -> list[str]:
+    """The chunk's frequency-ordered dictionary (rank -> string), without
+    expanding any row: aggregations grouped by the column read the
+    distinct values once per chunk here and count codes, never
+    materializing per-row strings."""
+    mv = memoryview(buf)
+    magic, n, card, _iw, blob_len = _HDR.unpack_from(mv)
+    if magic != MAGIC:
+        raise ValueError("bad string-chunk magic")
+    if n == 0:
+        return []
+    raw_blob = fsst.decompress(mv[_HDR.size : _HDR.size + blob_len])
+    table: list[str] = []
+    p = 0
+    for _ in range(card):
+        (ln,) = struct.unpack_from("<I", raw_blob, p)
+        p += 4
+        table.append(raw_blob[p : p + ln].decode())
+        p += ln
+    return table
+
+
 def string_chunk_indices(buf: bytes | memoryview) -> np.ndarray:
     """The chunk's dictionary-code stream (one uint32 rank per row),
     without materializing any string: predicates that resolved a value

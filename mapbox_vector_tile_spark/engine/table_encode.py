@@ -52,6 +52,7 @@ KIND_FLOAT64 = "float64"
 KIND_STRING = "string"
 KIND_DATE = "date"
 KIND_BOOL = "bool"
+KIND_TS = "timestamp"
 
 _SPARK_TO_KIND = {
     "int": KIND_INT32,
@@ -62,6 +63,7 @@ _SPARK_TO_KIND = {
     "string": KIND_STRING,
     "date": KIND_DATE,
     "boolean": KIND_BOOL,
+    "timestamp": KIND_TS,  # epoch micros through the int64 transforms
 }
 
 _PA_TYPE = {
@@ -71,6 +73,7 @@ _PA_TYPE = {
     KIND_STRING: pa.string(),
     KIND_DATE: pa.date32(),
     KIND_BOOL: pa.bool_(),
+    KIND_TS: pa.timestamp("us"),
 }
 
 # all-null chunk marker: zero-byte payload, no inner frame at all
@@ -150,6 +153,15 @@ def _encode_column(vals: pd.Series, kind: str) -> tuple[bytes, str, int]:
         a = vals.to_numpy(bool).astype(np.int32)
         payload, cid = encode_auto(a)
         return payload, B.CODEC_NAMES[cid], a.size  # 1 byte/val raw
+    if kind == KIND_TS:
+        a = (
+            pd.to_datetime(vals)
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        payload, mode = encode_int64_auto(a)
+        return payload, INT64_MODE_NAMES[mode], 8 * a.size
     raise ValueError(f"unknown column kind {kind}")
 
 
@@ -168,6 +180,9 @@ def _decode_column(payload: memoryview, kind: str, n: int):
         arr = pa.array(days, pa.int32()).cast(pa.date32())
     elif kind == KIND_BOOL:
         arr = pa.array(B.decode_block(payload).astype(bool), pa.bool_())
+    elif kind == KIND_TS:
+        us = decode_int64(payload)
+        arr = pa.array(us, pa.int64()).cast(pa.timestamp("us"))
     else:
         raise ValueError(f"unknown column kind {kind}")
     if len(arr) != n:
@@ -266,6 +281,15 @@ def encode_table(
                 d = _date_days(sub)
                 mins.append(int(d.min()))
                 maxs.append(int(d.max()))
+            elif kind == KIND_TS:
+                t = (
+                    pd.to_datetime(sub)
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                )
+                mins.append(int(t.min()))
+                maxs.append(int(t.max()))
             elif kind == KIND_BOOL:
                 b = sub.to_numpy(bool)
                 mins.append(int(b.min()))
@@ -389,6 +413,10 @@ def scan_table_range(
         klo, khi = int(lo), int(hi)
         flo = F.date_from_unix_date(F.lit(klo))
         fhi = F.date_from_unix_date(F.lit(khi))
+    elif kind == KIND_TS:  # lo/hi as epoch micros
+        klo, khi = int(lo), int(hi)
+        flo = F.timestamp_micros(F.lit(klo))
+        fhi = F.timestamp_micros(F.lit(khi))
     else:
         raise ValueError(f"range scan needs an ordered-domain column, got {col!r}")
     if columns is not None and col not in columns:
@@ -516,7 +544,7 @@ def table_stats(blocks: DataFrame, df_schema) -> DataFrame:
     order = {f.name: i for i, f in enumerate(df_schema.fields)}
     out = []
     for r in sorted(rows, key=lambda r: order.get(r["col"], len(order))):
-        if r["kind"] in (KIND_INT32, KIND_INT64, KIND_DATE, KIND_BOOL):
+        if r["kind"] in (KIND_INT32, KIND_INT64, KIND_DATE, KIND_BOOL, KIND_TS):
             out.append((r["col"], r["n"], r["kmin"], r["kmax"], None, None))
         elif r["kind"] == KIND_FLOAT64:
             lo = float(_float_from_sort_keys(np.array([r["kmin"]]))[0])
@@ -529,6 +557,144 @@ def table_stats(blocks: DataFrame, df_schema) -> DataFrame:
         "col string, n_rows long, min_long long, max_long long, "
         "min_double double, max_double double",
     )
+
+
+def table_int_stats(blocks: DataFrame, df_schema, col: str) -> DataFrame:
+    """COUNT/SUM/MIN/MAX of an int32-family column (int32/date/bool)
+    pushed INTO the codec: per chunk the reduction comes from
+    :func:`~..codec.aggregate.value_stats` — CONSTANT answers closed
+    form, RLE in O(runs), DICT from its table + code histogram — so a
+    100 TB stats scan touches O(codec metadata) wherever the codec
+    already carries the answer. Nulls follow SQL semantics (the bitmap's
+    row count is ``n_rows``; the inner frame holds exactly the non-null
+    values). Returns one row: ``(col, n, n_valid, sum_v, min_v, max_v,
+    values_decoded)`` — the last is the O(n)-materialization telemetry
+    the tests bound."""
+    from pyspark.sql.types import StructType
+
+    from ..codec.aggregate import value_stats
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {
+        f.name: _SPARK_TO_KIND[f.dataType.simpleString()]
+        for f in df_schema.fields
+    }
+    if kinds.get(col) not in (KIND_INT32, KIND_DATE, KIND_BOOL):
+        raise ValueError(
+            f"codec stats pushdown needs an int32-family column, got {col!r}"
+        )
+
+    def st(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("n", pa.int64()),
+                ("n_valid", pa.int64()),
+                ("sum_v", pa.int64()),
+                ("min_v", pa.int64()),
+                ("max_v", pa.int64()),
+                ("values_decoded", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            for i in range(batch.num_rows):
+                cols_row = batch.column("cols")[i].as_py()
+                payloads = batch.column("payloads")[i]
+                n = batch.column("n_rows")[i].as_py()
+                j = cols_row.index(col)
+                buf = payloads[j].as_buffer()
+                if len(buf) == 0:  # all_null
+                    nv, s, mn, mx, dec = 0, None, None, None, 0
+                else:
+                    nv, s, mn, mx, dec = value_stats(memoryview(buf))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([n], pa.int64()),
+                        pa.array([nv], pa.int64()),
+                        pa.array([s], pa.int64()),
+                        pa.array([mn], pa.int64()),
+                        pa.array([mx], pa.int64()),
+                        pa.array([dec], pa.int64()),
+                    ],
+                    schema=schema,
+                )
+
+    partials = blocks.mapInArrow(
+        st,
+        "n long, n_valid long, sum_v long, min_v long, max_v long, "
+        "values_decoded long",
+    )
+    out = partials.agg(
+        F.sum("n").alias("n"),
+        F.sum("n_valid").alias("n_valid"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("values_decoded").alias("values_decoded"),
+    )
+    return out.select(F.lit(col).alias("col"), "*")
+
+
+def table_group_count(blocks: DataFrame, df_schema, col: str) -> DataFrame:
+    """GROUP BY ``col`` COUNT(*) pushed into the dictionary encoding:
+    per chunk the distinct values come from the dict table
+    (:func:`~..codec.strings.string_chunk_table`, read ONCE per chunk)
+    and their counts from a ``bincount`` over the bit-packed code stream
+    — per-row strings never materialize, the shuffle carries at most
+    ``cardinality`` rows per chunk instead of ``n_rows``, and the final
+    aggregate is one tiny hash agg on the value. Nulls form their own
+    group (SQL GROUP BY semantics)."""
+    from pyspark.sql.types import StructType
+
+    from ..codec.strings import string_chunk_indices, string_chunk_table
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {
+        f.name: _SPARK_TO_KIND[f.dataType.simpleString()]
+        for f in df_schema.fields
+    }
+    if kinds.get(col) != KIND_STRING:
+        raise ValueError(f"{col!r} is not a string column")
+
+    def gc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for i in range(batch.num_rows):
+                cols_row = batch.column("cols")[i].as_py()
+                payloads = batch.column("payloads")[i]
+                n = batch.column("n_rows")[i].as_py()
+                j = cols_row.index(col)
+                buf = payloads[j].as_buffer()
+                values: list[str | None] = []
+                counts: list[int] = []
+                if len(buf) == 0:  # all_null frame
+                    n_codes = 0
+                else:
+                    mv = memoryview(buf)
+                    table = string_chunk_table(mv)
+                    codes = string_chunk_indices(mv)
+                    n_codes = codes.size
+                    cnt = np.bincount(codes, minlength=len(table))
+                    values.extend(table)
+                    counts.extend(cnt.tolist())
+                # codes cover exactly the non-null rows, so the null
+                # group's size needs no bitmap parse at all
+                n_null = n - n_codes
+                if n_null:
+                    values.append(None)
+                    counts.append(n_null)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(values, pa.string()),
+                        pa.array(np.asarray(counts, np.int64)),
+                    ],
+                    schema=pa.schema(
+                        [("value", pa.string()), ("cnt", pa.int64())]
+                    ),
+                )
+
+    partials = blocks.mapInArrow(gc, "value string, cnt long")
+    return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
 
 
 def merge_table(

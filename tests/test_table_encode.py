@@ -462,3 +462,92 @@ def test_streaming_upsert_cow_versions(spark, events, tmp_path):
     # replay: a rerun with the same checkpoint commits nothing
     run_stream()
     assert len(upsert_version_log(store)) == len(log)
+
+
+def test_group_count_pushdown(spark):
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        table_group_count,
+    )
+
+    rows = [(i, None if i % 11 == 0 else f"t{i % 4}") for i in range(700)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    blocks = encode_table(df, "k", 128)
+    got = {r.value: r.cnt for r in table_group_count(
+        blocks, df.schema, "s").collect()}
+    want = {
+        r.s: r.cnt
+        for r in df.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want and None in got
+    # pushdown is real: partial rows per chunk bounded by cardinality+1,
+    # never n_rows (700 rows, 6 chunks, card 4 -> <= 30 partial rows)
+    from mapbox_vector_tile_spark.codec.strings import string_chunk_table
+
+    row = blocks.first()
+    j = list(row.cols).index("s")
+    assert len(string_chunk_table(bytes(row.payloads[j]))) <= 4
+
+
+def test_int_stats_codec_pushdown(spark):
+    from mapbox_vector_tile_spark.engine.table_encode import table_int_stats
+
+    rows = [
+        (i, None if i % 11 == 0 else (i % 7) * 3, i < 450)
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, v int, b boolean")
+    blocks = encode_table(df, "k", 128)
+    got = table_int_stats(blocks, df.schema, "v").first()
+    want = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_valid"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).first()
+    assert (got.n, got.n_valid, got.sum_v, got.min_v, got.max_v) == (
+        want.n, want.n_valid, want.s, want.mn, want.mx,
+    )
+    # telemetry is honest: DICT sums pay the O(n) code histogram (never
+    # more), extrema alone would be O(table)
+    assert got.values_decoded <= got.n_valid
+    # boolean column: sum == true count (codec-level telemetry semantics
+    # are covered per codec in tests/test_aggregate*.py)
+    gb = table_int_stats(blocks, df.schema, "b").first()
+    assert gb.sum_v == df.filter("b").count()
+    assert gb.values_decoded <= gb.n_valid and (gb.min_v, gb.max_v) == (0, 1)
+
+
+def test_timestamp_kind_native_roundtrip_and_scan(spark):
+    from mapbox_vector_tile_spark.engine.table_encode import scan_table_range
+
+    df = (
+        spark.range(0, 800)
+        .select(
+            F.col("id").alias("k"),
+            F.timestamp_micros(
+                F.lit(1704067200000000) + F.col("id") * 60_000_000
+            ).alias("ts"),
+            F.when(F.col("id") % 13 == 0, F.lit(None))
+            .otherwise(
+                F.timestamp_micros(F.lit(1704067200000000) + F.col("id"))
+            )
+            .alias("ts_n"),
+        )
+    )
+    blocks = encode_table(df, "k", 128)
+    dec = decode_table(blocks, df.schema)
+    got = {r.k: (r.ts, r.ts_n) for r in dec.collect()}
+    want = {r.k: (r.ts, r.ts_n) for r in df.collect()}
+    assert got == want
+    # timestamps ride the int64 transforms (delta-friendly micros)
+    row = blocks.first()
+    assert dict(zip(row.cols, row.codecs))["ts"].startswith("i64_")
+    # range scan in epoch micros, zone-map pruned
+    lo = 1704067200000000
+    hi = lo + 100 * 60_000_000
+    got_ids = {
+        r.k
+        for r in scan_table_range(blocks, df.schema, "ts", lo, hi).collect()
+    }
+    assert got_ids == set(range(101))
