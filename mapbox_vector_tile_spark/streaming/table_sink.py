@@ -92,7 +92,11 @@ def upsert_version_log(store_root: str) -> list[dict]:
 
 
 def upserted_batch_ids(store_root: str) -> set[int]:
-    return {v["batch_id"] for v in upsert_version_log(store_root)}
+    return {
+        v["batch_id"]
+        for v in upsert_version_log(store_root)
+        if "batch_id" in v
+    }
 
 
 def read_current_table_blocks(
@@ -103,14 +107,17 @@ def read_current_table_blocks(
     touched it) — payload bytes of superseded versions are never read
     past the scan."""
     log = upsert_version_log(store_root)
-    if not log:
-        return None
+    vacuumed = {v["dir"] for v in log if v.get("vacuumed")}
     parts = []
     for i, v in enumerate(log):
+        if v.get("vacuumed") or "dir" not in v or v["dir"] in vacuumed:
+            continue  # marker lines / reclaimed version dirs
         parts.append(
             spark.read.parquet(os.path.join(store_root, v["dir"]))
             .withColumn("__v", F.lit(i))
         )
+    if not parts:
+        return None
     allb = parts[0]
     for p in parts[1:]:
         allb = allb.unionByName(p)
@@ -181,3 +188,68 @@ def start_table_upsert_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_upsert_store(spark: SparkSession, store_root: str) -> str | None:
+    """Maintenance twin of the CoW MERGE sink: fold the live view (latest
+    version of every chunk) into ONE new full version, so read-side
+    version resolution returns to a single directory. Readers stay
+    correct throughout — the compacted version is only referenced once
+    its ledger line lands (same publish point as the sink), and
+    :func:`vacuum_upsert_store` afterwards drops every directory the
+    compaction fully shadows. ``None`` when the store has no versions.
+
+    The ledger entry carries ``compacted_through`` (the number of ledger
+    lines folded in) so vacuum knows which prior versions are shadowed
+    WITHOUT comparing chunk sets."""
+    log = upsert_version_log(store_root)
+    if not log:
+        return None
+    cur = read_current_table_blocks(spark, store_root)
+    vname = f"v{len(log) + 1}-{uuid.uuid4().hex[:8]}"
+    cur.write.parquet(os.path.join(store_root, vname))
+    with open(_upsert_log_path(store_root), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "batch_id": -1,  # maintenance commits never collide
+                    "dir": vname,
+                    "compacted_through": len(log),
+                }
+            )
+            + "\n"
+        )
+    return vname
+
+
+def vacuum_upsert_store(store_root: str) -> list[str]:
+    """Drop version directories fully shadowed by a later compaction:
+    every ledger line at index < the newest ``compacted_through`` is
+    unreachable (the compaction holds the latest copy of every chunk
+    those versions contributed). Returns the removed directory names.
+    The ledger keeps its lines (history stays auditable); removed dirs
+    are recorded with ``"vacuumed": true`` markers appended."""
+    import shutil
+
+    log = upsert_version_log(store_root)
+    horizon = 0
+    for v in log:
+        if "compacted_through" in v:
+            horizon = max(horizon, int(v["compacted_through"]))
+    already = {
+        v["dir"] for v in log if v.get("vacuumed")
+    }
+    removed = []
+    for v in log[:horizon]:
+        d = v["dir"]
+        if d in already:
+            continue
+        path = os.path.join(store_root, d)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        removed.append(d)
+    if removed:
+        with open(_upsert_log_path(store_root), "a") as f:
+            for d in removed:
+                f.write(json.dumps({"dir": d, "vacuumed": True}) + "\n")
+    return removed

@@ -551,3 +551,54 @@ def test_timestamp_kind_native_roundtrip_and_scan(spark):
         for r in scan_table_range(blocks, df.schema, "ts", lo, hi).collect()
     }
     assert got_ids == set(range(101))
+
+
+def test_compact_and_vacuum_upsert_store(spark, events, tmp_path):
+    import os
+
+    from mapbox_vector_tile_spark.engine.table_encode import decode_table
+    from mapbox_vector_tile_spark.streaming.table_sink import (
+        compact_upsert_store,
+        read_current_table_blocks,
+        start_table_upsert_stream,
+        upsert_micro_batch,
+        upsert_version_log,
+        vacuum_upsert_store,
+    )
+
+    store = str(tmp_path / "store")
+    ev = events.select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"), "props",
+    )
+    # three upsert waves via the micro-batch primitive
+    upsert_micro_batch(spark, store, ev.filter("event_id < 400"), 0,
+                       "event_id", ev.schema, 128)
+    upsert_micro_batch(spark, store, ev.filter("event_id >= 400"), 1,
+                       "event_id", ev.schema, 128)
+    upd = ev.filter("event_id < 100").withColumn(
+        "event_type", F.lit("updated"))
+    upsert_micro_batch(spark, store, upd, 2, "event_id", ev.schema, 128)
+    before = decode_table(
+        read_current_table_blocks(spark, store), ev.schema
+    ).collect()
+
+    vname = compact_upsert_store(spark, store)
+    assert vname is not None
+    removed = vacuum_upsert_store(store)
+    assert len(removed) == 3  # the three pre-compaction versions
+    for d in removed:
+        assert not os.path.exists(os.path.join(store, d))
+    # live view unchanged, now resolved from ONE directory
+    after = decode_table(
+        read_current_table_blocks(spark, store), ev.schema
+    ).collect()
+    key = lambda r: r.event_id  # noqa: E731
+    assert sorted(before, key=key) == sorted(after, key=key)
+    # replay of an already-applied batch still no-ops after compaction
+    assert upsert_micro_batch(spark, store, upd, 2, "event_id",
+                              ev.schema, 128) is None
+    # a second compact + vacuum round reclaims the first compaction too
+    compact_upsert_store(spark, store)
+    removed2 = vacuum_upsert_store(store)
+    assert vname in removed2
