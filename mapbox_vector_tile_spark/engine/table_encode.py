@@ -35,7 +35,6 @@ import struct
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -115,51 +114,39 @@ def _float_from_sort_keys(k: np.ndarray) -> np.ndarray:
     return u.astype(np.uint64).view(np.float64)
 
 
-def _date_days(vals: pd.Series) -> np.ndarray:
-    return (
-        pd.to_datetime(vals)
-        .to_numpy()
-        .astype("datetime64[D]")
-        .astype(np.int64)
-        .astype(np.int32)
-    )
-
-
-def _encode_column(vals: pd.Series, kind: str) -> tuple[bytes, str, int]:
-    """-> (payload, codec name, bytes_raw). ``vals`` must be null-free —
-    :func:`encode_table` strips nulls into the validity bitmap first."""
-    if vals.isna().any():
+def _encode_column_arrow(sub: pa.Array, kind: str) -> tuple[bytes, str, int]:
+    """-> (payload, codec name, bytes_raw). ``sub`` must be null-free —
+    :func:`encode_table` strips nulls into the validity bitmap first.
+    Arrow-native: int64/float64 values never pass through a lossy pandas
+    dtype, and real NaN doubles stay distinct from NULLs."""
+    if sub.null_count:
         raise ValueError("inner frame encode is null-free by contract")
     if kind == KIND_INT32:
-        a = vals.to_numpy(np.int32)
+        a = np.asarray(sub)
         payload, cid = encode_auto(a)
         return payload, B.CODEC_NAMES[cid], 4 * a.size
     if kind == KIND_INT64:
-        a = vals.to_numpy(np.int64)
+        a = np.asarray(sub)
         payload, mode = encode_int64_auto(a)
         return payload, INT64_MODE_NAMES[mode], 8 * a.size
     if kind == KIND_FLOAT64:
-        a = vals.to_numpy(np.float64)
+        a = np.asarray(sub)
         payload, mode = encode_float64_auto(a)
         return payload, FLOAT64_MODE_NAMES[mode], 8 * a.size
     if kind == KIND_STRING:
+        vals = sub.to_pylist()
         raw = sum(len(s.encode()) for s in vals)
-        return encode_string_chunk(vals.to_numpy(object)), "dict_fsst", raw
+        return encode_string_chunk(vals), "dict_fsst", raw
     if kind == KIND_DATE:
-        a = _date_days(vals)
+        a = np.asarray(sub.cast(pa.int32()))  # exact epoch days
         payload, cid = encode_auto(a)
         return payload, B.CODEC_NAMES[cid], 4 * a.size
     if kind == KIND_BOOL:
-        a = vals.to_numpy(bool).astype(np.int32)
+        a = np.asarray(sub.cast(pa.int32()))
         payload, cid = encode_auto(a)
         return payload, B.CODEC_NAMES[cid], a.size  # 1 byte/val raw
     if kind == KIND_TS:
-        a = (
-            pd.to_datetime(vals)
-            .to_numpy()
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
+        a = np.asarray(sub.cast(pa.int64()))  # exact epoch micros
         payload, mode = encode_int64_auto(a)
         return payload, INT64_MODE_NAMES[mode], 8 * a.size
     raise ValueError(f"unknown column kind {kind}")
@@ -240,20 +227,24 @@ def encode_table(
     ).cast("long")
     rows = df.select(chunk.alias("__chunk"), "*")
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, ignore_index=True)
+    def enc(table: pa.Table) -> pa.Table:
+        # Arrow-native on purpose: a pandas hand-off would push nullable
+        # int64 through float64 (values above 2^53 shave low bits —
+        # hypothesis-caught) and conflate real NaN doubles with NULLs.
+        table = table.sort_by(order_col)
+        n = table.num_rows
         payloads, codecs, enc_b, raw_b = [], [], [], []
         mins, maxs, valids = [], [], []
         for name, kind in kinds:
-            col = pdf[name]
-            isna = col.isna().to_numpy(bool)
-            if isna.any():
+            arr = table.column(name).combine_chunks()
+            if arr.null_count:
                 if name == order_col:
                     raise ValueError("the order key must be null-free")
-                sub = col[~isna].reset_index(drop=True)
-                valids.append(np.packbits(~isna).tobytes())
+                valid = np.asarray(arr.is_valid())
+                sub = arr.drop_null()
+                valids.append(np.packbits(valid).tobytes())
             else:
-                sub = col
+                sub = arr
                 valids.append(None)
             if len(sub) == 0:
                 payloads.append(b"")
@@ -263,57 +254,50 @@ def encode_table(
                 mins.append(None)
                 maxs.append(None)
                 continue
-            payload, codec, raw = _encode_column(sub, kind)
+            payload, codec, raw = _encode_column_arrow(sub, kind)
             payloads.append(payload)
             codecs.append(codec)
             enc_b.append(len(payload))
             raw_b.append(raw)
             if kind in (KIND_INT32, KIND_INT64):
-                a = sub.to_numpy(np.int64)
+                a = np.asarray(sub).astype(np.int64)
                 mins.append(int(a.min()))
                 maxs.append(int(a.max()))
             elif kind == KIND_FLOAT64:
                 # float zone maps in the order-preserving int64 key space
-                k = _float_sort_keys(sub.to_numpy(np.float64))
+                k = _float_sort_keys(np.asarray(sub))
                 mins.append(int(k.min()))
                 maxs.append(int(k.max()))
-            elif kind == KIND_DATE:
-                d = _date_days(sub)
+            elif kind in (KIND_DATE, KIND_BOOL):
+                d = np.asarray(sub.cast(pa.int32()))
                 mins.append(int(d.min()))
                 maxs.append(int(d.max()))
             elif kind == KIND_TS:
-                t = (
-                    pd.to_datetime(sub)
-                    .to_numpy()
-                    .astype("datetime64[us]")
-                    .astype(np.int64)
-                )
+                t = np.asarray(sub.cast(pa.int64()))
                 mins.append(int(t.min()))
                 maxs.append(int(t.max()))
-            elif kind == KIND_BOOL:
-                b = sub.to_numpy(bool)
-                mins.append(int(b.min()))
-                maxs.append(int(b.max()))
             else:  # strings carry no zone map (dict probe prunes instead)
                 mins.append(None)
                 maxs.append(None)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "chunk": [int(pdf["__chunk"].iloc[0])],
-                "n_rows": [len(pdf)],
-                "cols": [[n for n, _ in kinds]],
-                "kinds": [[k for _, k in kinds]],
-                "codecs": [codecs],
-                "bytes_enc": [enc_b],
-                "bytes_raw": [raw_b],
-                "mins": [mins],
-                "maxs": [maxs],
-                "valids": [valids],
-                "payloads": [payloads],
+                "chunk": pa.array(
+                    [table.column("__chunk")[0].as_py()], pa.int64()
+                ),
+                "n_rows": pa.array([n], pa.int64()),
+                "cols": pa.array([[c for c, _ in kinds]], pa.list_(pa.string())),
+                "kinds": pa.array([[k for _, k in kinds]], pa.list_(pa.string())),
+                "codecs": pa.array([codecs], pa.list_(pa.string())),
+                "bytes_enc": pa.array([enc_b], pa.list_(pa.int64())),
+                "bytes_raw": pa.array([raw_b], pa.list_(pa.int64())),
+                "mins": pa.array([mins], pa.list_(pa.int64())),
+                "maxs": pa.array([maxs], pa.list_(pa.int64())),
+                "valids": pa.array([valids], pa.list_(pa.binary())),
+                "payloads": pa.array([payloads], pa.list_(pa.binary())),
             }
         )
 
-    return rows.groupBy("__chunk").applyInPandas(enc, _BLOCKS_SCHEMA)
+    return rows.groupBy("__chunk").applyInArrow(enc, _BLOCKS_SCHEMA)
 
 
 def decode_table(

@@ -602,3 +602,51 @@ def test_compact_and_vacuum_upsert_store(spark, events, tmp_path):
     compact_upsert_store(spark, store)
     removed2 = vacuum_upsert_store(store)
     assert vname in removed2
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=8)),
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=True, width=64),
+            ),
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_table_roundtrip_hypothesis(spark, rows):
+    data = [(i, *r) for i, r in enumerate(rows)]
+    ddl = "k bigint, s string, v int, x double, w bigint, b boolean"
+    df = spark.createDataFrame(data, ddl)
+    blocks = encode_table(df, "k", 16)
+    dec = decode_table(blocks, df.schema)
+    got = {r.k: (r.s, r.v, r.x, r.w, r.b) for r in dec.collect()}
+    want = {r.k: (r.s, r.v, r.x, r.w, r.b) for r in df.collect()}
+    assert got == want
+
+
+def test_double_nan_distinct_from_null(spark):
+    import math
+
+    rows = [
+        (0, 1.5),
+        (1, None),
+        (2, float("nan")),
+        (3, float("-inf")),
+        (4, None),
+        (5, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, x double")
+    blocks = encode_table(df, "k", 4)
+    dec = decode_table(blocks, df.schema)
+    got = {r.k: r.x for r in dec.collect()}
+    assert got[0] == 1.5 and got[3] == float("-inf")
+    assert got[1] is None and got[4] is None  # NULLs stay NULLs
+    assert math.isnan(got[2]) and math.isnan(got[5])  # NaNs stay values
