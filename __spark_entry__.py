@@ -1861,6 +1861,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_sum_pushdown"] = table_sum_pushdown
 
+    # IN-list at dictionary level: one table parse per chunk resolves
+    # every predicate value to a rank set; membership on codes
+    def table_string_in(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_string_in,
+        )
+
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        return (
+            scan_table_string_in(
+                blocks, ev.schema, "event_type", ["view", "purchase"],
+                ["event_id", "event_type", "value"],
+            )
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+
+    q["table_string_in_scan"] = table_string_in
+
     # the relational store hosted IN the Iceberg layer: table-store block
     # rows committed as Iceberg data files (two appends = two snapshots);
     # read back via snapshot scan planning, decoded, checksum-gated —
@@ -2983,6 +3004,11 @@ SELECT 'value_c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(v) AS BIGINT) AS sum_v,
        CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
 FROM x
+"""
+    o["table_string_in_scan"] = """
+SELECT event_id, event_type, value
+FROM events WHERE event_type IN ('view', 'purchase')
+ORDER BY event_id
 """
     o["table_group_count"] = """
 SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS value,

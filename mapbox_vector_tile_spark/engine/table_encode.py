@@ -422,19 +422,42 @@ def scan_table_string_eq(
     value: str,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """Equality scan on a dictionary-encoded string column, resolved at
-    DICTIONARY level: per chunk, the predicate value is probed against
-    the frame's frequency-ordered dict table alone
-    (:func:`~..codec.strings.string_chunk_find`) — a chunk without the
-    value is skipped having parsed ONLY its dict blob (no index stream,
-    no other column's frame); a chunk with it filters by integer code
-    compare on the bit-packed index stream, and only the surviving ROWS
-    of the projected columns materialize (Arrow ``take``). This is the
+    """Equality scan — the single-value case of
+    :func:`scan_table_string_in` (which see for the dictionary-level
+    evaluation strategy)."""
+    return scan_table_string_in(blocks, df_schema, col, [value], columns)
+
+
+def scan_table_string_in(
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    values: list[str],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """IN-list scan on a dictionary-encoded string column, resolved at
+    DICTIONARY level: per chunk, the predicate values resolve to ranks
+    against the frame's frequency-ordered dict table alone — a single
+    value probes with early exit (:func:`~..codec.strings
+    .string_chunk_find`), a list parses the table once and set-matches;
+    a chunk containing none of the values is skipped having parsed ONLY
+    its dict blob (no index stream, no other column's frame). Matching
+    chunks filter by integer code membership (``np.isin``) on the
+    bit-packed index stream, and only the surviving ROWS of the
+    projected columns materialize (Arrow ``take``). This is the
     dictionary-predicate evaluation of the classic columnar engines,
     over the engine's own string frames."""
     from pyspark.sql.types import StructType
 
-    from ..codec.strings import string_chunk_find, string_chunk_indices
+    from ..codec.strings import (
+        string_chunk_find,
+        string_chunk_indices,
+        string_chunk_table,
+    )
+
+    if not values:
+        raise ValueError("IN-list must be non-empty")
+    value_set = set(values)
 
     if isinstance(df_schema, str):
         df_schema = StructType.fromDDL(df_schema)
@@ -466,11 +489,18 @@ def scan_table_string_eq(
                 if len(pred_payload.as_buffer()) == 0:
                     continue  # all-null predicate column: nothing matches
                 pred_buf = memoryview(pred_payload.as_buffer())
-                rank = string_chunk_find(pred_buf, value)
-                if rank < 0:
+                if len(value_set) == 1:  # early-exit single probe
+                    rank = string_chunk_find(pred_buf, next(iter(value_set)))
+                    ranks = [rank] if rank >= 0 else []
+                else:  # one table parse, set membership
+                    table = string_chunk_table(pred_buf)
+                    ranks = [i for i, s in enumerate(table) if s in value_set]
+                if not ranks:
                     continue  # dict probe pruned the chunk
                 codes = string_chunk_indices(pred_buf)
-                sel = np.flatnonzero(codes == np.uint32(rank))
+                sel = np.flatnonzero(
+                    np.isin(codes, np.asarray(ranks, np.uint32))
+                )
                 if sel.size == 0:
                     continue
                 chunk = batch.column("chunk")[i].as_py()

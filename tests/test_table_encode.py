@@ -650,3 +650,26 @@ def test_double_nan_distinct_from_null(spark):
     assert got[0] == 1.5 and got[3] == float("-inf")
     assert got[1] is None and got[4] is None  # NULLs stay NULLs
     assert math.isnan(got[2]) and math.isnan(got[5])  # NaNs stay values
+
+
+def test_string_in_scan(spark, events):
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        scan_table_string_in,
+    )
+
+    blocks = encode_table(events, "event_id", 128)
+    vals = ["view", "purchase"]
+    got = {r.event_id: r.event_type for r in scan_table_string_in(
+        blocks, events.schema, "event_type", vals,
+        ["event_id", "event_type"]).collect()}
+    want = {r.event_id: r.event_type for r in events.filter(
+        F.col("event_type").isin(vals)).collect()}
+    assert got == want
+    # empty IN-list rejected; all-absent values scan to zero rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scan_table_string_in(blocks, events.schema, "event_type", [])
+    assert scan_table_string_in(
+        blocks, events.schema, "event_type", ["nope-1", "nope-2"]
+    ).count() == 0
