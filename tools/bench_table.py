@@ -3,7 +3,11 @@ throughput over the events table at a given SF dir, plus the pushdown
 scans' walls. One JSON line, same contract style as bench.py (this is a
 SIDE bench — the driver's headline bench.py is unchanged).
 
-Usage: python tools/bench_table.py [sf_dir] [cpus]
+Usage: python tools/bench_table.py [sf_dir] [cpus] [replicate]
+
+``replicate`` (default 1) fans each event out k times with re-keyed
+ids — sf0.1 events is only 100k rows, where per-job overhead swamps the
+encode wall; k=20 gives a 2M-row / 12M-cell signal-bearing measure.
 """
 
 from __future__ import annotations
@@ -15,7 +19,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def main(sf_dir: str = "/root/testdata/sf0.1", cpus: int = 8) -> int:
+def main(
+    sf_dir: str = "/root/testdata/sf0.1", cpus: int = 8, replicate: int = 1
+) -> int:
     from pyspark.sql import functions as F
 
     from mapbox_vector_tile_spark.engine.session import get_spark
@@ -38,6 +44,13 @@ def main(sf_dir: str = "/root/testdata/sf0.1", cpus: int = 8) -> int:
         "value",
         "props",
     )
+    if replicate > 1:
+        rep = spark.range(replicate).select(F.col("id").alias("__rep"))
+        ev = ev.crossJoin(rep).select(
+            (F.col("event_id") * replicate + F.col("__rep")).alias("event_id"),
+            "ts_us", "user_id", "event_type", "value", "props",
+        )
+        ev = ev.repartition(cpus).cache()
     n_rows = ev.count()
     n_cols = len(ev.columns)
 
@@ -104,4 +117,5 @@ def main(sf_dir: str = "/root/testdata/sf0.1", cpus: int = 8) -> int:
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    raise SystemExit(main(sf, cpus))
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    raise SystemExit(main(sf, cpus, rep))
