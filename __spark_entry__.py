@@ -1882,6 +1882,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_string_in_scan"] = table_string_in
 
+    # conjunction of range predicates pruned in ONE manifest filter:
+    # time window AND value band, each contributing its zone-map test
+    def table_multi_range(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_multi_range,
+        )
+
+        ev = _events_table(spark, sf_dir)
+        blocks = encode_table(ev, "event_id", 256)
+        preds = {
+            "ts_us": (1704240000000000, 1705449600000000),  # Jan 3-17 UTC
+            "value": (25.0, 300.0),
+        }
+        return (
+            scan_table_multi_range(
+                blocks, ev.schema, preds, ["event_id", "ts_us", "value"]
+            )
+            .select("event_id", "ts_us", "value")
+            .orderBy("event_id")
+        )
+
+    q["table_multi_range_scan"] = table_multi_range
+
     # the relational store hosted IN the Iceberg layer: table-store block
     # rows committed as Iceberg data files (two appends = two snapshots);
     # read back via snapshot scan planning, decoded, checksum-gated —
@@ -3004,6 +3028,13 @@ SELECT 'value_c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(v) AS BIGINT) AS sum_v,
        CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
 FROM x
+"""
+    o["table_multi_range_scan"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, value
+FROM events
+WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1705449600000000
+  AND value BETWEEN 25.0 AND 300.0
+ORDER BY event_id
 """
     o["table_string_in_scan"] = """
 SELECT event_id, event_type, value

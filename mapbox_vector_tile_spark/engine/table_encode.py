@@ -378,41 +378,66 @@ def scan_table_range(
     the value domain; float64 columns compare in the order-preserving
     key space (``lo``/``hi`` are mapped through the same monotone map the
     encoder stored, so the manifest filter stays a pure int64 range).
-    ``columns`` forwards projection pushdown (must include ``col``)."""
+    ``columns`` forwards projection pushdown (must include ``col``).
+    The single-predicate case of :func:`scan_table_multi_range`."""
+    return scan_table_multi_range(blocks, df_schema, {col: (lo, hi)}, columns)
+
+
+def scan_table_multi_range(
+    blocks: DataFrame,
+    df_schema,
+    predicates: dict[str, tuple],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Conjunction of range predicates, pruned in ONE Catalyst manifest
+    filter: every ``col: (lo, hi)`` contributes its zone-map interval
+    test (the AND composes — a chunk survives only if every predicate's
+    key range intersects its zone map), then the row predicates
+    re-apply post-decode. Same key-space mapping per kind as
+    :func:`scan_table_range`."""
     from pyspark.sql.types import StructType
 
     if isinstance(df_schema, str):
         df_schema = StructType.fromDDL(df_schema)
-    kind = dict(
-        (f.name, _SPARK_TO_KIND[f.dataType.simpleString()])
+    if not predicates:
+        raise ValueError("need at least one predicate")
+    kinds = {
+        f.name: _SPARK_TO_KIND[f.dataType.simpleString()]
         for f in df_schema.fields
-    ).get(col)
-    if kind == KIND_FLOAT64:
-        klo, khi = _float_sort_key(float(lo)), _float_sort_key(float(hi))
-        flo, fhi = F.lit(lo), F.lit(hi)
-    elif kind in (KIND_INT32, KIND_INT64, KIND_BOOL):
-        klo, khi = int(lo), int(hi)
-        flo, fhi = F.lit(lo), F.lit(hi)
-    elif kind == KIND_DATE:  # lo/hi as unix-epoch day numbers
-        klo, khi = int(lo), int(hi)
-        flo = F.date_from_unix_date(F.lit(klo))
-        fhi = F.date_from_unix_date(F.lit(khi))
-    elif kind == KIND_TS:  # lo/hi as epoch micros
-        klo, khi = int(lo), int(hi)
-        flo = F.timestamp_micros(F.lit(klo))
-        fhi = F.timestamp_micros(F.lit(khi))
-    else:
-        raise ValueError(f"range scan needs an ordered-domain column, got {col!r}")
-    if columns is not None and col not in columns:
-        raise ValueError("projection must include the predicate column")
-    idx = F.array_position(F.col("cols"), F.lit(col))
-    kept = blocks.filter(
-        (idx > 0)
-        & (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(khi))
-        & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(klo))
-    )
-    dec = decode_table(kept, df_schema, columns)
-    return dec.filter((F.col(col) >= flo) & (F.col(col) <= fhi))
+    }
+    manifest_filter = None
+    row_filter = None
+    for col, (lo, hi) in predicates.items():
+        kind = kinds.get(col)
+        if kind == KIND_FLOAT64:
+            klo, khi = _float_sort_key(float(lo)), _float_sort_key(float(hi))
+            flo, fhi = F.lit(lo), F.lit(hi)
+        elif kind in (KIND_INT32, KIND_INT64, KIND_BOOL):
+            klo, khi = int(lo), int(hi)
+            flo, fhi = F.lit(lo), F.lit(hi)
+        elif kind == KIND_DATE:
+            klo, khi = int(lo), int(hi)
+            flo = F.date_from_unix_date(F.lit(klo))
+            fhi = F.date_from_unix_date(F.lit(khi))
+        elif kind == KIND_TS:
+            klo, khi = int(lo), int(hi)
+            flo = F.timestamp_micros(F.lit(klo))
+            fhi = F.timestamp_micros(F.lit(khi))
+        else:
+            raise ValueError(f"range predicate on unsupported column {col!r}")
+        if columns is not None and col not in columns:
+            raise ValueError("projection must include every predicate column")
+        idx = F.array_position(F.col("cols"), F.lit(col))
+        m = (
+            (idx > 0)
+            & (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(khi))
+            & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(klo))
+        )
+        r = (F.col(col) >= flo) & (F.col(col) <= fhi)
+        manifest_filter = m if manifest_filter is None else manifest_filter & m
+        row_filter = r if row_filter is None else row_filter & r
+    dec = decode_table(blocks.filter(manifest_filter), df_schema, columns)
+    return dec.filter(row_filter)
 
 
 def scan_table_string_eq(

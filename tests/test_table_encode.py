@@ -673,3 +673,33 @@ def test_string_in_scan(spark, events):
     assert scan_table_string_in(
         blocks, events.schema, "event_type", ["nope-1", "nope-2"]
     ).count() == 0
+
+
+def test_multi_range_scan(spark, events):
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        scan_table_multi_range,
+    )
+
+    blocks = encode_table(events, "event_id", 128)
+    blocks.cache().count()
+    lo_ts = events.agg(F.min("ts_us")).first()[0]
+    hi_ts = lo_ts + (events.agg(F.max("ts_us")).first()[0] - lo_ts) // 3
+    preds = {"ts_us": (lo_ts, hi_ts), "value": (10.0, 200.0)}
+    got = scan_table_multi_range(
+        blocks, events.schema, preds, ["event_id", "ts_us", "value"]
+    )
+    want = events.filter(
+        (F.col("ts_us") >= lo_ts) & (F.col("ts_us") <= hi_ts)
+        & (F.col("value") >= 10.0) & (F.col("value") <= 200.0)
+    )
+    assert {r.event_id for r in got.collect()} == {
+        r.event_id for r in want.collect()
+    }
+    # the AND prunes at least as hard as its tightest member
+    idx = F.array_position(F.col("cols"), F.lit("ts_us")).cast("int")
+    kept_ts = blocks.filter(
+        (F.element_at("mins", idx) <= hi_ts)
+        & (F.element_at("maxs", idx) >= lo_ts)
+    ).count()
+    n_chunks = blocks.count()
+    assert kept_ts < n_chunks  # ts alone prunes; the AND can only help
