@@ -1906,6 +1906,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_multi_range_scan"] = table_multi_range
 
+    # decimal kind: exact money math — lineitem extendedprice as
+    # decimal(12,2) rides the int64 transforms as unscaled ints; the
+    # gate reduces to integer cents so no float ever enters the compare
+    def table_decimal(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+
+        m = 1_000_003
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+        blocks = encode_table(li, "rid", 512)
+        dec = decode_table(blocks, li.schema)
+        cents = (F.col("price") * 100).cast("long")
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.pmod(F.sum(F.pmod(cents, F.lit(m))), F.lit(m)).alias(
+                    "cents_mod"
+                ),
+                F.min("price").cast("string").alias("p_min"),
+                F.max("price").cast("string").alias("p_max"),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_decimal_roundtrip"] = table_decimal
+
     # the relational store hosted IN the Iceberg layer: table-store block
     # rows committed as Iceberg data files (two appends = two snapshots);
     # read back via snapshot scan planning, decoded, checksum-gated —
@@ -3028,6 +3060,18 @@ SELECT 'value_c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(v) AS BIGINT) AS sum_v,
        CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
 FROM x
+"""
+    o["table_decimal_roundtrip"] = """
+WITH rows_ AS (
+  SELECT (l_orderkey * 10 + l_linenumber) // 512 AS chunk,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(((SUM(CAST(price * 100 AS BIGINT) % 1000003) % 1000003) + 1000003)
+    % 1000003 AS BIGINT) AS cents_mod,
+  CAST(MIN(price) AS VARCHAR) AS p_min,
+  CAST(MAX(price) AS VARCHAR) AS p_max
+FROM rows_ GROUP BY chunk ORDER BY chunk
 """
     o["table_multi_range_scan"] = """
 SELECT event_id, epoch_us(ts) AS ts_us, value

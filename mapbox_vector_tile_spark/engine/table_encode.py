@@ -31,6 +31,7 @@ arbitrary table.
 
 from __future__ import annotations
 
+import re
 import struct
 from collections.abc import Iterator
 
@@ -77,6 +78,54 @@ _PA_TYPE = {
 
 # all-null chunk marker: zero-byte payload, no inner frame at all
 _CODEC_ALL_NULL = "all_null"
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _kind_of(simple: str) -> str | None:
+    """Spark simpleString -> kind. Decimals keep their parametrized
+    string as the kind (``decimal(p,s)``, p <= 18 so the unscaled value
+    fits int64 and rides the int64 transforms losslessly)."""
+    k = _SPARK_TO_KIND.get(simple)
+    if k is not None:
+        return k
+    m = _DECIMAL_RE.match(simple)
+    if m and int(m.group(1)) <= 18:
+        return simple
+    return None
+
+
+def _decimal_params(kind: str) -> tuple[int, int]:
+    m = _DECIMAL_RE.match(kind)
+    return int(m.group(1)), int(m.group(2))
+
+
+def _pa_type_of(kind: str):
+    if kind in _PA_TYPE:
+        return _PA_TYPE[kind]
+    p, s = _decimal_params(kind)
+    return pa.decimal128(p, s)
+
+
+def _decimal_unscaled(sub: pa.Array) -> np.ndarray:
+    """Unscaled int64 view of a null-free decimal128 array (valid for
+    precision <= 18): the low 8 bytes of each 16-byte little-endian
+    storage word ARE the signed value when it fits int64."""
+    data = sub.buffers()[1]
+    words = np.frombuffer(data, dtype=np.int64)
+    off = sub.offset * 2
+    return words[off : off + 2 * len(sub) : 2].copy()
+
+
+def _decimal_from_unscaled(u: np.ndarray, p: int, s: int) -> pa.Array:
+    lo = u.astype(np.int64)
+    hi = np.where(lo < 0, np.int64(-1), np.int64(0))
+    pair = np.empty((len(lo), 2), np.int64)
+    pair[:, 0] = lo
+    pair[:, 1] = hi
+    return pa.Array.from_buffers(
+        pa.decimal128(p, s), len(lo), [None, pa.py_buffer(pair.tobytes())]
+    )
 
 _BLOCKS_SCHEMA = (
     "chunk long, n_rows long, cols array<string>, kinds array<string>, "
@@ -149,6 +198,10 @@ def _encode_column_arrow(sub: pa.Array, kind: str) -> tuple[bytes, str, int]:
         a = np.asarray(sub.cast(pa.int64()))  # exact epoch micros
         payload, mode = encode_int64_auto(a)
         return payload, INT64_MODE_NAMES[mode], 8 * a.size
+    if kind.startswith("decimal("):
+        a = _decimal_unscaled(sub)  # exact unscaled int64 (p <= 18)
+        payload, mode = encode_int64_auto(a)
+        return payload, INT64_MODE_NAMES[mode], 16 * a.size
     raise ValueError(f"unknown column kind {kind}")
 
 
@@ -170,6 +223,9 @@ def _decode_column(payload: memoryview, kind: str, n: int):
     elif kind == KIND_TS:
         us = decode_int64(payload)
         arr = pa.array(us, pa.int64()).cast(pa.timestamp("us"))
+    elif kind.startswith("decimal("):
+        p, s = _decimal_params(kind)
+        arr = _decimal_from_unscaled(decode_int64(payload), p, s)
     else:
         raise ValueError(f"unknown column kind {kind}")
     if len(arr) != n:
@@ -191,7 +247,7 @@ def _decode_frame(payloads, valids, j: int, kind: str, n: int):
     valid = np.unpackbits(packed, count=n).astype(bool)
     n_valid = int(valid.sum())
     if n_valid == 0:
-        return pa.nulls(n, _PA_TYPE[kind])
+        return pa.nulls(n, _pa_type_of(kind))
     inner = _decode_column(
         memoryview(payloads[j].as_buffer()), kind, n_valid
     )
@@ -206,9 +262,10 @@ def table_kinds(df: DataFrame, order_col: str) -> list[tuple[str, str]]:
     kinds = []
     for f in df.schema.fields:
         s = f.dataType.simpleString()
-        if s not in _SPARK_TO_KIND:
+        k = _kind_of(s)
+        if k is None:
             raise ValueError(f"unsupported table column type {s} ({f.name})")
-        kinds.append((f.name, _SPARK_TO_KIND[s]))
+        kinds.append((f.name, k))
     kinds.sort(key=lambda kv: (kv[0] != order_col,))
     if kinds[0][0] != order_col:
         raise ValueError(f"order_col {order_col!r} not in table")
@@ -276,6 +333,10 @@ def encode_table(
                 t = np.asarray(sub.cast(pa.int64()))
                 mins.append(int(t.min()))
                 maxs.append(int(t.max()))
+            elif kind.startswith("decimal("):
+                u = _decimal_unscaled(sub)  # unscaled order == value order
+                mins.append(int(u.min()))
+                maxs.append(int(u.max()))
             else:  # strings carry no zone map (dict probe prunes instead)
                 mins.append(None)
                 maxs.append(None)
@@ -331,8 +392,8 @@ def decode_table(
         if f.name not in wanted:
             continue
         s = f.dataType.simpleString()
-        kind = _SPARK_TO_KIND[s]
-        arrow_fields.append((f.name, _PA_TYPE[kind]))
+        kind = _kind_of(s)
+        arrow_fields.append((f.name, _pa_type_of(kind)))
         spark_ddl += f", {f.name} {s}"
     out_schema = pa.schema(arrow_fields)
 
@@ -402,7 +463,7 @@ def scan_table_multi_range(
     if not predicates:
         raise ValueError("need at least one predicate")
     kinds = {
-        f.name: _SPARK_TO_KIND[f.dataType.simpleString()]
+        f.name: _kind_of(f.dataType.simpleString())
         for f in df_schema.fields
     }
     manifest_filter = None
@@ -423,6 +484,16 @@ def scan_table_multi_range(
             klo, khi = int(lo), int(hi)
             flo = F.timestamp_micros(F.lit(klo))
             fhi = F.timestamp_micros(F.lit(khi))
+        elif kind is not None and kind.startswith("decimal("):
+            # bounds arrive in the VALUE domain (str/Decimal/float);
+            # the manifest compares unscaled ints
+            from decimal import Decimal
+
+            _p, s = _decimal_params(kind)
+            klo = int(Decimal(str(lo)).scaleb(s))
+            khi = int(Decimal(str(hi)).scaleb(s))
+            flo = F.lit(str(lo)).cast(kind)
+            fhi = F.lit(str(hi)).cast(kind)
         else:
             raise ValueError(f"range predicate on unsupported column {col!r}")
         if columns is not None and col not in columns:
@@ -486,7 +557,10 @@ def scan_table_string_in(
 
     if isinstance(df_schema, str):
         df_schema = StructType.fromDDL(df_schema)
-    kinds = {f.name: _SPARK_TO_KIND[f.dataType.simpleString()] for f in df_schema.fields}
+    kinds = {
+        f.name: _kind_of(f.dataType.simpleString())
+        for f in df_schema.fields
+    }
     if kinds.get(col) != KIND_STRING:
         raise ValueError(f"{col!r} is not a string column")
     all_names = [f.name for f in df_schema.fields]
@@ -497,7 +571,7 @@ def scan_table_string_in(
     spark_ddl = "chunk long, pos long"
     ddl_of = {f.name: f.dataType.simpleString() for f in df_schema.fields}
     for n in names:
-        arrow_fields.append((n, _PA_TYPE[kinds[n]]))
+        arrow_fields.append((n, _pa_type_of(kinds[n])))
         spark_ddl += f", {n} {ddl_of[n]}"
     out_schema = pa.schema(arrow_fields)
     name_set = set(names)
@@ -616,7 +690,7 @@ def table_int_stats(blocks: DataFrame, df_schema, col: str) -> DataFrame:
     if isinstance(df_schema, str):
         df_schema = StructType.fromDDL(df_schema)
     kinds = {
-        f.name: _SPARK_TO_KIND[f.dataType.simpleString()]
+        f.name: _kind_of(f.dataType.simpleString())
         for f in df_schema.fields
     }
     if kinds.get(col) not in (KIND_INT32, KIND_DATE, KIND_BOOL):
@@ -690,7 +764,7 @@ def table_group_count(blocks: DataFrame, df_schema, col: str) -> DataFrame:
     if isinstance(df_schema, str):
         df_schema = StructType.fromDDL(df_schema)
     kinds = {
-        f.name: _SPARK_TO_KIND[f.dataType.simpleString()]
+        f.name: _kind_of(f.dataType.simpleString())
         for f in df_schema.fields
     }
     if kinds.get(col) != KIND_STRING:

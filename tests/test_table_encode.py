@@ -703,3 +703,56 @@ def test_multi_range_scan(spark, events):
     ).count()
     n_chunks = blocks.count()
     assert kept_ts < n_chunks  # ts alone prunes; the AND can only help
+
+
+def test_decimal_kind_roundtrip_and_scan(spark):
+    from decimal import Decimal
+
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        scan_table_multi_range,
+    )
+
+    rows = [
+        (0, Decimal("123.45")),
+        (1, Decimal("-0.01")),
+        (2, None),
+        (3, Decimal("9999999999.99")),   # decimal(12,2) max
+        (4, Decimal("-9999999999.99")),
+        (5, Decimal("0.00")),
+        (6, Decimal("25.50")),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, m decimal(12,2)")
+    blocks = encode_table(df, "k", 4)
+    dec = decode_table(blocks, df.schema)
+    got = {r.k: r.m for r in dec.collect()}
+    want = {r.k: r.m for r in df.collect()}
+    assert got == want
+    # decimals ride the int64 transforms as unscaled ints
+    row = blocks.first()
+    assert dict(zip(row.cols, row.codecs))["m"].startswith("i64_")
+    # range scan: bounds in the value domain, manifest in unscaled ints
+    hit = scan_table_multi_range(
+        blocks, df.schema, {"m": ("0.00", "200.00")}
+    )
+    assert {r.k for r in hit.collect()} == {0, 5, 6}
+
+
+def test_decimal_full_domain_hypothesis():
+    # kernel-level: unscaled extraction + reconstruction are inverses
+    # across the whole int64-in-decimal128 range
+    import pyarrow as pa
+
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        _decimal_from_unscaled,
+        _decimal_unscaled,
+    )
+
+    u = np.array(
+        [0, 1, -1, 10**18 - 1, -(10**18) + 1, 2**62, -(2**62)], np.int64
+    )
+    arr = _decimal_from_unscaled(u, 18, 3)
+    assert arr.type == pa.decimal128(18, 3)
+    back = _decimal_unscaled(arr)
+    assert np.array_equal(back, u)
+    # sliced arrays honor the offset
+    assert np.array_equal(_decimal_unscaled(arr.slice(2, 4)), u[2:6])
