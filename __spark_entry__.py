@@ -2676,6 +2676,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["iceberg_partition_pruned"] = iceberg_partition_pruned
+
+    # partition EVOLUTION (spec v2): era 1 lands unpartitioned, the spec
+    # evolves to identity(source), era 2 lands partitioned. The filtered
+    # read spans both eras — new-spec files prune at the metadata level,
+    # old-spec files fall back to the residual data filter — and must
+    # still be row-exact vs the formula oracle.
+    def iceberg_partition_evolution(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            corpus = _corpus(spark, sf_dir)
+            ICE.append_dataframe(
+                spark, corpus.filter(F.col("doc_id") < "doc-00000250"), tp
+            )
+            ICE.evolve_partition_spec(tp, ["source"])
+            ICE.append_dataframe(
+                spark, corpus.filter(F.col("doc_id") >= "doc-00000250"), tp
+            )
+            res = _per_doc_result(ICE.read_table(
+                spark, tp, partition_filter={"source": "web"}
+            ))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_partition_evolution"] = iceberg_partition_evolution
+
+    # per-file column bounds (parquet footer stats -> manifest entries):
+    # a range-partitioned layout gives files disjoint n_tok bounds, the
+    # range_filter prunes files at the METADATA level, and the same
+    # predicate runs as a residual data filter so the result is exact.
+    def iceberg_bounds_pruned_scan(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(
+                spark,
+                _corpus(spark, sf_dir).repartitionByRange(8, "n_tok"),
+                tp,
+            )
+            n_all = len(ICE.plan_scan(tp))
+            n_pruned = len(ICE.plan_scan(tp, range_filter={"n_tok": (32, 96)}))
+            assert 0 < n_pruned < n_all, (n_pruned, n_all)
+            res = _per_doc_result(ICE.read_table(
+                spark, tp, range_filter={"n_tok": (32, 96)}
+            ))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_bounds_pruned_scan"] = iceberg_bounds_pruned_scan
     return q
 
 
@@ -2717,6 +2778,18 @@ ORDER BY doc_id
         "iceberg_partition_pruned": C.per_doc_checksum_sql(
             "documents WHERE "
             f"({C.source_case_sql('doc_id')}) = 'web'",
+            string_doc_id=True,
+        ),
+        "iceberg_partition_evolution": C.per_doc_checksum_sql(
+            "documents WHERE "
+            f"({C.source_case_sql('doc_id')}) = 'web'",
+            string_doc_id=True,
+        ),
+        "iceberg_bounds_pruned_scan": C.per_doc_checksum_sql(
+            "documents WHERE (CASE WHEN doc_id % 101 = 0 THEN 0 "
+            "WHEN doc_id % 103 = 7 THEN 1 "
+            "WHEN doc_id % 127 = 11 THEN 8192 "
+            "ELSE 1 + (doc_id * 7919) % 997 END) BETWEEN 32 AND 96",
             string_doc_id=True,
         ),
         "roundtrip_auto_by_regime": by_regime,

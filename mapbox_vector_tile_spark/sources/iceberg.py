@@ -31,11 +31,19 @@ sequence (not wall clock), so identical inputs produce byte-identical
 metadata trees — the repo-wide reproducibility contract (resume drills
 diff whole directories).
 
-Not implemented (documented, not hidden): positional/equality delete
-FILES (the engine's own merge-on-read delete path lives in
-``engine/deletes.py``), partitioned specs (the corpus partitions by
-size-weighted ranges at the exchange layer instead), and catalog
-services (HMS/REST) — file-system tables with version-hint only.
+Also implemented: identity partition specs WITH partition evolution
+(new specs become the write default; files keep their original spec,
+scans resolve per file, ``rewrite_data_files`` migrates), per-file
+column bounds in manifest entries (from parquet footer statistics;
+``plan_scan`` prunes on partition values AND bounds before any footer
+or data byte is touched, reads apply the same predicates as residual
+data filters), position + equality delete files merge-on-read, and
+schema evolution with field-id resolution.
+
+Not implemented (documented, not hidden): non-identity transforms
+(bucket/truncate/day — the corpus partitions by size-weighted ranges
+at the exchange layer instead) and catalog services (HMS/REST) —
+file-system tables with version-hint only.
 
 Reference parity anchor: the reference's tile container wraps layers the
 same way Iceberg metadata wraps data files — a self-describing envelope
@@ -165,7 +173,9 @@ def evolve_schema(
     """
     meta = load_metadata(table_path)
     cur = current_schema(meta)
-    spec_cols = {f["name"] for f in meta["partition-specs"][0]["fields"]}
+    spec_cols = {
+        f["name"] for s in meta["partition-specs"] for f in s["fields"]
+    }
     fields = [dict(f) for f in cur["fields"]]
     names = {f["name"] for f in fields}
 
@@ -284,6 +294,16 @@ def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
          "type": ["null", {"type": "array", "items": "int",
                            "element-id": 136}],
          "default": None, "field-id": 135},
+        # column bounds (spec field-ids 125/128). The spec serializes
+        # map<field-id, binary single-value>; this implementation stores
+        # map<column-name, string single-value> — same information, plain
+        # avro maps, still Java-avro-valid. Readers coerce by schema type.
+        {"name": "lower_bounds",
+         "type": ["null", {"type": "map", "values": "string"}],
+         "default": None, "field-id": 125},
+        {"name": "upper_bounds",
+         "type": ["null", {"type": "map", "values": "string"}],
+         "default": None, "field-id": 128},
     ]
     return {
         "type": "record",
@@ -332,6 +352,15 @@ class DataFile:
     equality_ids: list[int] | None = None
     # identity-transform partition values, e.g. {"source": "web"}
     partition: dict | None = None
+    # partition spec the file was WRITTEN under (evolution: files keep
+    # their original spec forever; scans resolve per-file)
+    spec_id: int = 0
+    # per-file column bounds from the parquet footer (name -> string-
+    # serialized value; the spec stores field-id -> binary single-value,
+    # same information) — scan planning prunes files whose bounds cannot
+    # intersect a predicate before any footer or byte is touched
+    lower_bounds: dict | None = None
+    upper_bounds: dict | None = None
 
 
 def _meta_dir(table_path: str) -> str:
@@ -416,6 +445,68 @@ def create_table(
     return meta
 
 
+def _spec_by_id(meta: dict, spec_id: int) -> dict:
+    for s in meta["partition-specs"]:
+        if s["spec-id"] == spec_id:
+            return s
+    raise ValueError(f"unknown partition spec-id {spec_id}")
+
+
+def _default_spec(meta: dict) -> dict:
+    return _spec_by_id(meta, meta.get("default-spec-id", 0))
+
+
+def evolve_partition_spec(table_path: str, partition_by: list[str]) -> dict:
+    """Partition evolution (spec v2): append a NEW spec and make it the
+    default for future writes. Existing data files keep the spec they were
+    written under forever — scans resolve partition columns per file, and
+    metadata pruning applies exactly where a file's own spec covers the
+    predicate (old-spec files fall back to the data filter). A later
+    ``rewrite_data_files`` migrates everything to the new layout.
+
+    Field-ids are REUSED for a (source column, transform) pair that
+    already appeared in any prior spec (spec rule: partition field ids are
+    assigned once per transform+source across the table's history)."""
+    meta = load_metadata(table_path)
+    schema_fields = {f["name"]: f for f in current_schema(meta)["fields"]}
+    for c in partition_by:
+        if c not in schema_fields:
+            raise ValueError(f"partition column {c!r} not in current schema")
+        if schema_fields[c]["type"] != "string":
+            raise ValueError(
+                f"identity partitioning supports string columns; {c!r} is "
+                f"{schema_fields[c]['type']}"
+            )
+    known = {
+        (f["source-id"], f["transform"]): f["field-id"]
+        for s in meta["partition-specs"]
+        for f in s["fields"]
+    }
+    last_pid = meta.get("last-partition-id", 999)
+    fields = []
+    for c in partition_by:
+        sid = schema_fields[c]["id"]
+        fid = known.get((sid, "identity"))
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        fields.append({
+            "name": c, "transform": "identity",
+            "source-id": sid, "field-id": fid,
+        })
+    default = _default_spec(meta)
+    if fields == default["fields"]:
+        return meta  # no-op: already the default layout
+    new_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+    meta["partition-specs"].append({"spec-id": new_id, "fields": fields})
+    meta["default-spec-id"] = new_id
+    meta["last-partition-id"] = last_pid
+    version = _read_version(table_path) + 1
+    meta["last-updated-ms"] = _EPOCH_MS + version
+    _write_metadata(table_path, meta, version)
+    return meta
+
+
 def _branch_head(meta: dict, branch: str) -> int:
     """Snapshot id a commit on ``branch`` builds on: the branch ref if it
     exists, else the current main head (a new branch forks from main)."""
@@ -459,15 +550,20 @@ def _commit(
     counters = {"added": 0, "existing": 0, "deleted": 0,
                 "r_added": 0, "r_deleted": 0}
 
-    # one manifest per content kind present (spec: a manifest stores data
-    # files OR delete files, never both)
-    by_content: dict[int, tuple[list[DataFile], list[DataFile]]] = {}
+    # one manifest per (content kind, partition spec) present — spec rules:
+    # a manifest stores data files OR delete files, never both, and every
+    # entry in a manifest shares one partition spec (evolution can leave
+    # live files under several specs)
+    by_group: dict[tuple[int, int],
+                   tuple[list[DataFile], list[DataFile]]] = {}
     for df in live_files:
-        by_content.setdefault(df.content, ([], []))[0].append(df)
+        by_group.setdefault((df.content, df.spec_id), ([], []))[0].append(df)
     for df in removed_files:
-        by_content.setdefault(df.content, ([], []))[1].append(df)
+        by_group.setdefault((df.content, df.spec_id), ([], []))[1].append(df)
 
-    for mi, (content_id, (live, gone)) in enumerate(sorted(by_content.items())):
+    for mi, ((content_id, spec_id), (live, gone)) in enumerate(
+        sorted(by_group.items())
+    ):
         entries = []
         n_added = n_existing = n_deleted = 0
         r_added = r_existing = r_deleted = 0
@@ -499,6 +595,8 @@ def _commit(
                     "record_count": df.record_count,
                     "file_size_in_bytes": df.file_size_in_bytes,
                     "equality_ids": df.equality_ids,
+                    "lower_bounds": df.lower_bounds,
+                    "upper_bounds": df.upper_bounds,
                 },
             })
         for df in gone:
@@ -517,11 +615,15 @@ def _commit(
                     "record_count": df.record_count,
                     "file_size_in_bytes": df.file_size_in_bytes,
                     "equality_ids": df.equality_ids,
+                    "lower_bounds": df.lower_bounds,
+                    "upper_bounds": df.upper_bounds,
                 },
             })
-        muuid = _det_uuid(f"{table_path}:manifest:{snap_id}:{content_id}")
+        muuid = _det_uuid(
+            f"{table_path}:manifest:{snap_id}:{content_id}:{spec_id}"
+        )
         manifest_path = os.path.join(md, f"{muuid}-m{mi}.avro")
-        spec_fields = meta["partition-specs"][0]["fields"]
+        spec_fields = _spec_by_id(meta, spec_id)["fields"]
         manifest_bytes = A.write_ocf(
             manifest_entry_schema(spec_fields or None),
             entries,
@@ -529,7 +631,7 @@ def _commit(
             extra_meta={
                 "schema": json.dumps(current_schema(meta)).encode(),
                 "partition-spec": json.dumps(spec_fields).encode(),
-                "partition-spec-id": b"0",
+                "partition-spec-id": str(spec_id).encode(),
                 "format-version": b"2",
                 "content": b"data" if content_id == DATA else b"deletes",
             },
@@ -539,7 +641,7 @@ def _commit(
         manifests.append({
             "manifest_path": manifest_path,
             "manifest_length": len(manifest_bytes),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 0 if content_id == DATA else 1,
             "sequence_number": seq,
             "min_sequence_number": min_seq,
@@ -701,8 +803,20 @@ def _plan_files(
                 d["file_path"], d["record_count"], d["file_size_in_bytes"],
                 eff_seq, d.get("content", 0), d.get("equality_ids"),
                 d.get("partition") or None,
+                m.get("partition_spec_id", 0),
+                d.get("lower_bounds"), d.get("upper_bounds"),
             ))
     return out
+
+
+def _coerce_bound(ice_type: str, s: str):
+    if ice_type in ("int", "long", "date"):
+        return int(s)
+    if ice_type in ("float", "double"):
+        return float(s)
+    if ice_type == "boolean":
+        return s == "true"
+    return s
 
 
 def plan_scan(
@@ -710,30 +824,69 @@ def plan_scan(
     snapshot_id: int | None = None,
     content: int | None = DATA,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ) -> list[DataFile]:
-    """Live files of a snapshot; ``partition_filter`` (e.g.
-    ``{"source": "web"}``) prunes by the manifest-entry partition values —
-    non-matching data files are dropped from the plan before any parquet
-    footer or byte is touched, the metadata-level pruning identity
-    partitioning exists for."""
-    files = _plan_files(table_path, load_metadata(table_path), snapshot_id,
-                        content)
-    if partition_filter:
-        files = [
-            f for f in files
-            if f.partition
-            and all(f.partition.get(k) == v
-                    for k, v in partition_filter.items())
-        ]
-    return files
+    """Live files of a snapshot, pruned at the METADATA level — no parquet
+    footer or byte is touched for a dropped file.
+
+    ``partition_filter`` (e.g. ``{"source": "web"}``) prunes by manifest-
+    entry partition values. With partition evolution a file is dropped
+    only when ITS OWN spec covers the key (spec semantics: old-spec files
+    can't be judged by a partition value they never stored — the column
+    bounds usually still prune them, and the read applies the residual
+    data filter either way).
+
+    ``range_filter`` maps column -> ``(lo, hi)`` (either end ``None`` for
+    open) and prunes on the per-file column bounds the commit recorded
+    from parquet footers; files predating bounds are conservatively kept.
+    """
+    meta = load_metadata(table_path)
+    files = _plan_files(table_path, meta, snapshot_id, content)
+    if not (partition_filter or range_filter):
+        return files
+    field_types = {
+        f["name"]: f["type"] for f in current_schema(meta)["fields"]
+        if isinstance(f["type"], str)
+    }
+    spec_cols_by_id = {
+        s["spec-id"]: {f["name"] for f in s["fields"]}
+        for s in meta["partition-specs"]
+    }
+
+    def _bounds_admit(f: DataFile, col: str, lo, hi) -> bool:
+        t = field_types.get(col)
+        if t is None or f.lower_bounds is None or f.upper_bounds is None:
+            return True
+        ls, us = f.lower_bounds.get(col), f.upper_bounds.get(col)
+        if ls is None or us is None:
+            return True
+        fl, fu = _coerce_bound(t, ls), _coerce_bound(t, us)
+        return not ((hi is not None and fl > hi)
+                    or (lo is not None and fu < lo))
+
+    def _admit(f: DataFile) -> bool:
+        for k, v in (partition_filter or {}).items():
+            if k in spec_cols_by_id.get(f.spec_id, set()):
+                if (f.partition or {}).get(k) != v:
+                    return False
+            elif not _bounds_admit(f, k, v, v):
+                return False
+        for k, (lo, hi) in (range_filter or {}).items():
+            if not _bounds_admit(f, k, lo, hi):
+                return False
+        return True
+
+    return [f for f in files if _admit(f)]
 
 
 def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
                           need_meta: bool, schema: dict | None = None):
-    """One logical scan over planned data files. Partitioned tables group
-    files by partition value (data files do not store partition columns;
-    the values come from manifest metadata, spec identity semantics) and
-    union the per-value scans — after pruning this is usually ONE group.
+    """One logical scan over planned data files. Partitioned files group
+    by (write spec, partition value) — data files do not store their
+    spec's partition columns; the values come back from manifest metadata
+    (identity semantics) — and the per-group scans union. After pruning
+    this is usually ONE group; with partition evolution each file uses
+    the spec it was WRITTEN under, so mixed-era snapshots read correctly.
     ``need_meta`` attaches ``__fp``/``__pos`` inside each scan (metadata
     columns only exist at the FileScan, not across unions). ``schema``
     overrides the read schema — the WRITE-TIME schema of this file group
@@ -742,8 +895,10 @@ def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
 
     schema = schema or current_schema(meta)
     schema_fields = schema["fields"]
-    spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
     full_ddl = iceberg_to_spark_ddl(schema)
+    order = [f["name"] for f in schema_fields] + (
+        ["__fp", "__pos"] if need_meta else []
+    )
 
     def attach_meta(df):
         if not need_meta:
@@ -755,29 +910,34 @@ def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
             "__pos": F.col("_metadata.row_index"),
         })
 
-    if not spec_cols:
-        return attach_meta(
-            spark.read.schema(full_ddl).parquet(*[f.file_path for f in files])
-        )
-
-    reduced = {
-        "type": "struct", "schema-id": 0,
-        "fields": [f for f in schema_fields if f["name"] not in spec_cols],
-    }
-    reduced_ddl = iceberg_to_spark_ddl(reduced)
-    order = [f["name"] for f in schema_fields] + (
-        ["__fp", "__pos"] if need_meta else []
-    )
-    groups: dict[tuple, list[str]] = {}
+    by_spec: dict[int, list[DataFile]] = {}
     for f in files:
-        key = tuple((f.partition or {}).get(c) for c in spec_cols)
-        groups.setdefault(key, []).append(f.file_path)
+        by_spec.setdefault(f.spec_id, []).append(f)
+
     parts = []
-    for key, paths in sorted(groups.items()):
-        g = attach_meta(spark.read.schema(reduced_ddl).parquet(*paths))
-        for c, v in zip(spec_cols, key):
-            g = g.withColumn(c, F.lit(v).cast("string"))
-        parts.append(g.select(*order))
+    for sid, sfiles in sorted(by_spec.items()):
+        spec_cols = [f["name"] for f in _spec_by_id(meta, sid)["fields"]]
+        if not spec_cols:
+            parts.append(attach_meta(
+                spark.read.schema(full_ddl)
+                .parquet(*[f.file_path for f in sfiles])
+            ).select(*order))
+            continue
+        reduced = {
+            "type": "struct", "schema-id": 0,
+            "fields": [f for f in schema_fields
+                       if f["name"] not in spec_cols],
+        }
+        reduced_ddl = iceberg_to_spark_ddl(reduced)
+        groups: dict[tuple, list[str]] = {}
+        for f in sfiles:
+            key = tuple((f.partition or {}).get(c) for c in spec_cols)
+            groups.setdefault(key, []).append(f.file_path)
+        for key, paths in sorted(groups.items()):
+            g = attach_meta(spark.read.schema(reduced_ddl).parquet(*paths))
+            for c, v in zip(spec_cols, key):
+                g = g.withColumn(c, F.lit(v).cast("string"))
+            parts.append(g.select(*order))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -790,6 +950,7 @@ def read_table(
     snapshot_id: int | None = None,
     branch: str | None = None,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ):
     """Snapshot scan -> one Spark parquet read over the planned files,
     with position deletes applied merge-on-read.
@@ -815,9 +976,25 @@ def read_table(
         if ref is None:
             raise ValueError(f"unknown branch {branch!r}")
         snapshot_id = ref["snapshot-id"]
-    files = plan_scan(table_path, snapshot_id, partition_filter=partition_filter)
+    files = plan_scan(table_path, snapshot_id,
+                      partition_filter=partition_filter,
+                      range_filter=range_filter)
     cur = current_schema(meta)
     ddl = iceberg_to_spark_ddl(cur)
+
+    # metadata pruning above is an optimization; the same predicates run
+    # as residual data filters (Spark pushes them into the parquet scan),
+    # so files an old spec or missing bounds couldn't prune stay exact
+    def _residual(df):
+        for k, v in (partition_filter or {}).items():
+            df = df.filter(F.col(k) == v)
+        for k, (lo, hi) in (range_filter or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(k) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(k) <= hi)
+        return df
+
     if not files:
         return spark.createDataFrame([], ddl)
     pos_dels = plan_scan(table_path, snapshot_id, content=POSITION_DELETES)
@@ -864,7 +1041,7 @@ def read_table(
         for p in parts[1:]:
             df = df.unionByName(p)
     if not need_meta:
-        return df
+        return _residual(df)
     cols = [c for c in df.columns if not c.startswith("__")]
     # per-data-file sequence numbers (metadata-sized map) — both delete
     # kinds gate on them
@@ -936,7 +1113,7 @@ def read_table(
                 cond = cond & (df[n] == eq_df[f"__eq_{n}"])
             df = df.join(eq_df, cond, "left_anti")
 
-    return df.select(*cols)
+    return _residual(df.select(*cols))
 
 
 def commit_equality_deletes(
@@ -1061,8 +1238,12 @@ def rewrite_data_files(spark, table_path: str) -> dict:
     df = read_table(spark, table_path)  # deletes applied
     seq = meta["last-sequence-number"] + 1
     data_dir = os.path.join(table_path, "data", f"seq={seq}-rewrite")
-    spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
-    new_files = _write_data_files(df, data_dir, spec_cols)
+    # compaction rewrites under the DEFAULT spec — after partition
+    # evolution this is also the migration step that moves old-spec files
+    # into the new layout
+    spec = _default_spec(meta)
+    spec_cols = [f["name"] for f in spec["fields"]]
+    new_files = _write_data_files(df, data_dir, spec_cols, spec["spec-id"])
     return _commit(table_path, new_files, cur, "replace")
 
 
@@ -1138,17 +1319,67 @@ def append_dataframe(
             f"append columns {sorted(df.columns)} != current schema "
             f"{sorted(want)} (did the table evolve?)"
         )
-    spec_cols = [f["name"] for f in meta["partition-specs"][0]["fields"]]
+    spec = _default_spec(meta)
+    spec_cols = [f["name"] for f in spec["fields"]]
+    if partition_by is not None and partition_by != spec_cols:
+        raise ValueError(
+            f"table's default spec partitions by {spec_cols}; to change "
+            f"the layout call evolve_partition_spec({partition_by!r})"
+        )
     seq = meta["last-sequence-number"] + 1
     data_dir = os.path.join(table_path, "data", f"seq={seq}")
-    new_files = _write_data_files(df, data_dir, spec_cols)
+    new_files = _write_data_files(df, data_dir, spec_cols, spec["spec-id"])
     return commit_append(table_path, new_files, branch)
 
 
-def _write_data_files(df, data_dir: str, spec_cols: list[str]) -> list[DataFile]:
+def _serialize_bound(v) -> str | None:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float, str)):
+        return str(v)
+    return None  # unsupported footer-stat type -> no bound for the column
+
+
+def _footer_bounds(md) -> tuple[dict | None, dict | None]:
+    """Per-file column bounds from parquet row-group statistics; a column
+    missing stats in ANY row group gets no bound (conservative)."""
+    lows: dict = {}
+    highs: dict = {}
+    bad: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested (list/struct leaves) — skip
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            if name in lows:
+                lows[name] = min(lows[name], st.min)
+                highs[name] = max(highs[name], st.max)
+            else:
+                lows[name], highs[name] = st.min, st.max
+    lo_s, hi_s = {}, {}
+    for name in lows:
+        if name in bad:
+            continue
+        ls, hs = _serialize_bound(lows[name]), _serialize_bound(highs[name])
+        if ls is not None and hs is not None:
+            lo_s[name], hi_s[name] = ls, hs
+    return (lo_s or None), (hi_s or None)
+
+
+def _write_data_files(
+    df, data_dir: str, spec_cols: list[str], spec_id: int = 0
+) -> list[DataFile]:
     """Distributed parquet write (partitionBy for partitioned specs) +
     footer walk of the new files; partition values come back from the
-    col=value path segments (identity transform)."""
+    col=value path segments (identity transform) and column bounds from
+    the row-group statistics. Footer reads are bounded by THIS commit's
+    files (real Iceberg collects the same stats from writer tasks)."""
     import pyarrow.parquet as pq
 
     writer = df.write.mode("overwrite")
@@ -1166,9 +1397,12 @@ def _write_data_files(df, data_dir: str, spec_cols: list[str]) -> list[DataFile]
                 continue
             path = os.path.join(dp, name)
             md = pq.read_metadata(path)
+            lo, hi = _footer_bounds(md)
             new_files.append(DataFile(
                 path, md.num_rows, os.path.getsize(path),
                 partition={c: pvals[c] for c in spec_cols} if spec_cols
                 else None,
+                spec_id=spec_id,
+                lower_bounds=lo, upper_bounds=hi,
             ))
     return new_files

@@ -455,3 +455,99 @@ def test_iceberg_eq_deletes_after_rename(spark, tmp_path):
     )
     got = sorted(r.row_id for r in ICE.read_table(spark, tp).collect())
     assert got == [1, 3]
+
+
+def test_iceberg_partition_evolution(spark, tmp_path):
+    """Spec v2 partition evolution: files keep their write-time spec,
+    mixed-era snapshots read exactly, new-era files prune by metadata,
+    compaction migrates the old era to the new layout."""
+    tp = str(tmp_path / "spec_evo")
+    corpus = G.corpus_dataframe(spark, 300, 2)
+    first = corpus.filter(F.col("doc_id") < "doc-00000150")
+    rest = corpus.filter(F.col("doc_id") >= "doc-00000150")
+    ICE.append_dataframe(spark, first, tp)  # era 1: unpartitioned
+    ICE.evolve_partition_spec(tp, ["source"])
+    meta = ICE.load_metadata(tp)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    ICE.append_dataframe(spark, rest, tp)  # era 2: partitioned
+
+    files = ICE.plan_scan(tp)
+    assert {f.spec_id for f in files} == {0, 1}
+
+    got = {(r.doc_id, r.source)
+           for r in ICE.read_table(spark, tp)
+           .select("doc_id", "source").collect()}
+    want = {(r.doc_id, r.source)
+            for r in corpus.select("doc_id", "source").collect()}
+    assert got == want
+
+    src = sorted(r.source
+                 for r in corpus.select("source").distinct().collect())[0]
+    # metadata prune: every surviving NEW-spec file matches; old-spec
+    # files survive the partition test (their spec can't judge it)
+    pruned = ICE.plan_scan(tp, partition_filter={"source": src})
+    assert len(pruned) < len(files)
+    assert all(f.partition == {"source": src}
+               for f in pruned if f.spec_id == 1)
+    # the read stays exact across both eras (residual data filter)
+    one = ICE.read_table(spark, tp, partition_filter={"source": src})
+    want_one = corpus.filter(F.col("source") == src)
+    assert {r.doc_id: list(r.tokens)
+            for r in one.collect()} == {r.doc_id: list(r.tokens)
+                                        for r in want_one.collect()}
+
+    # compaction rewrites under the default spec -> full migration
+    ICE.rewrite_data_files(spark, tp)
+    files2 = ICE.plan_scan(tp)
+    assert {f.spec_id for f in files2} == {1}
+    assert all(f.partition for f in files2)
+    got2 = {(r.doc_id, r.source)
+            for r in ICE.read_table(spark, tp)
+            .select("doc_id", "source").collect()}
+    assert got2 == want
+
+    # field-id reuse across re-evolutions (spec rule)
+    fid = meta["partition-specs"][1]["fields"][0]["field-id"]
+    ICE.evolve_partition_spec(tp, [])
+    ICE.evolve_partition_spec(tp, ["source"])
+    meta3 = ICE.load_metadata(tp)
+    assert meta3["partition-specs"][-1]["fields"][0]["field-id"] == fid
+
+    # append with a stale partition_by hint refuses with a pointer
+    with pytest.raises(ValueError, match="evolve_partition_spec"):
+        ICE.append_dataframe(spark, first, tp, partition_by=["doc_id"])
+
+
+def test_iceberg_bounds_pruning(spark, tmp_path):
+    """Per-file column bounds (footer stats -> manifest entries) prune
+    range and equality scans at the metadata level; reads stay exact."""
+    tp = str(tmp_path / "bounds")
+    corpus = G.corpus_dataframe(spark, 400, 2)
+    # range layout so files carry disjoint n_tok bounds
+    ICE.append_dataframe(spark, corpus.repartitionByRange(4, "n_tok"), tp)
+    files = ICE.plan_scan(tp)
+    assert len(files) >= 3
+    for f in files:
+        assert f.lower_bounds and f.upper_bounds
+        assert "n_tok" in f.lower_bounds and "doc_id" in f.lower_bounds
+        assert int(f.lower_bounds["n_tok"]) <= int(f.upper_bounds["n_tok"])
+
+    hi = int(corpus.approxQuantile("n_tok", [0.4], 0.0)[0])
+    pruned = ICE.plan_scan(tp, range_filter={"n_tok": (None, hi)})
+    assert 0 < len(pruned) < len(files)
+
+    got = ICE.read_table(spark, tp, range_filter={"n_tok": (None, hi)})
+    want = corpus.filter(F.col("n_tok") <= hi)
+    assert {r.doc_id: list(r.tokens)
+            for r in got.collect()} == {r.doc_id: list(r.tokens)
+                                        for r in want.collect()}
+
+    # equality on a NON-partition column prunes through bounds too
+    target = "doc-00000007"
+    by_id = ICE.plan_scan(tp, partition_filter={"doc_id": target})
+    assert len(by_id) < len(files)
+    row = ICE.read_table(
+        spark, tp, partition_filter={"doc_id": target}
+    ).collect()
+    assert len(row) == 1 and row[0].doc_id == target
