@@ -116,6 +116,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["selective_decode_doc_range"] = selective_decode_doc_range
 
+    # MANIFEST-level file pruning: the fused sink records each fragment's
+    # doc-id envelope in _manifest.json; a range scan drops whole fragments
+    # before Spark plans the read (blocks_scan), then chunk zone maps prune
+    # within the survivors (decode_doc_range). Result must still match the
+    # formula oracle for the range exactly.
+    def manifest_pruned_decode(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.decode import decode_doc_range
+        from mapbox_vector_tile_spark.engine.exchange import (
+            exchange_encode_fused_direct,
+        )
+        from mapbox_vector_tile_spark.sources.parquet_direct import (
+            blocks_scan,
+            list_parquet_files,
+            prune_files_by_doc_range,
+        )
+
+        lo, hi = "doc-00000150", "doc-00000350"
+        work = tempfile.mkdtemp(prefix="mvt_mblk_")
+        try:
+            tokens = f"{work}/tokens"
+            blocks = f"{work}/blocks"
+            # doc-range-clustered layout (the generator/exchange layout at
+            # scale): each token file covers a doc-id range, so fragments
+            # inherit tight doc-id envelopes worth pruning on
+            _corpus(spark, sf_dir).repartitionByRange(
+                8, "doc_id"
+            ).write.mode("overwrite").parquet(tokens)
+            exchange_encode_fused_direct(spark, tokens, blocks,
+                                         num_buckets=8, n_tasks=8)
+            files = list_parquet_files(blocks)
+            n_kept = len(prune_files_by_doc_range(files, lo, hi))
+            assert 0 < n_kept < len(files), (n_kept, len(files))
+            decoded = decode_doc_range(
+                blocks_scan(spark, blocks, doc_range=(lo, hi)), lo, hi
+            )
+            res = _per_doc_result(decoded)
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["manifest_pruned_decode"] = manifest_pruned_decode
+
     # max-sequence-length truncation: decode only tokens[:64] per doc via
     # the codec-aware positional gather (CONSTANT/RLE/PAGED chunks never
     # inflate their full stream); n_tok stays the original length
@@ -2794,6 +2839,10 @@ ORDER BY doc_id
         ),
         "roundtrip_auto_by_regime": by_regime,
         "selective_decode_doc_range": C.per_doc_checksum_sql(
+            "documents WHERE doc_id >= 150 AND doc_id < 350",
+            string_doc_id=True,
+        ),
+        "manifest_pruned_decode": C.per_doc_checksum_sql(
             "documents WHERE doc_id >= 150 AND doc_id < 350",
             string_doc_id=True,
         ),

@@ -303,7 +303,8 @@ def encode_with_checkpoint_direct(
 FUSED_CHECKPOINT_SCHEMA = (
     "task_id int, run_id string, status string, n_rows long, n_values long, "
     "bytes_raw long, bytes_enc long, bytes_ref long, n_chunks long, "
-    "path string, wall_ms long, finished_at double"
+    "path string, min_doc_id string, max_doc_id string, "
+    "wall_ms long, finished_at double"
 )
 
 
@@ -422,7 +423,8 @@ def encode_with_checkpoint_fused(
             (
                 int(r.task_id), run_id, "done", int(r.n_rows),
                 int(r.n_values), int(r.bytes_raw), int(r.bytes_enc),
-                int(r.bytes_ref), int(r.n_chunks), r.path, wall_ms, now,
+                int(r.bytes_ref), int(r.n_chunks), r.path,
+                r.min_doc_id, r.max_doc_id, wall_ms, now,
             )
             for r in manifest
         ]
@@ -432,17 +434,23 @@ def encode_with_checkpoint_fused(
         processed = len(rows)
     if len(done_tasks(spark, ckpt_dir)) == total:
         ck = spark.read.parquet(ckpt_dir)
-        frag = {
-            r.path: int(r.n_chunks)
-            for r in ck.filter(
-                (F.col("status") == "done") & (F.col("path") != "")
-            )
-            .select("path", "n_chunks")
+        frag_rows = (
+            ck.filter((F.col("status") == "done") & (F.col("path") != ""))
+            .select("path", "n_chunks", "min_doc_id", "max_doc_id")
             .collect()
-        }
+        )
         write_file_manifest(
             out_dir,
-            {os.path.relpath(p, out_dir): n for p, n in frag.items()},
+            {
+                os.path.relpath(r.path, out_dir): int(r.n_chunks)
+                for r in frag_rows
+            },
+            file_stats={
+                os.path.relpath(r.path, out_dir): {
+                    "min_doc_id": r.min_doc_id, "max_doc_id": r.max_doc_id
+                }
+                for r in frag_rows
+            },
         )
         with open(os.path.join(out_dir, "_SUCCESS"), "w"):
             pass

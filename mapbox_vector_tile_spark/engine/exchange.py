@@ -813,6 +813,13 @@ def exchange_encode_fused_direct(
             for r in manifest
             if r.path
         },
+        file_stats={
+            os.path.relpath(r.path, out_path): {
+                "min_doc_id": r.min_doc_id, "max_doc_id": r.max_doc_id
+            }
+            for r in manifest
+            if r.path
+        },
     )
     with open(os.path.join(out_path, "_SUCCESS"), "w"):
         pass
@@ -872,6 +879,7 @@ def _fused_direct_run(
                 out = em.batch()
                 n_chunks = n_rows = n_values = 0
                 b_raw = b_enc = b_ref = 0
+                dmin = dmax = ""
                 final = os.path.join(out_path, f"part-{task_id:05d}.parquet")
                 if out is not None:
                     write_parquet_atomic(pa.Table.from_batches([out]), final)
@@ -881,10 +889,17 @@ def _fused_direct_run(
                     b_raw = sum(r["bytes_raw"] for r in em.rows)
                     b_enc = sum(r["bytes_enc"] for r in em.rows)
                     b_ref = sum(r["bytes_ref"] for r in em.rows)
+                    # fragment zone map: the file-level envelope of the
+                    # per-chunk doc-id spans, recorded in _manifest.json so
+                    # range scans drop whole fragments before any footer
+                    dmin = min(r["min_doc_id"] for r in em.rows)
+                    dmax = max(r["max_doc_id"] for r in em.rows)
                 yield pa.RecordBatch.from_pydict(
                     {
                         "task_id": [task_id],
                         "path": [final if out is not None else ""],
+                        "min_doc_id": [dmin],
+                        "max_doc_id": [dmax],
                         "n_chunks": [n_chunks],
                         "n_rows": [n_rows],
                         "n_values": [n_values],
@@ -901,6 +916,8 @@ def _fused_direct_run(
                         [
                             ("task_id", pa.int32()),
                             ("path", pa.string()),
+                            ("min_doc_id", pa.string()),
+                            ("max_doc_id", pa.string()),
                             ("n_chunks", pa.int64()),
                             ("n_rows", pa.int64()),
                             ("n_values", pa.int64()),
@@ -915,7 +932,8 @@ def _fused_direct_run(
 
     return tasks.mapInArrow(
         fn,
-        "task_id int, path string, n_chunks long, n_rows long, "
+        "task_id int, path string, min_doc_id string, max_doc_id string, "
+        "n_chunks long, n_rows long, "
         "n_values long, bytes_raw long, bytes_enc long, bytes_ref long, "
         "t_start double, t_end double",
     ).collect()

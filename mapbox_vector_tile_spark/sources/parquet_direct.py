@@ -45,19 +45,30 @@ def write_parquet_atomic(table: pa.Table, final: str) -> None:
     os.replace(tmp, final)
 
 
-def write_file_manifest(root: str, row_counts: dict[str, int]) -> None:
+def write_file_manifest(
+    root: str,
+    row_counts: dict[str, int],
+    file_stats: dict[str, dict] | None = None,
+) -> None:
     """Write-side fragment manifest (``_manifest.json``): per-file row
     counts keyed by path relative to the dataset root — the seam where a
     table format's manifest column metrics (Iceberg ``record_count``) plug
     in. Readers plan row-range splits from it without opening parquet
-    footers. Atomic tmp+rename; name starts with ``_`` so Spark/DuckDB
-    data scans ignore it."""
+    footers. ``file_stats`` adds per-file ZONE MAPS (e.g. ``{"min_doc_id":
+    ..., "max_doc_id": ...}`` for blocks fragments — the manifest-level
+    analog of Iceberg's ``lower_bounds``/``upper_bounds``): range scans
+    drop whole files from the plan before Spark opens a single footer.
+    Atomic tmp+rename; name starts with ``_`` so Spark/DuckDB data scans
+    ignore it."""
     import json
 
     path = os.path.join(root, "_manifest.json")
     tmp = path + ".tmp"
+    doc = {"row_counts": row_counts}
+    if file_stats:
+        doc["file_stats"] = file_stats
     with open(tmp, "w") as fh:
-        json.dump({"row_counts": row_counts}, fh)
+        json.dump(doc, fh)
     os.replace(tmp, path)
 
 
@@ -89,6 +100,82 @@ def _manifest_row_counts(files: list[str]) -> dict[str, int] | None:
             return None
         counts[f] = found
     return counts
+
+
+def manifest_file_stats(files: list[str]) -> dict[str, dict]:
+    """Per-file zone maps from ``_manifest.json`` sidecars (same two-level
+    directory lookup as the row counts). Files without recorded stats just
+    don't appear — pruning treats them conservatively."""
+    import json
+
+    cache: dict[str, dict | None] = {}
+    out: dict[str, dict] = {}
+    for f in files:
+        d = os.path.dirname(f)
+        for root in (d, os.path.dirname(d)):
+            if root not in cache:
+                try:
+                    with open(os.path.join(root, "_manifest.json")) as fh:
+                        cache[root] = json.load(fh).get("file_stats", {})
+                except (OSError, ValueError):
+                    cache[root] = None
+            st = cache[root]
+            if st is not None:
+                rel = os.path.relpath(f, root)
+                if rel in st:
+                    out[f] = st[rel]
+                    break
+    return out
+
+
+def prune_files_by_doc_range(
+    files: list[str], lo: str | None, hi: str | None
+) -> list[str]:
+    """Drop files whose manifest zone map ``[min_doc_id, max_doc_id]``
+    cannot intersect ``[lo, hi)`` — BEFORE any parquet footer is opened.
+    Files without recorded stats are kept (conservative). At 100 TB this
+    turns a range query's planning cost from O(all files) into O(matching
+    files + manifest read); the surviving files' row groups still prune
+    again at the parquet level via the pushed zone-map predicate."""
+    stats = manifest_file_stats(files)
+    keep = []
+    for f in files:
+        st = stats.get(f)
+        if st is None:
+            keep.append(f)
+            continue
+        mn, mx = st.get("min_doc_id"), st.get("max_doc_id")
+        if mn is None or mx is None:
+            keep.append(f)
+            continue
+        if (hi is not None and mn >= hi) or (lo is not None and mx < lo):
+            continue
+        keep.append(f)
+    return keep
+
+
+def blocks_scan(
+    spark: SparkSession,
+    blocks_path: str,
+    doc_range: tuple[str | None, str | None] | None = None,
+):
+    """Catalyst scan over a blocks table with MANIFEST-level file pruning.
+
+    ``doc_range=(lo, hi)`` (half-open, either end ``None``) drops whole
+    fragments via the ``_manifest.json`` zone maps before the Spark scan
+    is even planned; chunk- and row-group-level pruning on
+    ``min_doc_id``/``max_doc_id`` (``decode_doc_range``'s pushed filter)
+    then applies within the survivors. Without ``doc_range`` this is just
+    ``spark.read.parquet`` over the table's files."""
+    files = list_parquet_files(blocks_path)
+    if not files:
+        raise ValueError(f"no parquet files under {blocks_path}")
+    if doc_range is not None:
+        pruned = prune_files_by_doc_range(files, doc_range[0], doc_range[1])
+        if not pruned:  # everything pruned: empty frame, real schema
+            return spark.read.parquet(files[0]).limit(0)
+        files = pruned
+    return spark.read.parquet(*files)
 
 
 def _footer_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:

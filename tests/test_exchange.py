@@ -338,3 +338,66 @@ def test_fused_direct_sink_matches_dataframe_form(spark, tokens_pq, tmp_path):
         counts = json.load(fh)["row_counts"]
     assert sum(counts.values()) == summary["n_chunks"]
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_fused_manifest_zone_maps_and_file_pruning(spark, tmp_path):
+    """The fused sink records each fragment's doc-id envelope in
+    _manifest.json; range scans drop whole fragments from the file list
+    BEFORE any footer is opened, and the pruned decode stays exact."""
+    import json
+    import os
+
+    from mapbox_vector_tile_spark.engine.decode import (
+        decode_dataframe,
+        decode_doc_range,
+    )
+    from mapbox_vector_tile_spark.engine.exchange import (
+        exchange_encode_fused_direct,
+    )
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        blocks_scan,
+        list_parquet_files,
+        prune_files_by_doc_range,
+    )
+
+    tokens = str(tmp_path / "tokens_ranged")
+    G.corpus_dataframe(spark, N_DOCS, num_partitions=4).repartitionByRange(
+        8, "doc_id"
+    ).write.parquet(tokens)
+    out = str(tmp_path / "blocks_zm")
+    exchange_encode_fused_direct(spark, tokens, out, N_BUCKETS, n_tasks=8)
+
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        man = json.load(fh)
+    files = list_parquet_files(out)
+    assert set(man["file_stats"]) == {
+        os.path.relpath(f, out) for f in files
+    }
+    for st in man["file_stats"].values():
+        assert st["min_doc_id"] <= st["max_doc_id"]
+
+    lo, hi = "doc-00000150", "doc-00000350"
+    kept = prune_files_by_doc_range(files, lo, hi)
+    assert 0 < len(kept) < len(files)
+    # conservative for every in-range doc: union of kept files' envelopes
+    # covers [lo, hi) intersected with the corpus
+    scan = blocks_scan(spark, out, doc_range=(lo, hi))
+    assert set(scan.inputFiles()) <= {f"file://{f}" for f in files}
+    assert len(scan.inputFiles()) == len(kept)
+
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in decode_doc_range(scan, lo, hi).collect()
+    }
+    want = {
+        r.doc_id: list(r.tokens)
+        for r in decode_dataframe(
+            blocks_scan(spark, out)
+        ).filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # fully-disjoint range: everything pruned, empty frame, schema intact
+    empty = blocks_scan(spark, out, doc_range=("doc-99999990", None))
+    assert empty.count() == 0
+    assert "payload" in empty.columns
