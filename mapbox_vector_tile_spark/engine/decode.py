@@ -56,6 +56,16 @@ def decode_block_row(
     return lengths, values
 
 
+# decode output batching: one Arrow batch per CHUNK is the zero-copy ideal
+# for normal (~64k-value) chunks, but tiny chunks (selective decodes,
+# min_chunk=0 stores, upsert deltas) would pay per-batch Arrow/JVM overhead
+# per handful of rows. Chunks below the flush size accumulate and emit as
+# one combined batch (one memcpy of their values — cheap exactly when the
+# chunks are small); a chunk at/over it keeps the direct no-copy path.
+DECODE_FLUSH_VALUES = 1 << 18
+DECODE_FLUSH_ROWS = 1 << 12
+
+
 def decode_dataframe(
     blocks_df,
     verify_checksum: bool = True,
@@ -76,8 +86,45 @@ def decode_dataframe(
 
     out_schema = _SRC_ARROW_SCHEMA if with_source else _OUT_ARROW_SCHEMA
 
+    _FLUSH_VALUES = DECODE_FLUSH_VALUES
+    _FLUSH_ROWS = DECODE_FLUSH_ROWS
+
+    def _build(doc_ids, lengths, values, srcs):
+        offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        tokens = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+        ).cast(pa.list_(pa.int32()))
+        arrays = [
+            doc_ids,
+            tokens,
+            pa.array(lengths.astype(np.int32), pa.int32()),
+        ]
+        if with_source:
+            arrays.append(srcs)
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..codec.strings import decode_string_chunk
+
+        b_docs: list = []
+        b_lens: list = []
+        b_vals: list = []
+        b_srcs: list = []
+        b_nvals = b_nrows = 0
+
+        def flush():
+            nonlocal b_nvals, b_nrows
+            out = _build(
+                pa.concat_arrays(b_docs) if len(b_docs) > 1 else b_docs[0],
+                np.concatenate(b_lens) if len(b_lens) > 1 else b_lens[0],
+                np.concatenate(b_vals) if len(b_vals) > 1 else b_vals[0],
+                (pa.concat_arrays(b_srcs) if len(b_srcs) > 1 else b_srcs[0])
+                if with_source else None,
+            )
+            b_docs.clear(); b_lens.clear(); b_vals.clear(); b_srcs.clear()
+            b_nvals = b_nrows = 0
+            return out
 
         for batch in batches:
             payloads = batch.column("payload")
@@ -93,27 +140,33 @@ def decode_dataframe(
                     memoryview(lengths_blobs[i].as_buffer()),
                     checksums[i].as_py() if verify_checksum else None,
                 )
-                offsets = np.zeros(lengths.size + 1, dtype=np.int64)
-                np.cumsum(lengths, out=offsets[1:])
-                tokens = pa.LargeListArray.from_arrays(
-                    pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
-                ).cast(pa.list_(pa.int32()))
-                doc_ids = doc_ids_col[i].values
-                arrays = [
-                    doc_ids,
-                    tokens,
-                    pa.array(lengths.astype(np.int32), pa.int32()),
-                ]
+                srcs = None
                 if with_source:
                     blob = src_col[i].as_py()
                     if blob is None:
                         raise ValueError(
                             "blocks were encoded without string_col"
                         )
-                    arrays.append(
-                        pa.array(decode_string_chunk(blob), pa.string())
-                    )
-                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+                    srcs = pa.array(decode_string_chunk(blob), pa.string())
+                if (
+                    not b_docs
+                    and (values.size >= _FLUSH_VALUES
+                         or lengths.size >= _FLUSH_ROWS)
+                ):
+                    yield _build(doc_ids_col[i].values, lengths, values,
+                                 srcs)
+                    continue
+                b_docs.append(doc_ids_col[i].values)
+                b_lens.append(lengths)
+                b_vals.append(values)
+                if with_source:
+                    b_srcs.append(srcs)
+                b_nvals += values.size
+                b_nrows += lengths.size
+                if b_nvals >= _FLUSH_VALUES or b_nrows >= _FLUSH_ROWS:
+                    yield flush()
+        if b_docs:
+            yield flush()
 
     cols = ["doc_ids", "lengths_blob", "payload", "checksum"] + (
         ["source_blob"] if with_source else []
