@@ -2061,6 +2061,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_column_roundtrip"] = text_roundtrip
 
+    # shared-table FSST: ONE symbol table trained per column (deterministic
+    # sample), every chunk encodes against it and stores no table of its
+    # own — training cost and table bytes amortize across chunks. Same
+    # formula oracle as the per-chunk-table form, so the gate proves the
+    # shared-mode decode is byte-exact too.
+    def text_shared_fsst(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.text_column import (
+            text_roundtrip_rollup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return text_roundtrip_rollup(docs, shared_fsst=True)
+
+    q["text_column_shared_fsst"] = text_shared_fsst
+
     # nullable scalar column: validity bitmap + codec ladder over the
     # non-null values; null POSITIONS are gated by the rank-weighted sum
     def scalar_nullable_roundtrip(spark, sf_dir):
@@ -3241,6 +3258,7 @@ ORDER BY t.col
     )
 
     o["text_column_roundtrip"] = text_roundtrip_rollup_sql()
+    o["text_column_shared_fsst"] = text_roundtrip_rollup_sql()
     from mapbox_vector_tile_spark.engine.columnar import (
         scalar_nullable_roundtrip_rollup_sql,
     )

@@ -306,6 +306,7 @@ def unpack_table(buf: bytes | memoryview) -> tuple[list[bytes], int]:
 
 _STORED = 0
 _FSST = 1
+_SHARED = 2  # payload only; symbol table lives OUTSIDE the blob
 
 
 def compress(data: bytes, sample: bytes | None = None) -> bytes:
@@ -319,9 +320,31 @@ def compress(data: bytes, sample: bytes | None = None) -> bytes:
     return bytes([_FSST]) + blob
 
 
-def decompress(blob: bytes | memoryview) -> bytes:
+def compress_shared(data: bytes, symbols: list[bytes]) -> bytes:
+    """Shared-table blob: mode byte + payload, NO embedded table — the
+    caller stores the packed table once per file/column and passes it back
+    at decode (``decompress(blob, shared_symbols=...)``). Amortizes both
+    the table bytes and the training cost across every chunk that shares
+    it (the paper's deployment mode for many small blocks). Falls back to
+    stored mode when the shared table doesn't pay for THIS chunk — that
+    blob stays self-contained."""
+    body = encode(data, symbols)
+    if len(body) >= len(data):
+        return bytes([_STORED]) + data
+    return bytes([_SHARED]) + body
+
+
+def decompress(
+    blob: bytes | memoryview, shared_symbols: list[bytes] | None = None
+) -> bytes:
     mv = memoryview(blob)
     if mv[0] == _STORED:
         return bytes(mv[1:])
+    if mv[0] == _SHARED:
+        if shared_symbols is None:
+            raise ValueError(
+                "shared-table FSST blob but no shared_symbols supplied"
+            )
+        return decode(bytes(mv[1:]), shared_symbols)
     symbols, off = unpack_table(mv[1:])
     return decode(bytes(mv[1 + off :]), symbols)

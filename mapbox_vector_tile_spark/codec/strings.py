@@ -23,7 +23,21 @@ MAGIC = b"SGS1"
 _HDR = struct.Struct("<4sqqBq")  # magic, n_rows, card, idx_width, blob_len
 
 
-def encode_string_chunk(values: list[str] | np.ndarray) -> bytes:
+def _shared_symbols(shared_table: bytes | memoryview | None):
+    if shared_table is None:
+        return None
+    return fsst.unpack_table(shared_table)[0]
+
+
+def encode_string_chunk(
+    values: list[str] | np.ndarray,
+    shared_table: bytes | memoryview | None = None,
+) -> bytes:
+    """``shared_table`` (packed FSST table, :func:`..fsst.pack_table`)
+    switches the dictionary blob to shared-table mode: the table is stored
+    once per file/column by the caller instead of per chunk, and decode
+    needs the same bytes back. Per-chunk fallback to stored mode keeps
+    every blob self-consistent."""
     arr = np.asarray(values, dtype=object)
     n = arr.size
     if n == 0:
@@ -38,14 +52,21 @@ def encode_string_chunk(values: list[str] | np.ndarray) -> bytes:
     raw_blob = b"".join(
         struct.pack("<I", len(s.encode())) + s.encode() for s in table.tolist()
     )
-    blob = fsst.compress(raw_blob)
+    if shared_table is not None:
+        blob = fsst.compress_shared(raw_blob, _shared_symbols(shared_table))
+    else:
+        blob = fsst.compress(raw_blob)
     packed = K.bitpack(idx.astype(np.uint32), iw)
     return (
         _HDR.pack(MAGIC, n, int(uniq.size), iw, len(blob)) + blob + packed
     )
 
 
-def string_chunk_find(buf: bytes | memoryview, value: str) -> int:
+def string_chunk_find(
+    buf: bytes | memoryview,
+    value: str,
+    shared_table: bytes | memoryview | None = None,
+) -> int:
     """Dictionary-only membership probe: the rank of ``value`` in the
     chunk's frequency-ordered dictionary, or -1. Parses ONLY the dict
     blob — the bit-packed index stream is never touched, and the scan
@@ -59,7 +80,8 @@ def string_chunk_find(buf: bytes | memoryview, value: str) -> int:
     if n == 0:
         return -1
     off = _HDR.size
-    raw_blob = fsst.decompress(mv[off : off + blob_len])
+    raw_blob = fsst.decompress(mv[off : off + blob_len],
+                           _shared_symbols(shared_table))
     needle = value.encode()
     p = 0
     for rank in range(card):
@@ -71,7 +93,10 @@ def string_chunk_find(buf: bytes | memoryview, value: str) -> int:
     return -1
 
 
-def string_chunk_table(buf: bytes | memoryview) -> list[str]:
+def string_chunk_table(
+    buf: bytes | memoryview,
+    shared_table: bytes | memoryview | None = None,
+) -> list[str]:
     """The chunk's frequency-ordered dictionary (rank -> string), without
     expanding any row: aggregations grouped by the column read the
     distinct values once per chunk here and count codes, never
@@ -82,7 +107,8 @@ def string_chunk_table(buf: bytes | memoryview) -> list[str]:
         raise ValueError("bad string-chunk magic")
     if n == 0:
         return []
-    raw_blob = fsst.decompress(mv[_HDR.size : _HDR.size + blob_len])
+    raw_blob = fsst.decompress(mv[_HDR.size : _HDR.size + blob_len],
+                           _shared_symbols(shared_table))
     table: list[str] = []
     p = 0
     for _ in range(card):
@@ -106,7 +132,10 @@ def string_chunk_indices(buf: bytes | memoryview) -> np.ndarray:
     return K.bitunpack(mv[_HDR.size + blob_len :], iw, n)
 
 
-def decode_string_chunk(buf: bytes | memoryview) -> list[str]:
+def decode_string_chunk(
+    buf: bytes | memoryview,
+    shared_table: bytes | memoryview | None = None,
+) -> list[str]:
     mv = memoryview(buf)
     magic, n, card, iw, blob_len = _HDR.unpack_from(mv)
     if magic != MAGIC:
@@ -114,7 +143,8 @@ def decode_string_chunk(buf: bytes | memoryview) -> list[str]:
     if n == 0:
         return []
     off = _HDR.size
-    raw_blob = fsst.decompress(mv[off : off + blob_len])
+    raw_blob = fsst.decompress(mv[off : off + blob_len],
+                           _shared_symbols(shared_table))
     table: list[str] = []
     p = 0
     for _ in range(card):

@@ -40,8 +40,34 @@ from ..codec.strings import decode_string_chunk, encode_string_chunk
 CHUNK_ROWS = 256
 
 _BLOCKS_SCHEMA = (
-    "chunk long, n_rows long, bytes_enc long, bytes_raw long, payload binary"
+    "chunk long, n_rows long, bytes_enc long, bytes_raw long, "
+    "payload binary, fsst_table binary"
 )
+
+
+def train_shared_fsst_table(
+    df: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    sample_rows: int = 256,
+) -> bytes:
+    """One FSST symbol table for a whole column: trained on a DETERMINISTIC
+    sample (the ``sample_rows`` lowest order keys — resume/oracle-stable
+    across parallelism), packed with :func:`..codec.fsst.pack_table`.
+    Sharing it across every chunk amortizes training cost (the expensive
+    FSST step) and removes the per-chunk table bytes; the paper deploys
+    exactly this way over many small blocks."""
+    from ..codec import fsst
+
+    sample = (
+        df.select(F.col(text_col).cast("string").alias("t"),
+                  F.col(order_col).alias("k"))
+        .orderBy("k")
+        .limit(sample_rows)
+        .collect()
+    )
+    blob = "\n".join(r.t for r in sample if r.t is not None).encode()
+    return fsst.pack_table(fsst.train(blob))
 
 
 def encode_text_column(
@@ -49,9 +75,15 @@ def encode_text_column(
     text_col: str = "text",
     order_col: str = "doc_id",
     chunk_rows: int = CHUNK_ROWS,
+    shared_table: bytes | None = None,
 ) -> DataFrame:
-    """Encode ``text_col`` into self-describing string chunks, chunked and
-    ordered by the integer ``order_col``."""
+    """Encode ``text_col`` into string chunks, chunked and ordered by the
+    integer ``order_col``. Without ``shared_table`` each chunk embeds its
+    own FSST table (self-describing). With it (see
+    :func:`train_shared_fsst_table`) chunks encode against the ONE shared
+    table and carry it in the ``fsst_table`` column — byte-identical
+    across rows, so parquet's dictionary encoding stores it once per row
+    group while every row stays independently decodable."""
     chunk = (
         (F.col(order_col) - F.pmod(F.col(order_col), F.lit(chunk_rows)))
         / chunk_rows
@@ -65,7 +97,7 @@ def encode_text_column(
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("k", ignore_index=True)
         texts = pdf["t"].tolist()
-        payload = encode_string_chunk(texts)
+        payload = encode_string_chunk(texts, shared_table=shared_table)
         raw = sum(len(s.encode()) for s in texts)
         return pd.DataFrame(
             {
@@ -74,6 +106,7 @@ def encode_text_column(
                 "bytes_enc": [len(payload)],
                 "bytes_raw": [raw],
                 "payload": [payload],
+                "fsst_table": [shared_table],
             }
         )
 
@@ -88,10 +121,17 @@ def decode_text_column(blocks: DataFrame) -> DataFrame:
         for batch in batches:
             chunks = batch.column("chunk").to_numpy(zero_copy_only=False)
             payloads = batch.column("payload")
+            tables = (
+                batch.column("fsst_table")
+                if "fsst_table" in batch.schema.names else None
+            )
             out_c, out_p, out_t = [], [], []
             for i in range(batch.num_rows):
+                st = None
+                if tables is not None and tables[i].is_valid:
+                    st = memoryview(tables[i].as_buffer())
                 texts = decode_string_chunk(
-                    memoryview(payloads[i].as_buffer())
+                    memoryview(payloads[i].as_buffer()), shared_table=st
                 )
                 out_c.append(np.full(len(texts), chunks[i], np.int64))
                 out_p.append(np.arange(len(texts), dtype=np.int64))
@@ -112,7 +152,10 @@ def decode_text_column(blocks: DataFrame) -> DataFrame:
                     ),
                 )
 
-    return blocks.select("chunk", "payload").mapInArrow(
+    cols = ["chunk", "payload"] + (
+        ["fsst_table"] if "fsst_table" in blocks.columns else []
+    )
+    return blocks.select(*cols).mapInArrow(
         dec, "chunk long, pos long, text string"
     )
 
@@ -123,6 +166,7 @@ def text_roundtrip_rollup(
     order_col: str = "doc_id",
     chunk_rows: int = CHUNK_ROWS,
     mod: int = 1_000_000_007,
+    shared_fsst: bool = False,
 ) -> DataFrame:
     """Gated end-to-end: encode -> decode -> per-chunk order-sensitive text
     checksums. ``(chunk, n, sum_len, cks, wcks)`` where cks hashes each
@@ -130,7 +174,12 @@ def text_roundtrip_rollup(
     by in-chunk rank, so content AND order are gated."""
     from ..functions.text import h48
 
-    blocks = encode_text_column(df, text_col, order_col, chunk_rows)
+    shared = (
+        train_shared_fsst_table(df, text_col, order_col)
+        if shared_fsst else None
+    )
+    blocks = encode_text_column(df, text_col, order_col, chunk_rows,
+                                shared_table=shared)
     dec = decode_text_column(blocks)
     h = h48(F.col("text")) % F.lit(mod)
     return (
