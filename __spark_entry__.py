@@ -2047,6 +2047,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iceberg_table_store_roundtrip"] = iceberg_table_store
 
+    # write-audit-publish for the RELATIONAL store: candidate table-store
+    # appends stage on an Iceberg branch, a validation query runs against
+    # the branch read, bad batches drop with main untouched, good ones
+    # publish by metadata-only ref fast-forward. The gate hashes the
+    # post-publish MAIN read, so it proves the reject left no trace and
+    # the publish is exactly the staged content.
+    def table_store_wap(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+        from mapbox_vector_tile_spark.sources.iceberg import (
+            append_dataframe,
+            drop_branch,
+            publish_branch,
+            read_table,
+        )
+
+        m = 1_000_003
+        work = tempfile.mkdtemp(prefix="mvt_icewap_")
+        try:
+            tbl = f"{work}/tbl"
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+                "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            )
+            half = (ev.agg(F.max("event_id")).first()[0] // 2) // 256 * 256 - 1
+            blocks_a = encode_table(
+                ev.filter(F.col("event_id") <= half), "event_id", 256
+            )
+            blocks_b = encode_table(
+                ev.filter(F.col("event_id") > half), "event_id", 256
+            )
+            append_dataframe(spark, blocks_a, tbl)
+            # stage a BAD candidate (the same batch again) on a branch;
+            # validation sees duplicate chunk ids on the BRANCH read and
+            # rejects — main never saw it
+            append_dataframe(spark, blocks_a, tbl, branch="audit")
+            staged = read_table(spark, tbl, branch="audit")
+            n_chunks = staged.count()
+            n_distinct = staged.select("chunk").distinct().count()
+            assert n_distinct < n_chunks  # duplicate chunks: invalid
+            drop_branch(tbl, "audit")
+            # stage the GOOD candidate, validate, publish
+            append_dataframe(spark, blocks_b, tbl, branch="audit")
+            staged = read_table(spark, tbl, branch="audit")
+            assert (
+                staged.count()
+                == staged.select("chunk").distinct().count()
+            )
+            publish_branch(tbl, "audit")
+            dec = decode_table(read_table(spark, tbl), ev.schema)
+            r = F.col("pos") + 1
+            res = (
+                dec.groupBy("chunk")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.pmod(
+                        F.sum(F.pmod("event_id", F.lit(m))), F.lit(m)
+                    ).alias("id_mod"),
+                    F.pmod(
+                        F.sum(F.pmod("ts_us", F.lit(m)) * r), F.lit(m)
+                    ).alias("ts_wcks"),
+                    F.pmod(
+                        F.sum(F.length("event_type") * r), F.lit(m)
+                    ).alias("type_wcks"),
+                    F.pmod(
+                        F.sum(F.pmod("value_c", F.lit(m))), F.lit(m)
+                    ).alias("val_mod"),
+                )
+                .orderBy("chunk")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["table_store_wap_publish"] = table_store_wap
+
     # text-column encode: documents.text stored as FSST+dict string chunks,
     # decoded back; per-chunk order-sensitive text checksums are the gate
     def text_roundtrip(spark, sf_dir):
@@ -2770,6 +2853,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iceberg_partition_evolution"] = iceberg_partition_evolution
 
+    # incremental (CDC-append) read: the second consumer wakes up at
+    # snapshot 1 and reads exactly what landed after it — file selection
+    # by data sequence number alone, metadata-only planning
+    def iceberg_incremental_read(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            corpus = _corpus(spark, sf_dir)
+            ICE.append_dataframe(
+                spark, corpus.filter(F.col("doc_id") < "doc-00000250"), tp
+            )
+            ICE.append_dataframe(
+                spark, corpus.filter(F.col("doc_id") >= "doc-00000250"), tp
+            )
+            inc = ICE.incremental_scan(spark, tp, from_snapshot_id=1)
+            res = _per_doc_result(inc)
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_incremental_read"] = iceberg_incremental_read
+
     # per-file column bounds (parquet footer stats -> manifest entries):
     # a range-partitioned layout gives files disjoint n_tok bounds, the
     # range_filter prunes files at the METADATA level, and the same
@@ -2846,6 +2956,9 @@ ORDER BY doc_id
             "documents WHERE "
             f"({C.source_case_sql('doc_id')}) = 'web'",
             string_doc_id=True,
+        ),
+        "iceberg_incremental_read": C.per_doc_checksum_sql(
+            "documents WHERE doc_id >= 250", string_doc_id=True
         ),
         "iceberg_bounds_pruned_scan": C.per_doc_checksum_sql(
             "documents WHERE (CASE WHEN doc_id % 101 = 0 THEN 0 "
@@ -3189,6 +3302,7 @@ SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
     AS val_mod
 FROM rows_ GROUP BY chunk ORDER BY chunk
 """
+    o["table_store_wap_publish"] = o["iceberg_table_store_roundtrip"]
     o["table_sum_pushdown"] = """
 WITH x AS (
   SELECT CASE WHEN event_id % 7 = 0 THEN NULL

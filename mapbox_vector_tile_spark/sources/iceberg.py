@@ -1198,6 +1198,132 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
     )
 
 
+def incremental_scan(
+    spark,
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+):
+    """Incremental (CDC-append) read: rows of data files ADDED strictly
+    after ``from_snapshot_id`` up to ``to_snapshot_id`` (default: current).
+    File selection is metadata-only — a file is in the increment iff its
+    data sequence number lands in ``(seq(from), seq(to)]`` — so a daily
+    consumer reads exactly the new files, never a table diff. Matches
+    Iceberg's incremental append scan; rows later deleted by position/
+    equality deletes still appear (append semantics, as in the spec's
+    incremental read)."""
+    meta = load_metadata(table_path)
+    lo_seq = _snapshot(meta, from_snapshot_id)["sequence-number"]
+    hi_seq = _snapshot(meta, to_snapshot_id)["sequence-number"]
+    if hi_seq < lo_seq:
+        raise ValueError(
+            f"to-snapshot seq {hi_seq} precedes from-snapshot seq {lo_seq}"
+        )
+    files = [
+        f for f in _plan_files(table_path, meta, to_snapshot_id)
+        if f.sequence_number is not None
+        and lo_seq < f.sequence_number <= hi_seq
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], iceberg_to_spark_ddl(current_schema(meta))
+        )
+    return _scan_with_partitions(spark, meta, files, need_meta=False)
+
+
+def files_df(spark, table_path: str, snapshot_id: int | None = None):
+    """The ``files`` metadata table (SELECT * FROM t.files analog): one
+    row per live data/delete file of a snapshot, with partition values,
+    spec id, sequence number, and the recorded column bounds."""
+    import json as _json
+
+    meta = load_metadata(table_path)
+    rows = [
+        {
+            "content": f.content,
+            "file_path": f.file_path,
+            "record_count": f.record_count,
+            "file_size_in_bytes": f.file_size_in_bytes,
+            "sequence_number": f.sequence_number,
+            "spec_id": f.spec_id,
+            "partition": _json.dumps(f.partition or {}, sort_keys=True),
+            "lower_bounds": _json.dumps(f.lower_bounds or {},
+                                        sort_keys=True),
+            "upper_bounds": _json.dumps(f.upper_bounds or {},
+                                        sort_keys=True),
+        }
+        for f in _plan_files(table_path, meta, snapshot_id, content=None)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "content int, file_path string, record_count long, "
+        "file_size_in_bytes long, sequence_number long, spec_id int, "
+        "partition string, lower_bounds string, upper_bounds string",
+    )
+
+
+def manifests_df(spark, table_path: str, snapshot_id: int | None = None):
+    """The ``manifests`` metadata table: one row per manifest of a
+    snapshot's manifest list."""
+    meta = load_metadata(table_path)
+    snap = _snapshot(meta, snapshot_id)
+    with open(snap["manifest-list"], "rb") as fh:
+        _, _, manifests = A.read_ocf(fh.read())
+    rows = [
+        {
+            "path": m["manifest_path"],
+            "length": m["manifest_length"],
+            "partition_spec_id": m["partition_spec_id"],
+            "content": m["content"],
+            "sequence_number": m["sequence_number"],
+            "min_sequence_number": m["min_sequence_number"],
+            "added_snapshot_id": m["added_snapshot_id"],
+            "added_files_count": m["added_files_count"],
+            "existing_files_count": m["existing_files_count"],
+            "deleted_files_count": m["deleted_files_count"],
+        }
+        for m in manifests
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, length long, partition_spec_id int, content int, "
+        "sequence_number long, min_sequence_number long, "
+        "added_snapshot_id long, added_files_count int, "
+        "existing_files_count int, deleted_files_count int",
+    )
+
+
+def partitions_df(spark, table_path: str, snapshot_id: int | None = None):
+    """The ``partitions`` metadata table: per (spec_id, partition value)
+    file/record totals of a snapshot's live data files — the metadata-only
+    answer to "how big is each partition"."""
+    import json as _json
+
+    meta = load_metadata(table_path)
+    agg: dict[tuple[int, str], list[int]] = {}
+    for f in _plan_files(table_path, meta, snapshot_id):
+        key = (f.spec_id, _json.dumps(f.partition or {}, sort_keys=True))
+        cur = agg.setdefault(key, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += f.record_count
+        cur[2] += f.file_size_in_bytes
+    rows = [
+        {
+            "spec_id": sid,
+            "partition": part,
+            "file_count": v[0],
+            "record_count": v[1],
+            "total_size_in_bytes": v[2],
+        }
+        for (sid, part), v in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "spec_id int, partition string, file_count long, "
+        "record_count long, total_size_in_bytes long",
+    )
+
+
 def snapshots_df(spark, table_path: str):
     """The snapshots metadata table (SELECT * FROM t.snapshots analog)."""
     meta = load_metadata(table_path)

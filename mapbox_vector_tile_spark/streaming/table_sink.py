@@ -107,11 +107,11 @@ def read_current_table_blocks(
     touched it) — payload bytes of superseded versions are never read
     past the scan."""
     log = upsert_version_log(store_root)
-    vacuumed = {v["dir"] for v in log if v.get("vacuumed")}
+    skip = _shadowed_dirs(log)
     parts = []
     for i, v in enumerate(log):
-        if v.get("vacuumed") or "dir" not in v or v["dir"] in vacuumed:
-            continue  # marker lines / reclaimed version dirs
+        if v.get("vacuumed") or "dir" not in v or v["dir"] in skip:
+            continue  # marker lines / fold-shadowed / reclaimed dirs
         parts.append(
             spark.read.parquet(os.path.join(store_root, v["dir"]))
             .withColumn("__v", F.lit(i))
@@ -167,18 +167,32 @@ def start_table_upsert_stream(
     stream_checkpoint_dir: str,
     chunk_rows: int = 4096,
     trigger_once: bool = True,
+    compact_every: int | None = None,
 ):
     """Start a streaming MERGE into the versioned table store. Returns
     the StreamingQuery. Last writer wins per order key ACROSS batches
     (micro-batch order is the stream's arrival order); rows within one
     micro-batch should carry unique keys — upstream streaming dedup
-    (``dedup_stream``) is the companion operator."""
+    (``dedup_stream``) is the companion operator.
+
+    ``compact_every=N`` folds the version TAIL
+    (:func:`compact_upsert_tail`) once N versions accumulate since the
+    last maintenance point — inline LSM-style maintenance keeping
+    read-side version fan-in bounded without a separate scheduler; cost
+    stays O(churn) per fold and the folded dirs become vacuum-able.
+    Replayed batches never trigger a fold (the ledger dedup runs
+    first)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_micro_batch(
+        applied = upsert_micro_batch(
             batch_df.sparkSession, store_root, batch_df, batch_id,
             order_col, df_schema, chunk_rows,
         )
+        if applied is not None and compact_every:
+            compact_upsert_tail(
+                batch_df.sparkSession, store_root,
+                min_tail=compact_every,
+            )
 
     writer = (
         rows_stream.writeStream.foreachBatch(process)
@@ -222,6 +236,80 @@ def compact_upsert_store(spark: SparkSession, store_root: str) -> str | None:
     return vname
 
 
+def _shadowed_dirs(log: list[dict]) -> set[str]:
+    """Dirs unreachable by readers: vacuum markers + every dir a tail
+    fold covers."""
+    out = {v["dir"] for v in log if v.get("vacuumed")}
+    for v in log:
+        out.update(v.get("folds_dirs", []))
+    return out
+
+
+def compact_upsert_tail(
+    spark: SparkSession, store_root: str, min_tail: int = 2
+) -> dict:
+    """INCREMENTAL (LSM-style) compaction: fold the contiguous TAIL of
+    versions committed since the last maintenance point into one version,
+    and mark those tail dirs fully shadowed. Cost is O(the tail's rows) —
+    the recent CoW deltas, i.e. the store's churn — never O(table); the
+    folded dirs become vacuum-able immediately, so read-side version
+    fan-in AND disk reclaim stay proportional to churn. The full
+    :func:`compact_upsert_store` (O(table)) remains the periodic deep
+    step that collapses everything to one directory.
+
+    Correctness leans on the suffix property: the fold carries, per
+    chunk, the highest-version row AMONG THE TAIL, and the fold's ledger
+    index exceeds every unfolded version's — so global latest-per-chunk
+    resolution is unchanged. (Folding a non-suffix subset would be
+    unsound: a version between folded ones could be wrongly shadowed by
+    an older row carried forward.)
+
+    No-op (returns ``dir=None``) when fewer than ``min_tail`` versions
+    landed since the last maintenance point."""
+    log = upsert_version_log(store_root)
+    shadowed = _shadowed_dirs(log)
+    # live data versions in ledger order; the tail starts after the last
+    # maintenance version (a fold or a full compaction)
+    tail: list[tuple[int, dict]] = []
+    for i, v in enumerate(log):
+        if v.get("vacuumed") or "dir" not in v or v["dir"] in shadowed:
+            continue
+        if "folds_dirs" in v or "compacted_through" in v:
+            tail = []  # maintenance point: reset
+            continue
+        tail.append((i, v))
+    if len(tail) < min_tail:
+        return {"dir": None, "folded_versions": 0}
+    parts = [
+        spark.read.parquet(os.path.join(store_root, v["dir"]))
+        .withColumn("__v", F.lit(i))
+        for i, v in tail
+    ]
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    w = Window.partitionBy("chunk").orderBy(F.desc("__v"))
+    folded = (
+        allb.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__v")
+    )
+    vname = f"v{len(log) + 1}-{uuid.uuid4().hex[:8]}"
+    folded.write.parquet(os.path.join(store_root, vname))
+    with open(_upsert_log_path(store_root), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "batch_id": -1,
+                    "dir": vname,
+                    "folds_dirs": [v["dir"] for _, v in tail],
+                }
+            )
+            + "\n"
+        )
+    return {"dir": vname, "folded_versions": len(tail)}
+
+
 def vacuum_upsert_store(store_root: str) -> list[str]:
     """Drop version directories fully shadowed by a later compaction:
     every ledger line at index < the newest ``compacted_through`` is
@@ -239,10 +327,17 @@ def vacuum_upsert_store(store_root: str) -> list[str]:
     already = {
         v["dir"] for v in log if v.get("vacuumed")
     }
+    # fold-shadowed dirs reclaim regardless of the full-compaction
+    # horizon: a tail fold fully covers them by construction
+    fold_covered = set()
+    for v in log:
+        fold_covered.update(v.get("folds_dirs", []))
     removed = []
-    for v in log[:horizon]:
-        d = v["dir"]
-        if d in already:
+    candidates = [v["dir"] for v in log[:horizon] if "dir" in v] + sorted(
+        fold_covered
+    )
+    for d in candidates:
+        if d in already or d in (set(removed)):
             continue
         path = os.path.join(store_root, d)
         if os.path.exists(path):

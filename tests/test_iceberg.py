@@ -551,3 +551,51 @@ def test_iceberg_bounds_pruning(spark, tmp_path):
         spark, tp, partition_filter={"doc_id": target}
     ).collect()
     assert len(row) == 1 and row[0].doc_id == target
+
+
+def test_iceberg_incremental_scan_and_metadata_tables(spark, tmp_path):
+    """Incremental append reads select files by data sequence number
+    alone; files/manifests/partitions metadata tables expose the tree."""
+    tp = str(tmp_path / "inc")
+    corpus = G.corpus_dataframe(spark, 300, 2)
+    a = corpus.filter(F.col("doc_id") < "doc-00000100")
+    b = corpus.filter(
+        (F.col("doc_id") >= "doc-00000100")
+        & (F.col("doc_id") < "doc-00000200")
+    )
+    c = corpus.filter(F.col("doc_id") >= "doc-00000200")
+    ICE.append_dataframe(spark, a, tp, partition_by=["source"])
+    ICE.evolve_partition_spec(tp, [])  # waves b/c land unpartitioned
+    ICE.append_dataframe(spark, b, tp)
+    ICE.append_dataframe(spark, c, tp)
+
+    # (1->3] = waves b+c; (2->3] = wave c; (1->2] = wave b
+    got = {r.doc_id for r in
+           ICE.incremental_scan(spark, tp, 1).select("doc_id").collect()}
+    assert got == {r.doc_id for r in b.union(c).select("doc_id").collect()}
+    got2 = {r.doc_id for r in
+            ICE.incremental_scan(spark, tp, 1, 2).select("doc_id").collect()}
+    assert got2 == {r.doc_id for r in b.select("doc_id").collect()}
+    assert ICE.incremental_scan(spark, tp, 3).count() == 0
+    with pytest.raises(ValueError, match="precedes"):
+        ICE.incremental_scan(spark, tp, 3, 1)
+    # partition columns come back in incremental reads too
+    srcs = {r.source for r in
+            ICE.incremental_scan(spark, tp, 2).select("source").collect()}
+    assert srcs == {r.source for r in c.select("source").distinct().collect()}
+
+    files = ICE.files_df(spark, tp)
+    plan = ICE.plan_scan(tp)
+    assert files.count() == len(plan)
+    frow = files.filter(F.col("sequence_number") == 1).first()
+    assert '"source":' in frow.partition  # wave a: partitioned
+    assert '"n_tok"' in frow.lower_bounds  # bounds recorded
+
+    man = ICE.manifests_df(spark, tp)
+    assert man.count() >= 2  # two specs -> at least two manifests
+    assert {r.partition_spec_id for r in man.collect()} == {0, 1}
+
+    parts = ICE.partitions_df(spark, tp)
+    rows = parts.collect()
+    assert sum(r.record_count for r in rows) == 300
+    assert {r.spec_id for r in rows} == {0, 1}

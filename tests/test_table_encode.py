@@ -464,6 +464,70 @@ def test_streaming_upsert_cow_versions(spark, events, tmp_path):
     assert len(upsert_version_log(store)) == len(log)
 
 
+def test_streaming_upsert_inline_compaction(spark, events, tmp_path):
+    """compact_every folds multi-version chunks inside the sink: version
+    fan-in stays bounded, content identical, replays never fold."""
+    from mapbox_vector_tile_spark.engine.table_encode import decode_table
+    from mapbox_vector_tile_spark.streaming.table_sink import (
+        read_current_table_blocks,
+        start_table_upsert_stream,
+        upsert_version_log,
+    )
+
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    store = str(tmp_path / "store2")
+    ev = events.select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"), "props",
+    )
+    # four single-file waves; waves 3/4 UPDATE low ids -> multi-version
+    ev.filter("event_id < 500").coalesce(1).write.parquet(src)
+    ev.filter("event_id >= 500").coalesce(1).write.mode("append").parquet(src)
+    upd = ev.filter("event_id < 100").withColumn(
+        "event_type", F.lit("u1"))
+    upd.coalesce(1).write.mode("append").parquet(src)
+    upd2 = ev.filter("event_id < 50").withColumn(
+        "event_type", F.lit("u2"))
+    upd2.coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sq = start_table_upsert_stream(
+            stream, "event_id", ev.schema, store, ckpt, 128,
+            compact_every=2,
+        )
+        sq.awaitTermination()
+
+    run_stream()
+    log = upsert_version_log(store)
+    folds = [v for v in log if "folds_dirs" in v]
+    applied = [v for v in log if v.get("batch_id", -1) >= 0]
+    assert len(applied) == 4
+    assert len(folds) >= 1  # a 2-version tail folds as soon as it forms
+    # every folded dir is covered by exactly one fold
+    covered = [d for v in folds for d in v["folds_dirs"]]
+    assert len(covered) == len(set(covered))
+
+    dec = decode_table(read_current_table_blocks(spark, store), ev.schema)
+    got = {r.event_id: r.event_type for r in dec.collect()}
+    want = {
+        r.event_id: ("u2" if r.event_id < 50
+                     else "u1" if r.event_id < 100
+                     else r.event_type)
+        for r in ev.collect()
+    }
+    assert got == want
+
+    # replay: nothing applied, nothing folded
+    run_stream()
+    assert len(upsert_version_log(store)) == len(log)
+
+
 def test_group_count_pushdown(spark):
     from mapbox_vector_tile_spark.engine.table_encode import (
         table_group_count,
@@ -602,6 +666,95 @@ def test_compact_and_vacuum_upsert_store(spark, events, tmp_path):
     compact_upsert_store(spark, store)
     removed2 = vacuum_upsert_store(store)
     assert vname in removed2
+
+
+def test_incremental_tail_compaction(spark, events, tmp_path):
+    """compact_upsert_tail folds the version suffix since the last
+    maintenance point: O(churn) write, folded dirs immediately
+    vacuum-able, latest-per-key resolution unchanged."""
+    import os
+
+    from mapbox_vector_tile_spark.engine.table_encode import decode_table
+    from mapbox_vector_tile_spark.streaming.table_sink import (
+        compact_upsert_store,
+        compact_upsert_tail,
+        read_current_table_blocks,
+        upsert_micro_batch,
+        upsert_version_log,
+        vacuum_upsert_store,
+    )
+
+    store = str(tmp_path / "inc_store")
+    ev = events.select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"), "props",
+    )
+    upsert_micro_batch(spark, store, ev, 0, "event_id", ev.schema, 128)
+    # two churn waves over the SAME low key range
+    upd1 = ev.filter("event_id < 200").withColumn(
+        "event_type", F.lit("u1"))
+    upsert_micro_batch(spark, store, upd1, 1, "event_id", ev.schema, 128)
+    upd2 = ev.filter("event_id < 100").withColumn(
+        "event_type", F.lit("u2"))
+    upsert_micro_batch(spark, store, upd2, 2, "event_id", ev.schema, 128)
+
+    before = decode_table(
+        read_current_table_blocks(spark, store), ev.schema
+    ).collect()
+
+    # fold everything since the start (3-version tail)
+    res = compact_upsert_tail(spark, store)
+    assert res["dir"] is not None and res["folded_versions"] == 3
+    # the fold's rows = latest-per-chunk of the tail (== full live set
+    # here); resolution after the fold reads ONE directory
+    fold_rows = spark.read.parquet(os.path.join(store, res["dir"]))
+    live = read_current_table_blocks(spark, store)
+    assert live.count() == fold_rows.count()
+
+    after = decode_table(live, ev.schema).collect()
+    key = lambda r: r.event_id  # noqa: E731
+    assert sorted(before, key=key) == sorted(after, key=key)
+    assert all(
+        r.event_type == ("u2" if r.event_id < 100 else "u1")
+        for r in after if r.event_id < 200
+    )
+
+    # folded dirs reclaim WITHOUT a full compaction
+    removed = vacuum_upsert_store(store)
+    log = upsert_version_log(store)
+    folded_dirs = next(
+        v["folds_dirs"] for v in log if "folds_dirs" in v
+    )
+    assert set(removed) == set(folded_dirs)
+    for d in removed:
+        assert not os.path.exists(os.path.join(store, d))
+    after2 = decode_table(
+        read_current_table_blocks(spark, store), ev.schema
+    ).collect()
+    assert sorted(after2, key=key) == sorted(before, key=key)
+
+    # tail reset: an immediate second fold is a no-op
+    res2 = compact_upsert_tail(spark, store)
+    assert res2["dir"] is None and res2["folded_versions"] == 0
+    # one more churn wave -> tail of 1 -> still below min_tail
+    upd3 = ev.filter("event_id < 50").withColumn(
+        "event_type", F.lit("u3"))
+    upsert_micro_batch(spark, store, upd3, 3, "event_id", ev.schema, 128)
+    assert compact_upsert_tail(spark, store)["dir"] is None
+    # replay safety unchanged
+    assert upsert_micro_batch(spark, store, upd3, 3, "event_id",
+                              ev.schema, 128) is None
+    # full compaction still collapses the whole store afterwards
+    compact_upsert_store(spark, store)
+    vacuum_upsert_store(store)
+    final = decode_table(
+        read_current_table_blocks(spark, store), ev.schema
+    ).collect()
+    assert all(
+        r.event_type == ("u3" if r.event_id < 50 else
+                         "u2" if r.event_id < 100 else "u1")
+        for r in final if r.event_id < 200
+    )
 
 
 @settings(max_examples=12, deadline=None)
