@@ -1951,6 +1951,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_multi_range_scan"] = table_multi_range
 
+    # Bloom point probe: per-chunk Bloom filters over the zone-map domain
+    # prune equality probes on a high-cardinality column UNCORRELATED with
+    # the order key — the case where every chunk's [min,max] admits the
+    # value and zone maps alone buy nothing. The query asserts real
+    # pruning, then hash-gates the probed rows.
+    def table_bloom_probe(spark, sf_dir):
+        from mapbox_vector_tile_spark.codec import bloom as BL
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_int_eq,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            "event_type",
+        )
+        blocks = encode_table(ev, "event_id", 256,
+                              bloom_cols=["value_c"]).cache()
+        target = 4242  # value*100 == 42.42: present-or-absent is corpus-set
+        rows = blocks.select("cols", "mins", "maxs", "blooms").collect()
+        z = b = 0
+        for r in rows:
+            j = r.cols.index("value_c")
+            if r.mins[j] is not None and r.mins[j] <= target <= r.maxs[j]:
+                z += 1
+                if BL.might_contain(
+                    bytes(r.blooms[j]) if r.blooms[j] is not None else None,
+                    target, wide=True,
+                ):
+                    b += 1
+        assert b < z, (b, z)  # blooms pruned chunks the zone maps admit
+        res = (
+            scan_table_int_eq(blocks, ev.schema, "value_c", target)
+            .select("event_id", "value_c", "event_type")
+            .orderBy("event_id")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+
+    q["table_bloom_probe"] = table_bloom_probe
+
     # decimal kind: exact money math — lineitem extendedprice as
     # decimal(12,2) rides the int64 transforms as unscaled ints; the
     # gate reduces to integer cents so no float ever enters the compare
@@ -3313,6 +3354,12 @@ SELECT 'value_c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(v) AS BIGINT) AS sum_v,
        CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
 FROM x
+"""
+    o["table_bloom_probe"] = """
+SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_c, event_type
+FROM events
+WHERE CAST(round(value * 100) AS BIGINT) = 4242
+ORDER BY event_id
 """
     o["table_decimal_roundtrip"] = """
 WITH rows_ AS (

@@ -41,7 +41,12 @@ def _mix(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def _as_u64(values: np.ndarray) -> np.ndarray:
+def _as_u64(values: np.ndarray, wide: bool = False) -> np.ndarray:
+    """uint64 image of the values; ``wide`` treats them as int64 (table-
+    store zone-map domains: int64 ids, epoch micros, unscaled decimals,
+    float sort keys) instead of the token path's int32."""
+    if wide:
+        return np.ascontiguousarray(values, np.int64).view(np.uint64)
     return np.ascontiguousarray(values, np.int32).view(np.uint32).astype(np.uint64)
 
 
@@ -50,12 +55,15 @@ def build_bloom(
     bits_per_value: int = DEFAULT_BITS_PER_VALUE,
     max_bytes: int = DEFAULT_MAX_BYTES,
     k: int = DEFAULT_K,
+    wide: bool = False,
 ) -> bytes | None:
     """Bloom blob over the distinct values of one chunk, or ``None`` when
     the distinct count would need more than ``max_bytes`` to stay at
     ``bits_per_value`` (a saturated filter answers "maybe" always — storing
     it would be pure overhead)."""
-    uniq = np.unique(np.ascontiguousarray(values, np.int32))
+    uniq = np.unique(
+        np.ascontiguousarray(values, np.int64 if wide else np.int32)
+    )
     if uniq.size == 0:
         return None
     need = uniq.size * bits_per_value
@@ -65,7 +73,7 @@ def build_bloom(
     while n_bits < need:
         n_bits <<= 1
     buf = np.zeros(n_bits >> 3, dtype=np.uint8)
-    h1, h2 = _mix(_as_u64(uniq))
+    h1, h2 = _mix(_as_u64(uniq, wide))
     nb = np.uint64(n_bits)
     for i in range(k):
         idx = (h1 + np.uint64(i) * h2) % nb
@@ -74,7 +82,7 @@ def build_bloom(
     return bytes([k]) + buf.tobytes()
 
 
-def might_contain(blob, x: int) -> bool:
+def might_contain(blob, x: int, wide: bool = False) -> bool:
     """False -> ``x`` is definitely absent from the chunk (no false
     negatives); True -> must check the payload."""
     if blob is None:
@@ -83,7 +91,7 @@ def might_contain(blob, x: int) -> bool:
     k = view[0]
     bits = np.frombuffer(view, dtype=np.uint8, offset=1)
     n_bits = bits.size << 3
-    h1, h2 = _mix(_as_u64(np.array([x])))
+    h1, h2 = _mix(_as_u64(np.array([x]), wide))
     h1i, h2i = int(h1[0]), int(h2[0])
     for i in range(k):
         # python-int arithmetic masked to 64 bits: must wrap exactly like

@@ -40,6 +40,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..codec import bloom
 from ..codec import blocks as B
 from ..codec.float64 import FLOAT64_MODE_NAMES, decode_float64, encode_float64_auto
 from ..codec.int64 import INT64_MODE_NAMES, decode_int64, encode_int64_auto
@@ -131,7 +132,7 @@ _BLOCKS_SCHEMA = (
     "chunk long, n_rows long, cols array<string>, kinds array<string>, "
     "codecs array<string>, bytes_enc array<long>, bytes_raw array<long>, "
     "mins array<long>, maxs array<long>, valids array<binary>, "
-    "payloads array<binary>"
+    "blooms array<binary>, payloads array<binary>"
 )
 
 
@@ -273,11 +274,32 @@ def table_kinds(df: DataFrame, order_col: str) -> list[tuple[str, str]]:
 
 
 def encode_table(
-    df: DataFrame, order_col: str, chunk_rows: int = 4096
+    df: DataFrame,
+    order_col: str,
+    chunk_rows: int = 4096,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode EVERY column of ``df`` into per-(chunk, column) frames,
-    chunked and ordered by the integer ``order_col``."""
+    chunked and ordered by the integer ``order_col``.
+
+    ``bloom_cols`` names int-family columns (int/bigint/timestamp/date/
+    decimal/double) that additionally store a per-chunk Bloom filter over
+    their zone-map domain — the Parquet column-index bloom analog. Zone
+    maps prune RANGE probes; a point probe on a column uncorrelated with
+    the order key (foreign keys, hash ids) passes every chunk's [min,max]
+    and decodes the table without one. :func:`scan_table_int_eq` consumes
+    them."""
     kinds = table_kinds(df, order_col)
+    bloom_set = set(bloom_cols or [])
+    known = {c for c, _ in kinds}
+    if bloom_set - known:
+        raise ValueError(f"bloom_cols not in table: {sorted(bloom_set - known)}")
+    for c, k in kinds:
+        if c in bloom_set and k == KIND_STRING:
+            raise ValueError(
+                f"bloom_cols: {c!r} is a string column (the dictionary "
+                "probe already prunes point predicates there)"
+            )
     chunk = (
         (F.col(order_col) - F.pmod(F.col(order_col), F.lit(chunk_rows)))
         / chunk_rows
@@ -291,7 +313,7 @@ def encode_table(
         table = table.sort_by(order_col)
         n = table.num_rows
         payloads, codecs, enc_b, raw_b = [], [], [], []
-        mins, maxs, valids = [], [], []
+        mins, maxs, valids, blooms = [], [], [], []
         for name, kind in kinds:
             arr = table.column(name).combine_chunks()
             if arr.null_count:
@@ -310,36 +332,38 @@ def encode_table(
                 raw_b.append(0)
                 mins.append(None)
                 maxs.append(None)
+                blooms.append(None)
                 continue
             payload, codec, raw = _encode_column_arrow(sub, kind)
             payloads.append(payload)
             codecs.append(codec)
             enc_b.append(len(payload))
             raw_b.append(raw)
+            # zone-map domain: the int64 image the manifest stores
             if kind in (KIND_INT32, KIND_INT64):
-                a = np.asarray(sub).astype(np.int64)
-                mins.append(int(a.min()))
-                maxs.append(int(a.max()))
+                zvals = np.asarray(sub).astype(np.int64)
             elif kind == KIND_FLOAT64:
-                # float zone maps in the order-preserving int64 key space
-                k = _float_sort_keys(np.asarray(sub))
-                mins.append(int(k.min()))
-                maxs.append(int(k.max()))
+                # order-preserving int64 key space
+                zvals = _float_sort_keys(np.asarray(sub))
             elif kind in (KIND_DATE, KIND_BOOL):
-                d = np.asarray(sub.cast(pa.int32()))
-                mins.append(int(d.min()))
-                maxs.append(int(d.max()))
+                zvals = np.asarray(sub.cast(pa.int32())).astype(np.int64)
             elif kind == KIND_TS:
-                t = np.asarray(sub.cast(pa.int64()))
-                mins.append(int(t.min()))
-                maxs.append(int(t.max()))
+                zvals = np.asarray(sub.cast(pa.int64()))
             elif kind.startswith("decimal("):
-                u = _decimal_unscaled(sub)  # unscaled order == value order
-                mins.append(int(u.min()))
-                maxs.append(int(u.max()))
-            else:  # strings carry no zone map (dict probe prunes instead)
+                zvals = _decimal_unscaled(sub)  # unscaled order == value
+            else:  # strings: no zone map (dict probe prunes instead)
+                zvals = None
+            if zvals is None:
                 mins.append(None)
                 maxs.append(None)
+                blooms.append(None)
+            else:
+                mins.append(int(zvals.min()))
+                maxs.append(int(zvals.max()))
+                blooms.append(
+                    bloom.build_bloom(zvals, wide=True)
+                    if name in bloom_set else None
+                )
         return pa.table(
             {
                 "chunk": pa.array(
@@ -354,6 +378,7 @@ def encode_table(
                 "mins": pa.array([mins], pa.list_(pa.int64())),
                 "maxs": pa.array([maxs], pa.list_(pa.int64())),
                 "valids": pa.array([valids], pa.list_(pa.binary())),
+                "blooms": pa.array([blooms], pa.list_(pa.binary())),
                 "payloads": pa.array([payloads], pa.list_(pa.binary())),
             }
         )
@@ -509,6 +534,87 @@ def scan_table_multi_range(
         row_filter = r if row_filter is None else row_filter & r
     dec = decode_table(blocks.filter(manifest_filter), df_schema, columns)
     return dec.filter(row_filter)
+
+
+def scan_table_int_eq(
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    value,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Point probe on an int-family column with BLOOM pruning.
+
+    Three layers, cheapest first: (1) the Catalyst zone-map filter on the
+    manifest arrays (reaches the blocks scan — chunks outside [min,max]
+    never read payload bytes); (2) worker-side, the per-chunk Bloom
+    filter (when :func:`encode_table` stored one for ``col``) answers
+    "definitely absent" for chunks the zone map admits — the case that
+    matters for columns uncorrelated with the order key, where every
+    chunk's [min,max] straddles the probe; (3) surviving chunks decode
+    the predicate column and row-filter exactly. No false negatives
+    anywhere, so the result is exact with or without a stored bloom."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {
+        f.name: _kind_of(f.dataType.simpleString())
+        for f in df_schema.fields
+    }
+    kind = kinds.get(col)
+    if kind in (KIND_INT32, KIND_INT64, KIND_BOOL, KIND_DATE):
+        key = int(value)
+        row_val = (F.date_from_unix_date(F.lit(key)) if kind == KIND_DATE
+                   else F.lit(value))
+    elif kind == KIND_TS:
+        key = int(value)
+        row_val = F.timestamp_micros(F.lit(key))
+    elif kind == KIND_FLOAT64:
+        key = _float_sort_key(float(value))
+        row_val = F.lit(float(value))
+    elif kind is not None and kind.startswith("decimal("):
+        from decimal import Decimal
+
+        _p, s = _decimal_params(kind)
+        key = int(Decimal(str(value)).scaleb(s))
+        row_val = F.lit(str(value)).cast(kind)
+    else:
+        raise ValueError(f"point probe on unsupported column {col!r}")
+    if columns is not None and col not in columns:
+        raise ValueError("projection must include the predicate column")
+
+    idx = F.array_position(F.col("cols"), F.lit(col))
+    zone = (
+        (idx > 0)
+        & (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(key))
+        & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(key))
+    )
+    pruned = blocks.filter(zone)
+
+    def bloom_gate(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if "blooms" not in batch.schema.names:
+                yield batch  # pre-bloom table: zone map only
+                continue
+            keep = []
+            cols_col = batch.column("cols")
+            blooms_col = batch.column("blooms")
+            for i in range(batch.num_rows):
+                j = cols_col[i].as_py().index(col)
+                blob = blooms_col[i][j]
+                b = (None if not blob.is_valid
+                     else memoryview(blob.as_buffer()))
+                if bloom.might_contain(b, key, wide=True):
+                    keep.append(i)
+            if keep:
+                yield batch.take(pa.array(keep, pa.int32()))
+
+    gated = pruned.mapInArrow(bloom_gate, pruned.schema)
+    dec = decode_table(gated, df_schema, columns)
+    return dec.filter(F.col(col) == row_val)
 
 
 def scan_table_string_eq(

@@ -528,6 +528,81 @@ def test_streaming_upsert_inline_compaction(spark, events, tmp_path):
     assert len(upsert_version_log(store)) == len(log)
 
 
+def test_int_eq_bloom_pruning(spark, events):
+    """Per-chunk Bloom filters prune point probes on columns uncorrelated
+    with the order key (zone maps admit every chunk there); results are
+    exact with and without stored blooms."""
+    from mapbox_vector_tile_spark.codec import bloom as BL
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        encode_table,
+        scan_table_int_eq,
+    )
+
+    ev = events.select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    blocks = encode_table(ev, "event_id", 128,
+                          bloom_cols=["value_c"]).cache()
+    # a high-cardinality column uncorrelated with the order key: the
+    # probe value lives in one or two chunks but every zone map admits it
+    target = ev.select("value_c").first()[0]
+
+    rows = blocks.select("cols", "mins", "maxs", "blooms").collect()
+    z_admit = b_admit = 0
+    for r in rows:
+        j = r.cols.index("value_c")
+        if r.mins[j] <= target <= r.maxs[j]:
+            z_admit += 1
+            if BL.might_contain(
+                bytes(r.blooms[j]) if r.blooms[j] is not None else None,
+                int(target), wide=True,
+            ):
+                b_admit += 1
+    assert z_admit > len(rows) // 2  # zone maps admit nearly all
+    assert 0 < b_admit < z_admit  # blooms actually prune
+    # every chunk really containing the value is admitted (no false neg)
+    hit_chunks = {
+        r.chunk for r in ev.filter(F.col("value_c") == target)
+        .withColumn("chunk", (F.col("event_id") / 128).cast("long"))
+        .select("chunk").distinct().collect()
+    }
+    assert b_admit >= len(hit_chunks)
+
+    got = scan_table_int_eq(blocks, ev.schema, "value_c", int(target))
+    want = ev.filter(F.col("value_c") == target)
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+    assert got.count() > 0
+
+    # without stored blooms the scan stays exact (gate is a no-op pass)
+    plain = encode_table(ev, "event_id", 128)
+    got2 = scan_table_int_eq(plain, ev.schema, "value_c", int(target))
+    assert sorted(r.event_id for r in got2.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+
+    # other kinds route through their domain maps (ts micros point probe)
+    some_ts = ev.select("ts_us").first()[0]
+    blocks_ts = encode_table(
+        ev.select("event_id",
+                  F.timestamp_micros("ts_us").alias("ts")),
+        "event_id", 128, bloom_cols=["ts"],
+    )
+    sch = "event_id bigint, ts timestamp"
+    got3 = scan_table_int_eq(blocks_ts, sch, "ts", int(some_ts))
+    assert got3.count() >= 1
+
+    # guards
+    import pytest as _pt
+    with _pt.raises(ValueError, match="string"):
+        encode_table(ev.select("event_id", "event_type"), "event_id",
+                     128, bloom_cols=["event_type"])
+    with _pt.raises(ValueError, match="not in table"):
+        encode_table(ev, "event_id", 128, bloom_cols=["nope"])
+
+
 def test_group_count_pushdown(spark):
     from mapbox_vector_tile_spark.engine.table_encode import (
         table_group_count,
