@@ -1992,6 +1992,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_bloom_probe"] = table_bloom_probe
 
+    # order-sample quantile sketch: deterministic hash-ordered bottom-k
+    # row sample (Rosén 1997 order sampling) -> integer rank-rule
+    # quantiles; mergeable like KMV (bottom-k of a union == bottom-k of
+    # bottom-ks), and the DuckDB oracle rebuilds the SAME sample from the
+    # SAME hash, so the sketch itself is hash-gated — not just its error
+    def sample_quantile_sketch(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.sketch import (
+            bottomk_sample_quantiles,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+        return bottomk_sample_quantiles(ev, "value_c", "event_id")
+
+    q["sample_quantile_sketch"] = sample_quantile_sketch
+
     # decimal kind: exact money math — lineitem extendedprice as
     # decimal(12,2) rides the int64 transforms as unscaled ints; the
     # gate reduces to integer cents so no float ever enters the compare
@@ -3355,6 +3373,13 @@ SELECT 'value_c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
 FROM x
 """
+    from mapbox_vector_tile_spark.functions.sketch import (
+        bottomk_sample_quantiles_sql,
+    )
+
+    o["sample_quantile_sketch"] = bottomk_sample_quantiles_sql(
+        "round(value * 100)", "event_id"
+    )
     o["table_bloom_probe"] = """
 SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_c, event_type
 FROM events

@@ -553,3 +553,127 @@ SELECT p.source, p.n_occupied,
 FROM per_src p JOIN exact e USING (source)
 ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# bottom-k order sample -> mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 1024
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = SAMPLE_K,
+    pcts: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable quantile sketch from a DETERMINISTIC hash-ordered
+    bottom-k row sample (order sampling, Rosén 1997; priority sampling,
+    Duffield-Lund-Thorup 2007): keep the k rows whose ``h48(id)`` is
+    smallest under the total order ``(hk, v)``. The bottom-k of a union
+    is the bottom-k of the union of bottom-ks, so per-partition partials
+    merge exactly (the KMV combine shape) and the sample — hence every
+    quantile estimate — is a pure function of the data, independent of
+    parallelism and row order. Quantile deviation follows the uniform-
+    sample bound (~1/sqrt(k) in rank). Unlike KLL-style compactors this
+    needs no internal randomness, which is exactly what lets the DuckDB
+    oracle reproduce the sketch BIT-EXACTLY (same hash, same order, same
+    integer rank rule); when the table has <= k rows the sample IS the
+    table and the quantiles are exact.
+
+    Returns ``(pct, v, n_sample)``: per requested percentile, the
+    smallest sample value with ``100 * rank >= n * pct`` (the repo's
+    integer quantile rule — any SQL engine reproduces it).
+    """
+    from pyspark.sql import Window
+
+    from .text import h48
+
+    rows = df.select(
+        h48(F.col(id_col).cast("string")).alias("hk"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        hk = np.empty(0, np.int64)
+        v = np.empty(0, np.int64)
+        for b in batches:
+            hk = np.concatenate(
+                [hk, b.column("hk").to_numpy(zero_copy_only=False)]
+            )
+            v = np.concatenate(
+                [v, b.column("v").to_numpy(zero_copy_only=False)]
+            )
+            if hk.size > 4 * k:  # running trim keeps state O(k)
+                keep = np.lexsort((v, hk))[:k]
+                hk, v = hk[keep], v[keep]
+        if hk.size:
+            keep = np.lexsort((v, hk))[:k]
+            yield pa.RecordBatch.from_pydict(
+                {"hk": hk[keep], "v": v[keep]},
+                schema=pa.schema([("hk", pa.int64()), ("v", pa.int64())]),
+            )
+
+    # <= k rows per partition reach the global trim
+    sample = (
+        rows.mapInArrow(partial, "hk long, v long")
+        .orderBy("hk", "v")
+        .limit(k)
+    )
+    # the rank rule runs over the k-row sample: the window is bounded by
+    # the sketch size, never the data (same pattern as the tiny
+    # distinct-length histogram in doc_length_quantiles)
+    ranked = (
+        sample.select("v")
+        .withColumn("rk", F.row_number().over(Window.orderBy("v")))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ))
+    )
+    pcts_df = ranked.sparkSession.createDataFrame(
+        [(int(p),) for p in pcts], "pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pcts_df))
+        .filter(100 * F.col("rk") >= F.col("n") * F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.min("v").cast("long").alias("v"),
+            F.max("n").cast("long").alias("n_sample"),
+        )
+        .orderBy("pct")
+    )
+
+
+def bottomk_sample_quantiles_sql(
+    value_expr: str,
+    id_expr: str,
+    source: str = "events",
+    k: int = SAMPLE_K,
+    pcts: tuple = (50, 90, 99),
+) -> str:
+    """DuckDB mirror: identical hash, identical (hk, v) order, identical
+    integer rank rule."""
+    from .text import h48_sql
+
+    vals = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
+WITH s AS (
+  SELECT CAST({value_expr} AS BIGINT) AS v,
+         {h48_sql(f"CAST({id_expr} AS VARCHAR)")} AS hk
+  FROM {source}
+  ORDER BY hk, v
+  LIMIT {int(k)}
+), r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk,
+         (SELECT COUNT(*) FROM s) AS n
+  FROM s
+)
+SELECT pct, CAST(MIN(v) AS BIGINT) AS v, CAST(MAX(n) AS BIGINT) AS n_sample
+FROM r CROSS JOIN (VALUES {vals}) p(pct)
+WHERE 100 * rk >= n * pct
+GROUP BY pct
+ORDER BY pct
+"""

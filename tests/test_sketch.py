@@ -244,3 +244,48 @@ def test_hll_duckdb_mirror(tokens, tmp_path):
         for r in hll_vocab_estimate(tokens).collect()
     }
     assert got == want
+
+
+def test_bottomk_sample_quantiles(spark):
+    """Order-sample quantile sketch: parallelism-invariant, exact when
+    n <= k, rank error within the uniform-sample bound at n >> k."""
+    from pyspark.sql import functions as F
+
+    from mapbox_vector_tile_spark.functions.sketch import (
+        bottomk_sample_quantiles,
+    )
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("rid"),
+        # skewed values uncorrelated with id order
+        ((F.col("id") * 2654435761) % 10000).alias("val"),
+    ).cache()
+
+    got = bottomk_sample_quantiles(df, "val", "rid", k=1024)
+    rows = {r.pct: r.v for r in got.collect()}
+    assert set(rows) == {50, 90, 99}
+    assert got.first().n_sample == 1024
+
+    # parallelism invariance: 1 vs 16 partitions -> identical sketch
+    one = {r.pct: r.v for r in bottomk_sample_quantiles(
+        df.coalesce(1), "val", "rid", k=1024).collect()}
+    many = {r.pct: r.v for r in bottomk_sample_quantiles(
+        df.repartition(16), "val", "rid", k=1024).collect()}
+    assert one == many == rows
+
+    # rank error: the estimated quantile's TRUE rank is near the target
+    n = df.count()
+    for pct, v in rows.items():
+        true_rank = df.filter(F.col("val") <= v).count() / n
+        assert abs(true_rank - pct / 100) < 0.06  # ~1/sqrt(1024) + slack
+
+    # exact regime: n <= k -> sample IS the data, quantiles exact
+    small = df.limit(500)
+    exact = {r.pct: r.v for r in bottomk_sample_quantiles(
+        small, "val", "rid", k=1024).collect()}
+    vals = sorted(r.val for r in small.collect())
+    m = len(vals)
+    for pct, v in exact.items():
+        import math
+        want = vals[math.ceil(m * pct / 100) - 1]
+        assert v == want, (pct, v, want)
