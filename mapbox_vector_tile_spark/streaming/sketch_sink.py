@@ -2,7 +2,9 @@
 
 Sketches are the rare analytics state that a stream can maintain EXACTLY:
 count-min states merge by addition, KMV bottom-k states merge by
-union-then-trim, and HLL registers merge by register-wise max, so "fold
+union-then-trim, HLL registers merge by register-wise max, and the
+order-sample quantile sketch merges by union-then-trim under its
+(hash, value) total order, so "fold
 this micro-batch in" is a closed-form operation on tiny tables — never a
 re-read of the corpus. Each micro-batch
 computes its own partial over just the new documents
@@ -77,12 +79,36 @@ def read_current_kmv(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(d, "kmv"))
 
 
+def read_current_qsample(spark: SparkSession, root: str) -> DataFrame:
+    d = current_sketch_dir(root)
+    if d is None:
+        raise FileNotFoundError(f"no published sketch under {root}")
+    return spark.read.parquet(os.path.join(d, "qsample"))
+
+
 def read_current_hll(spark: SparkSession, root: str) -> DataFrame:
     """(source, bucket, rho_max) HLL registers of the latest version."""
     d = current_sketch_dir(root)
     if d is None:
         raise FileNotFoundError(f"no published sketch version in {root}")
     return spark.read.parquet(os.path.join(d, "hll"))
+
+
+def _qsample_partial(batch_df: DataFrame, k: int) -> DataFrame:
+    """Bottom-k (hash, value) pairs of one batch under the order-sample
+    sketch's total order (doc identity hashed, value = n_tok): the
+    streaming partial of :func:`..functions.sketch
+    .bottomk_sample_quantiles`."""
+    from ..functions.text import h48
+
+    return (
+        batch_df.select(
+            h48(F.col("doc_id").cast("string")).alias("hk"),
+            F.col("n_tok").cast("long").alias("v"),
+        )
+        .orderBy("hk", "v")
+        .limit(k)
+    )
 
 
 def _kmv_partial(batch_df: DataFrame, n: int, k: int) -> DataFrame:
@@ -121,6 +147,7 @@ def publish_sketch_batch(
     cm_new = cm_bucket_counts(batch_df, n, w, d)
     kmv_new = _kmv_partial(batch_df, n, k)
     hll_new = hll_register_table(batch_df)
+    qs_new = _qsample_partial(batch_df, k)
     cur = current_sketch_dir(root)
     if cur is not None:
         cm_cur = spark.read.parquet(os.path.join(cur, "cm"))
@@ -139,13 +166,19 @@ def publish_sketch_batch(
             .groupBy("source", "bucket")
             .agg(F.max("rho_max").alias("rho_max"))
         )
+        qs_cur = spark.read.parquet(os.path.join(cur, "qsample"))
+        qs_new = qs_new.unionByName(qs_cur)
     # KMV merge = distinct union trimmed back to k (both sides <= k + batch)
     kmv_new = kmv_new.distinct().orderBy("h").limit(k)
+    # order-sample merge = set union trimmed under the (hk, v) total order
+    # (dropDuplicates makes a replayed identical doc a no-op, KMV-style)
+    qs_new = qs_new.dropDuplicates(["hk", "v"]).orderBy("hk", "v").limit(k)
     vname = f"v{len(version_log(root)) + 1}-{uuid.uuid4().hex[:8]}"
     out = os.path.join(root, vname)
     cm_new.coalesce(1).write.parquet(os.path.join(out, "cm"))
     kmv_new.coalesce(1).write.parquet(os.path.join(out, "kmv"))
     hll_new.coalesce(1).write.parquet(os.path.join(out, "hll"))
+    qs_new.coalesce(1).write.parquet(os.path.join(out, "qsample"))
     with open(_log_path(root), "a") as f:
         f.write(json.dumps({"batch_id": int(batch_id), "dir": vname}) + "\n")
     tmp = os.path.join(root, "_current.tmp")

@@ -105,3 +105,49 @@ def test_replayed_batch_publishes_nothing(spark, tmp_path):
         for r in hll_register_table(docs).collect()
     }
     assert hll == want
+
+
+def test_qsample_stream_matches_batch(spark, tmp_path):
+    """4th family: the order-sample quantile sketch maintained by the
+    stream equals the batch bottom-k over all data; duplicate content is
+    set-idempotent."""
+    from mapbox_vector_tile_spark.functions.text import h48
+    from mapbox_vector_tile_spark.streaming.sketch_sink import (
+        publish_sketch_batch,
+        read_current_qsample,
+    )
+
+    tokens_pq = str(tmp_path / "toks")
+    corpus = G.corpus_dataframe(spark, 300, num_partitions=6)
+    corpus.write.parquet(tokens_pq)
+    static = spark.read.parquet(tokens_pq)
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tokens_pq)
+    )
+    root = str(tmp_path / "sk_q")
+    sq = start_sketch_maintenance_stream(
+        stream, root, str(tmp_path / "ck_q"), n=2, k=K
+    )
+    sq.awaitTermination()
+
+    got = sorted(
+        (r.hk, r.v) for r in read_current_qsample(spark, root).collect()
+    )
+    want = sorted(
+        (r.hk, r.v)
+        for r in static.select(
+            h48(F.col("doc_id").cast("string")).alias("hk"),
+            F.col("n_tok").cast("long").alias("v"),
+        ).orderBy("hk", "v").limit(K).collect()
+    )
+    assert got == want and len(got) == min(K, 300)
+
+    # duplicate content: folding the SAME docs again leaves the set as-is
+    publish_sketch_batch(spark, root, static, batch_id=10**6, n=2, k=K)
+    again = sorted(
+        (r.hk, r.v) for r in read_current_qsample(spark, root).collect()
+    )
+    assert again == got
