@@ -536,33 +536,9 @@ def scan_table_multi_range(
     return dec.filter(row_filter)
 
 
-def scan_table_int_eq(
-    blocks: DataFrame,
-    df_schema,
-    col: str,
-    value,
-    columns: list[str] | None = None,
-) -> DataFrame:
-    """Point probe on an int-family column with BLOOM pruning.
-
-    Three layers, cheapest first: (1) the Catalyst zone-map filter on the
-    manifest arrays (reaches the blocks scan — chunks outside [min,max]
-    never read payload bytes); (2) worker-side, the per-chunk Bloom
-    filter (when :func:`encode_table` stored one for ``col``) answers
-    "definitely absent" for chunks the zone map admits — the case that
-    matters for columns uncorrelated with the order key, where every
-    chunk's [min,max] straddles the probe; (3) surviving chunks decode
-    the predicate column and row-filter exactly. No false negatives
-    anywhere, so the result is exact with or without a stored bloom."""
-    from pyspark.sql.types import StructType
-
-    if isinstance(df_schema, str):
-        df_schema = StructType.fromDDL(df_schema)
-    kinds = {
-        f.name: _kind_of(f.dataType.simpleString())
-        for f in df_schema.fields
-    }
-    kind = kinds.get(col)
+def _probe_key(kind: str | None, col: str, value):
+    """(zone-map-domain int key, row-domain Column literal) of one probe
+    value — the same per-kind mapping the range scans use."""
     if kind in (KIND_INT32, KIND_INT64, KIND_BOOL, KIND_DATE):
         key = int(value)
         row_val = (F.date_from_unix_date(F.lit(key)) if kind == KIND_DATE
@@ -581,16 +557,69 @@ def scan_table_int_eq(
         row_val = F.lit(str(value)).cast(kind)
     else:
         raise ValueError(f"point probe on unsupported column {col!r}")
+    return key, row_val
+
+
+def scan_table_int_eq(
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    value,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Point probe on an int-family column with BLOOM pruning — the
+    single-value case of :func:`scan_table_int_in` (which see)."""
+    return scan_table_int_in(blocks, df_schema, col, [value], columns)
+
+
+def scan_table_int_in(
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    values: list,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """IN-list probe on an int-family column with BLOOM pruning.
+
+    Three layers, cheapest first: (1) a Catalyst zone-map filter on the
+    manifest arrays — the OR of each value's interval test, exact per
+    value, reaches the blocks scan so pruned chunks never read payload
+    bytes; (2) worker-side, the per-chunk Bloom filter (when
+    :func:`encode_table` stored one for ``col``) drops chunks containing
+    NONE of the values — the case that matters for columns uncorrelated
+    with the order key, where every chunk's [min,max] straddles the
+    probes; (3) surviving chunks decode the predicate column and
+    row-filter exactly. No false negatives anywhere, so the result is
+    exact with or without a stored bloom. ``values`` is point-probe
+    sized (the literal OR bounds the plan)."""
+    from pyspark.sql.types import StructType
+
+    if not values:
+        raise ValueError("IN-list must be non-empty")
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {
+        f.name: _kind_of(f.dataType.simpleString())
+        for f in df_schema.fields
+    }
+    kind = kinds.get(col)
+    keys, row_vals = [], []
+    for v in values:
+        key, rv = _probe_key(kind, col, v)
+        keys.append(key)
+        row_vals.append(rv)
     if columns is not None and col not in columns:
         raise ValueError("projection must include the predicate column")
 
     idx = F.array_position(F.col("cols"), F.lit(col))
-    zone = (
-        (idx > 0)
-        & (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(key))
-        & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(key))
-    )
-    pruned = blocks.filter(zone)
+    zone = None
+    for key in keys:
+        z = (
+            (F.element_at(F.col("mins"), idx.cast("int")) <= F.lit(key))
+            & (F.element_at(F.col("maxs"), idx.cast("int")) >= F.lit(key))
+        )
+        zone = z if zone is None else zone | z
+    pruned = blocks.filter((idx > 0) & zone)
 
     def bloom_gate(
         batches: Iterator[pa.RecordBatch],
@@ -607,14 +636,19 @@ def scan_table_int_eq(
                 blob = blooms_col[i][j]
                 b = (None if not blob.is_valid
                      else memoryview(blob.as_buffer()))
-                if bloom.might_contain(b, key, wide=True):
+                if any(bloom.might_contain(b, key, wide=True)
+                       for key in keys):
                     keep.append(i)
             if keep:
                 yield batch.take(pa.array(keep, pa.int32()))
 
     gated = pruned.mapInArrow(bloom_gate, pruned.schema)
     dec = decode_table(gated, df_schema, columns)
-    return dec.filter(F.col(col) == row_val)
+    row_pred = None
+    for rv in row_vals:
+        r = F.col(col) == rv
+        row_pred = r if row_pred is None else row_pred | r
+    return dec.filter(row_pred)
 
 
 def scan_table_string_eq(

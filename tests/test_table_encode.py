@@ -603,6 +603,29 @@ def test_int_eq_bloom_pruning(spark, events):
         encode_table(ev, "event_id", 128, bloom_cols=["nope"])
 
 
+def test_int_in_bloom_pruning(spark, events):
+    """IN-list probe: OR of per-value zone tests + any-value bloom gate;
+    exact vs a plain isin filter."""
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        encode_table,
+        scan_table_int_in,
+    )
+
+    ev = events.select(
+        "event_id", "ts_us",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    blocks = encode_table(ev, "event_id", 128, bloom_cols=["value_c"])
+    targets = [int(r.value_c) for r in ev.select("value_c").head(3)]
+    targets.append(10**15)  # absent value: pruned everywhere
+    got = scan_table_int_in(blocks, ev.schema, "value_c", targets)
+    want = ev.filter(F.col("value_c").isin(targets))
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+    assert got.count() >= 3
+
+
 def test_group_count_pushdown(spark):
     from mapbox_vector_tile_spark.engine.table_encode import (
         table_group_count,
