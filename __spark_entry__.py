@@ -2010,6 +2010,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_quantile_sketch"] = sample_quantile_sketch
 
+    # grouped-SUM pushdown: GROUP BY dict-column SUM(int column) from TWO
+    # frames per chunk (group codes + value ints), integer scatter-add
+    # partials, <= cardinality rows shuffled per chunk; SQL null
+    # semantics (null values in n but not sum, all-null group sums NULL)
+    def table_group_sum_q(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            table_group_sum,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type",
+            F.when(
+                F.col("event_id") % 7 != 0,
+                F.round(F.col("value") * 100).cast("long"),
+            ).alias("value_c"),
+        )
+        blocks = encode_table(ev, "event_id", 512)
+        return (
+            table_group_sum(blocks, ev.schema, "event_type", "value_c")
+            .orderBy("value")
+        )
+
+    q["table_group_sum"] = table_group_sum_q
+
     # decimal kind: exact money math — lineitem extendedprice as
     # decimal(12,2) rides the int64 transforms as unscaled ints; the
     # gate reduces to integer cents so no float ever enters the compare
@@ -3380,6 +3405,16 @@ FROM x
     o["sample_quantile_sketch"] = bottomk_sample_quantiles_sql(
         "round(value * 100)", "event_id"
     )
+    o["table_group_sum"] = """
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 != 0
+              THEN CAST(round(value * 100) AS BIGINT) END AS v
+  FROM events)
+SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS sum_v
+FROM x GROUP BY event_type ORDER BY value
+"""
     o["table_bloom_probe"] = """
 SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_c, event_type
 FROM events

@@ -950,6 +950,109 @@ def table_group_count(blocks: DataFrame, df_schema, col: str) -> DataFrame:
     return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
 
 
+def table_group_sum(
+    blocks: DataFrame, df_schema, group_col: str, value_col: str
+) -> DataFrame:
+    """GROUP BY ``group_col`` SUM/COUNT of ``value_col`` pushed into the
+    encodings: per chunk only TWO frames parse — the group column's dict
+    codes and the value column's int frame — and the partial is an
+    integer scatter-add over codes (``np.add.at`` on int64, never a
+    float bincount), so the shuffle carries at most ``cardinality`` rows
+    per chunk and per-row group strings never materialize. SQL
+    semantics: a NULL group groups separately; NULL values count in
+    ``n`` but not ``n_valid``/``sum_v``."""
+    from pyspark.sql.types import StructType
+
+    from ..codec.strings import string_chunk_indices, string_chunk_table
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {
+        f.name: _kind_of(f.dataType.simpleString())
+        for f in df_schema.fields
+    }
+    if kinds.get(group_col) != KIND_STRING:
+        raise ValueError(f"{group_col!r} is not a string column")
+    if kinds.get(value_col) not in (KIND_INT32, KIND_INT64):
+        raise ValueError(f"{value_col!r} is not an int column")
+    vkind = kinds[value_col]
+
+    def gs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            has_valids = "valids" in batch.schema.names
+            for i in range(batch.num_rows):
+                cols_row = batch.column("cols")[i].as_py()
+                payloads = batch.column("payloads")[i]
+                valids_row = (
+                    batch.column("valids")[i] if has_valids else None
+                )
+                n = batch.column("n_rows")[i].as_py()
+                jg = cols_row.index(group_col)
+                gbuf = payloads[jg].as_buffer()
+                if len(gbuf) == 0:  # all-null group column
+                    table: list = []
+                    row_codes = np.zeros(n, np.int64)
+                    card = 0
+                else:
+                    gmv = memoryview(gbuf)
+                    table = string_chunk_table(gmv)
+                    codes = string_chunk_indices(gmv).astype(np.int64)
+                    card = len(table)
+                    gv = None if valids_row is None else valids_row[jg]
+                    if gv is not None and gv.is_valid:
+                        packed = np.frombuffer(gv.as_buffer(), np.uint8)
+                        gvalid = np.unpackbits(packed, count=n).astype(bool)
+                        row_codes = np.full(n, card, np.int64)  # null grp
+                        row_codes[np.flatnonzero(gvalid)] = codes
+                    else:
+                        row_codes = codes
+                vals = _decode_frame(payloads, valids_row, cols_row.index(
+                    value_col), vkind, n)
+                vmask = np.asarray(vals.is_valid()) if vals.null_count \
+                    else np.ones(n, bool)
+                import pyarrow.compute as pc
+
+                vnp = np.asarray(
+                    pc.fill_null(vals, 0).cast(pa.int64())
+                )
+                acc = np.zeros(card + 1, np.int64)
+                np.add.at(acc, row_codes, np.where(vmask, vnp, 0))
+                cnt = np.bincount(row_codes, minlength=card + 1)
+                nval = np.zeros(card + 1, np.int64)
+                np.add.at(nval, row_codes, vmask.astype(np.int64))
+                values = list(table) + [None]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(values, pa.string()),
+                        pa.array(cnt.astype(np.int64)),
+                        pa.array(nval),
+                        pa.array(acc),
+                    ],
+                    schema=pa.schema(
+                        [("value", pa.string()), ("n", pa.int64()),
+                         ("n_valid", pa.int64()), ("sum_v", pa.int64())]
+                    ),
+                )
+
+    partials = blocks.mapInArrow(
+        gs, "value string, n long, n_valid long, sum_v long"
+    )
+    return (
+        partials.groupBy("value")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_valid").alias("n_valid"),
+            F.sum("sum_v").alias("raw_sum"),
+        )
+        .filter(F.col("n") > 0)
+        # SQL SUM over zero non-null values is NULL, not 0
+        .select(
+            "value", "n", "n_valid",
+            F.when(F.col("n_valid") > 0, F.col("raw_sum")).alias("sum_v"),
+        )
+    )
+
+
 def merge_table(
     blocks: DataFrame,
     updates: DataFrame,
