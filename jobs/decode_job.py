@@ -48,29 +48,20 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("mvt-spark-decode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    doc_range = None
     if args.doc_range:
-        from mapbox_vector_tile_spark.engine.decode import decode_doc_range
-        from mapbox_vector_tile_spark.sources.parquet_direct import (
-            blocks_scan,
-        )
-
         lo, sep, hi = args.doc_range.partition(":")
         if not (sep and lo and hi):
             raise SystemExit("--doc-range wants LO:HI (both ends)")
-        decoded = decode_doc_range(
-            blocks_scan(spark, args.input, doc_range=(lo, hi)),
-            lo, hi, verify_checksum=not args.no_checksum,
-        )
-        decoded.write.mode("overwrite").parquet(args.output)
-        n_rows = spark.read.parquet(args.output).count()
-    else:
-        n_rows = decode_to_parquet_direct(
-            spark,
-            args.input,
-            args.output,
-            verify_checksum=not args.no_checksum,
-            n_tasks=args.n_tasks,
-        )
+        doc_range = (lo, hi)
+    n_rows = decode_to_parquet_direct(
+        spark,
+        args.input,
+        args.output,
+        verify_checksum=not args.no_checksum,
+        n_tasks=args.n_tasks,
+        doc_range=doc_range,
+    )
     summary = {"rows_decoded": n_rows, "output": args.output}
     if args.verify_against:
         from pyspark.sql import functions as F

@@ -524,12 +524,20 @@ def decode_to_parquet_direct(
     out_path: str,
     verify_checksum: bool = True,
     n_tasks: int | None = None,
+    doc_range: tuple[str, str] | None = None,
 ) -> int:
     """Decode a blocks dataset straight to a tokens parquet dataset — the
     sink-side twin of :func:`encode_parquet_direct`: each task decodes its
     block-file group and writes one tokens file with pyarrow (deterministic
     name, atomic rename, ``_SUCCESS`` marker), so the decoded arrays never
-    cross the JVM row boundary. Returns rows written."""
+    cross the JVM row boundary. Returns rows written.
+
+    ``doc_range=(lo, hi)`` makes this the worker-side-sink twin of the
+    Catalyst selective path (:func:`blocks_scan` + ``decode_doc_range``):
+    fragments prune from the task plan via the manifest zone maps, chunks
+    whose ``[min_doc_id, max_doc_id]`` envelope misses the range skip
+    without touching their payload, and boundary chunks row-trim after
+    decode."""
     import numpy as np
 
     from ..engine import decode as D
@@ -537,6 +545,16 @@ def decode_to_parquet_direct(
     files = list_parquet_files(blocks_path)
     if not files:
         raise ValueError(f"no parquet files under {blocks_path}")
+    lo = hi = None
+    if doc_range is not None:
+        lo, hi = doc_range
+        files = prune_files_by_doc_range(files, lo, hi)
+        if not files:
+            os.makedirs(out_path, exist_ok=True)
+            write_file_manifest(out_path, {})
+            with open(os.path.join(out_path, "_SUCCESS"), "w"):
+                pass
+            return 0
     os.makedirs(out_path, exist_ok=True)
     tasks = file_task_dataframe(spark, files, n_tasks)
 
@@ -548,12 +566,23 @@ def decode_to_parquet_direct(
                 for path in paths:
                     pf = pq.ParquetFile(path)
                     cols = ["doc_ids", "lengths_blob", "payload", "checksum"]
+                    if lo is not None:
+                        cols += ["min_doc_id", "max_doc_id"]
                     for batch in pf.iter_batches(batch_size=64, columns=cols):
                         payloads = batch.column("payload")
                         lb = batch.column("lengths_blob")
                         cks = batch.column("checksum")
                         dids = batch.column("doc_ids")
+                        zmin = (batch.column("min_doc_id")
+                                if lo is not None else None)
+                        zmax = (batch.column("max_doc_id")
+                                if lo is not None else None)
                         for i in range(batch.num_rows):
+                            if lo is not None and (
+                                zmax[i].as_py() < lo
+                                or zmin[i].as_py() >= hi
+                            ):
+                                continue  # chunk zone map: payload untouched
                             lengths, values = D.decode_block_row(
                                 memoryview(payloads[i].as_buffer()),
                                 memoryview(lb[i].as_buffer()),
@@ -565,18 +594,30 @@ def decode_to_parquet_direct(
                                 pa.array(offsets, pa.int64()),
                                 pa.array(values, pa.int32()),
                             ).cast(pa.list_(pa.int32()))
-                            parts.append(
-                                pa.RecordBatch.from_arrays(
-                                    [
-                                        dids[i].values,
-                                        tokens,
-                                        pa.array(
-                                            lengths.astype(np.int32), pa.int32()
-                                        ),
-                                    ],
-                                    schema=D._OUT_ARROW_SCHEMA,
-                                )
+                            out_batch = pa.RecordBatch.from_arrays(
+                                [
+                                    dids[i].values,
+                                    tokens,
+                                    pa.array(
+                                        lengths.astype(np.int32), pa.int32()
+                                    ),
+                                ],
+                                schema=D._OUT_ARROW_SCHEMA,
                             )
+                            if lo is not None:
+                                ids = np.asarray(
+                                    dids[i].values.to_pylist(), object
+                                )
+                                sel = np.flatnonzero(
+                                    (ids >= lo) & (ids < hi)
+                                )
+                                if sel.size == 0:
+                                    continue
+                                if sel.size < out_batch.num_rows:
+                                    out_batch = out_batch.take(
+                                        pa.array(sel.astype(np.int64))
+                                    )
+                            parts.append(out_batch)
                 n_rows = sum(p.num_rows for p in parts)
                 if parts:
                     table = pa.Table.from_batches(parts, D._OUT_ARROW_SCHEMA)

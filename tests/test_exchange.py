@@ -401,3 +401,49 @@ def test_fused_manifest_zone_maps_and_file_pruning(spark, tmp_path):
     empty = blocks_scan(spark, out, doc_range=("doc-99999990", None))
     assert empty.count() == 0
     assert "payload" in empty.columns
+
+
+def test_direct_doc_range_decode_matches_catalyst(spark, tmp_path):
+    """decode_to_parquet_direct(doc_range=...) — the worker-side-sink twin
+    of blocks_scan + decode_doc_range: same rows, manifest file pruning,
+    empty-range contract."""
+    from mapbox_vector_tile_spark.engine.decode import (
+        decode_dataframe,
+    )
+    from mapbox_vector_tile_spark.engine.exchange import (
+        exchange_encode_fused_direct,
+    )
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        decode_to_parquet_direct,
+    )
+
+    tokens = str(tmp_path / "toks_rng")
+    G.corpus_dataframe(spark, N_DOCS, num_partitions=4).repartitionByRange(
+        8, "doc_id"
+    ).write.parquet(tokens)
+    blocks = str(tmp_path / "blk_rng")
+    exchange_encode_fused_direct(spark, tokens, blocks, N_BUCKETS, n_tasks=8)
+
+    lo, hi = "doc-00000120", "doc-00000360"
+    out = str(tmp_path / "dec_rng")
+    n = decode_to_parquet_direct(spark, blocks, out, doc_range=(lo, hi))
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: list(r.tokens)
+        for r in decode_dataframe(spark.read.parquet(blocks))
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .collect()
+    }
+    assert got == want and n == len(want) > 0
+
+    # disjoint range: zero rows, valid empty dataset with _SUCCESS
+    import os
+
+    out2 = str(tmp_path / "dec_empty")
+    assert decode_to_parquet_direct(
+        spark, blocks, out2, doc_range=("doc-99999000", "doc-99999999")
+    ) == 0
+    assert os.path.exists(os.path.join(out2, "_SUCCESS"))
