@@ -397,7 +397,13 @@ def decode_table(
     are parsed — every other frame's payload bytes stay untouched (a
     two-column projection of a ten-column table pays two columns of
     decode CPU and Arrow transfer, the classic columnar-store win; the
-    tests prove it by poisoning an unselected frame)."""
+    tests prove it by poisoning an unselected frame).
+
+    SCHEMA DRIFT: chunks resolve by column NAME, so a table whose later
+    generations added columns reads as one frame — chunks written before
+    a column existed backfill NULL for it (the Iceberg add-column
+    contract, applied to the chunk store; streaming ingest can widen the
+    schema mid-stream)."""
     from pyspark.sql.types import StructType
 
     if isinstance(df_schema, str):
@@ -442,7 +448,11 @@ def decode_table(
                 arrays = [
                     pa.array(np.full(n, chunk, np.int64)),
                     pa.array(np.arange(n, dtype=np.int64)),
-                ] + [by_name[name] for name in names]
+                ] + [
+                    by_name[name] if name in by_name
+                    else pa.nulls(n, out_schema.field(name).type)
+                    for name in names
+                ]
                 yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return blocks.mapInArrow(dec, spark_ddl)
@@ -916,6 +926,15 @@ def table_group_count(blocks: DataFrame, df_schema, col: str) -> DataFrame:
                 cols_row = batch.column("cols")[i].as_py()
                 payloads = batch.column("payloads")[i]
                 n = batch.column("n_rows")[i].as_py()
+                if col not in cols_row:  # pre-drift chunk: all-null group
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([None], pa.string()),
+                         pa.array([n], pa.int64())],
+                        schema=pa.schema(
+                            [("value", pa.string()), ("cnt", pa.int64())]
+                        ),
+                    )
+                    continue
                 j = cols_row.index(col)
                 buf = payloads[j].as_buffer()
                 values: list[str | None] = []
@@ -987,14 +1006,16 @@ def table_group_sum(
                     batch.column("valids")[i] if has_valids else None
                 )
                 n = batch.column("n_rows")[i].as_py()
-                jg = cols_row.index(group_col)
-                gbuf = payloads[jg].as_buffer()
-                if len(gbuf) == 0:  # all-null group column
+                if group_col not in cols_row or len(
+                    payloads[cols_row.index(group_col)].as_buffer()
+                ) == 0:
+                    # pre-drift chunk / all-null group column: null group
                     table: list = []
                     row_codes = np.zeros(n, np.int64)
                     card = 0
                 else:
-                    gmv = memoryview(gbuf)
+                    jg = cols_row.index(group_col)
+                    gmv = memoryview(payloads[jg].as_buffer())
                     table = string_chunk_table(gmv)
                     codes = string_chunk_indices(gmv).astype(np.int64)
                     card = len(table)
@@ -1006,15 +1027,22 @@ def table_group_sum(
                         row_codes[np.flatnonzero(gvalid)] = codes
                     else:
                         row_codes = codes
-                vals = _decode_frame(payloads, valids_row, cols_row.index(
-                    value_col), vkind, n)
-                vmask = np.asarray(vals.is_valid()) if vals.null_count \
-                    else np.ones(n, bool)
-                import pyarrow.compute as pc
+                if value_col not in cols_row:
+                    # pre-drift chunk: the value column reads all-NULL
+                    vmask = np.zeros(n, bool)
+                    vnp = np.zeros(n, np.int64)
+                else:
+                    vals = _decode_frame(
+                        payloads, valids_row, cols_row.index(value_col),
+                        vkind, n,
+                    )
+                    vmask = (np.asarray(vals.is_valid())
+                             if vals.null_count else np.ones(n, bool))
+                    import pyarrow.compute as pc
 
-                vnp = np.asarray(
-                    pc.fill_null(vals, 0).cast(pa.int64())
-                )
+                    vnp = np.asarray(
+                        pc.fill_null(vals, 0).cast(pa.int64())
+                    )
                 acc = np.zeros(card + 1, np.int64)
                 np.add.at(acc, row_codes, np.where(vmask, vnp, 0))
                 cnt = np.bincount(row_codes, minlength=card + 1)

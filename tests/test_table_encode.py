@@ -674,6 +674,78 @@ def test_group_sum_pushdown(spark, events):
     assert n_chunks > 1 and card >= 3
 
 
+def test_schema_drift_backfill(spark, events):
+    """A column added mid-stream: pre-drift chunks backfill NULL on
+    decode; range/bloom scans prune them outright (NULL never matches a
+    range); grouped pushdowns treat them as the null group / null
+    values."""
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        decode_table,
+        encode_table,
+        scan_table_int_eq,
+        scan_table_range,
+        table_group_count,
+        table_group_sum,
+    )
+
+    ev1 = events.filter("event_id < 500").select("event_id", "event_type")
+    ev2 = events.filter("event_id >= 500").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    blocks = encode_table(ev1, "event_id", 128).unionByName(
+        encode_table(ev2, "event_id", 128)
+    ).cache()
+    schema2 = ev2.schema
+
+    dec = decode_table(blocks, schema2).cache()
+    old = dec.filter(F.col("event_id") < 500)
+    assert old.count() == 500
+    assert old.filter(F.col("value_c").isNull()).count() == 500
+    new_rows = dec.filter(F.col("event_id") >= 500)
+    assert new_rows.filter(F.col("value_c").isNull()).count() == 0
+
+    # projection of ONLY the drifted column still works
+    proj = decode_table(blocks, schema2, ["value_c"])
+    assert proj.count() == dec.count()
+
+    # range scan: NULL never matches, so pre-drift chunks prune (their
+    # manifests have no entry for the column at all)
+    hit = scan_table_range(blocks, schema2, "value_c", 0, 10**9)
+    assert hit.count() == ev2.filter(
+        (F.col("value_c") >= 0) & (F.col("value_c") <= 10**9)
+    ).count()
+    assert hit.filter(F.col("event_id") < 500).count() == 0
+
+    # bloom/point probe: same pruning contract
+    some = int(ev2.select("value_c").first()[0])
+    pt = scan_table_int_eq(blocks, schema2, "value_c", some)
+    assert pt.count() == ev2.filter(F.col("value_c") == some).count()
+
+    # grouped pushdowns: missing group col -> null group; missing value
+    # col -> counted rows, no sum contribution
+    gc = {r.value: r.cnt for r in
+          table_group_count(blocks, schema2, "event_type").collect()}
+    want_gc = {r.event_type: r.cnt for r in events.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert gc == want_gc  # event_type exists in both generations
+    gs = {r.value: (r.n, r.n_valid, r.sum_v) for r in
+          table_group_sum(blocks, schema2, "event_type",
+                          "value_c").collect()}
+    want = {
+        r.event_type: (r.n, r.n_valid, r.sum_v)
+        for r in events.withColumn(
+            "vc", F.when(F.col("event_id") >= 500,
+                         F.round(F.col("value") * 100).cast("long"))
+        ).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("vc").alias("n_valid"),
+            F.sum("vc").alias("sum_v"),
+        ).collect()
+    }
+    assert gs == want
+
+
 def test_group_count_pushdown(spark):
     from mapbox_vector_tile_spark.engine.table_encode import (
         table_group_count,
