@@ -2035,6 +2035,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_group_sum"] = table_group_sum_q
 
+    # schema drift: generation 2 adds a column mid-table; pre-drift
+    # chunks backfill NULL by name resolution. The rollup's n_valid/sums
+    # hash-gate exactly WHICH rows carry values vs backfilled nulls.
+    def table_schema_drift(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table,
+            encode_table,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        g1 = ev.filter(F.col("event_id") < 10000).select(
+            "event_id", "event_type"
+        )
+        g2 = ev.filter(F.col("event_id") >= 10000).select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+        blocks = encode_table(g1, "event_id", 512).unionByName(
+            encode_table(g2, "event_id", 512)
+        )
+        m = 1_000_003
+        dec = decode_table(blocks, g2.schema)
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.count("value_c").cast("long").alias("n_valid"),
+                F.pmod(F.sum(F.pmod("event_id", F.lit(m))), F.lit(m))
+                .cast("long").alias("id_mod"),
+                F.pmod(
+                    F.coalesce(
+                        F.sum(F.pmod("value_c", F.lit(m))), F.lit(0)
+                    ),
+                    F.lit(m),
+                ).cast("long").alias("val_mod"),
+                F.pmod(F.sum(F.length("event_type")), F.lit(m))
+                .cast("long").alias("type_len_mod"),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_schema_drift"] = table_schema_drift
+
     # decimal kind: exact money math — lineitem extendedprice as
     # decimal(12,2) rides the int64 transforms as unscaled ints; the
     # gate reduces to integer cents so no float ever enters the compare
@@ -3405,6 +3448,21 @@ FROM x
     o["sample_quantile_sketch"] = bottomk_sample_quantiles_sql(
         "round(value * 100)", "event_id"
     )
+    o["table_schema_drift"] = """
+WITH x AS (
+  SELECT event_id // 512 AS chunk, event_id, event_type,
+         CASE WHEN event_id >= 10000
+              THEN CAST(round(value * 100) AS BIGINT) END AS value_c
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(value_c) AS BIGINT) AS n_valid,
+       CAST(((SUM(event_id % 1000003) % 1000003) + 1000003) % 1000003
+         AS BIGINT) AS id_mod,
+       CAST(((COALESCE(SUM(value_c % 1000003), 0) % 1000003) + 1000003)
+         % 1000003 AS BIGINT) AS val_mod,
+       CAST(SUM(LENGTH(event_type)) % 1000003 AS BIGINT) AS type_len_mod
+FROM x GROUP BY chunk ORDER BY chunk
+"""
     o["table_group_sum"] = """
 WITH x AS (
   SELECT event_type,
