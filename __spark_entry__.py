@@ -2078,6 +2078,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_schema_drift"] = table_schema_drift
 
+    # prefix predicate (LIKE 'x%') resolved at DICT level: matching ranks
+    # from one dict-table parse per chunk, absent-prefix chunks prune at
+    # dict-blob cost, survivors filter by integer code membership
+    def table_string_prefix(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            encode_table,
+            scan_table_string_prefix,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+        blocks = encode_table(ev, "event_id", 512)
+        return (
+            scan_table_string_prefix(blocks, ev.schema, "event_type", "c")
+            .select("event_id", "event_type", "value_c")
+            .orderBy("event_id")
+        )
+
+    q["table_string_prefix_scan"] = table_string_prefix
+
     # decimal kind: exact money math — lineitem extendedprice as
     # decimal(12,2) rides the int64 transforms as unscaled ints; the
     # gate reduces to integer cents so no float ever enters the compare
@@ -3448,6 +3470,12 @@ FROM x
     o["sample_quantile_sketch"] = bottomk_sample_quantiles_sql(
         "round(value * 100)", "event_id"
     )
+    o["table_string_prefix_scan"] = """
+SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+FROM events
+WHERE event_type LIKE 'c%'
+ORDER BY event_id
+"""
     o["table_schema_drift"] = """
 WITH x AS (
   SELECT event_id // 512 AS chunk, event_id, event_type,

@@ -777,6 +777,102 @@ def scan_table_string_in(
     return blocks.mapInArrow(scan, spark_ddl)
 
 
+def scan_table_string_prefix(
+    blocks: DataFrame,
+    df_schema,
+    col: str,
+    prefix: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """``col LIKE 'prefix%'`` resolved at DICTIONARY level: per chunk the
+    frequency-ordered dict table parses ONCE, prefix-matching entries
+    become a rank set, and chunks whose dictionary holds no matching
+    value prune at dict-blob cost — same evaluation strategy as
+    :func:`scan_table_string_in`, for the other predicate shape ubiquitous
+    over string columns at scale (id namespaces, URL/path prefixes).
+    Matching chunks filter by integer code membership; only surviving
+    ROWS of the projected columns materialize."""
+    from pyspark.sql.types import StructType
+
+    from ..codec.strings import string_chunk_indices, string_chunk_table
+
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    kinds = {
+        f.name: _kind_of(f.dataType.simpleString())
+        for f in df_schema.fields
+    }
+    if kinds.get(col) != KIND_STRING:
+        raise ValueError(f"{col!r} is not a string column")
+    all_names = [f.name for f in df_schema.fields]
+    names = (all_names if columns is None
+             else [n for n in all_names if n in set(columns)])
+    if columns is not None and set(columns) - set(all_names):
+        raise ValueError("projection names not in schema")
+    arrow_fields = [("chunk", pa.int64()), ("pos", pa.int64())]
+    spark_ddl = "chunk long, pos long"
+    ddl_of = {f.name: f.dataType.simpleString() for f in df_schema.fields}
+    for n in names:
+        arrow_fields.append((n, _pa_type_of(kinds[n])))
+        spark_ddl += f", {n} {ddl_of[n]}"
+    out_schema = pa.schema(arrow_fields)
+    name_set = set(names)
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            has_valids = "valids" in batch.schema.names
+            for i in range(batch.num_rows):
+                cols_row = batch.column("cols")[i].as_py()
+                if col not in cols_row:  # pre-drift chunk: NULL never
+                    continue             # matches LIKE
+                payloads = batch.column("payloads")[i]
+                valids_row = batch.column("valids")[i] if has_valids else None
+                j_pred = cols_row.index(col)
+                pred_payload = payloads[j_pred]
+                if len(pred_payload.as_buffer()) == 0:
+                    continue  # all-null predicate column
+                pred_buf = memoryview(pred_payload.as_buffer())
+                table = string_chunk_table(pred_buf)
+                ranks = [r for r, s in enumerate(table)
+                         if s.startswith(prefix)]
+                if not ranks:
+                    continue  # dict probe pruned the chunk
+                codes = string_chunk_indices(pred_buf)
+                sel = np.flatnonzero(
+                    np.isin(codes, np.asarray(ranks, np.uint32))
+                )
+                if sel.size == 0:
+                    continue
+                chunk = batch.column("chunk")[i].as_py()
+                n = batch.column("n_rows")[i].as_py()
+                kinds_row = batch.column("kinds")[i].as_py()
+                pred_vbuf = None if valids_row is None else valids_row[j_pred]
+                if pred_vbuf is not None and pred_vbuf.is_valid:
+                    packed = np.frombuffer(pred_vbuf.as_buffer(), np.uint8)
+                    valid = np.unpackbits(packed, count=n).astype(bool)
+                    sel = np.flatnonzero(valid)[sel]
+                take = pa.array(sel)
+                by_name = {}
+                for j, (cname, kind) in enumerate(zip(cols_row, kinds_row)):
+                    if cname not in name_set:
+                        continue
+                    full = _decode_frame(payloads, valids_row, j, kind, n)
+                    by_name[cname] = full.take(take)
+                arrays = [
+                    pa.array(np.full(sel.size, chunk, np.int64)),
+                    pa.array(sel.astype(np.int64)),
+                ] + [
+                    by_name[m] if m in by_name
+                    else pa.nulls(sel.size, out_schema.field(m).type)
+                    for m in names
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return blocks.mapInArrow(scan, spark_ddl)
+
+
 def table_stats(blocks: DataFrame, df_schema) -> DataFrame:
     """ANALYZE from the manifest alone: per-column row count and min/max
     computed by a Catalyst aggregate over the zone-map arrays — NO frame

@@ -746,6 +746,39 @@ def test_schema_drift_backfill(spark, events):
     assert gs == want
 
 
+def test_string_prefix_scan(spark, events):
+    """Prefix predicate at dict level: exact vs LIKE, chunk pruning on
+    absent prefixes, nullable predicate column handled."""
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        encode_table,
+        scan_table_string_prefix,
+    )
+
+    ev = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 != 0, F.col("event_type"))
+        .alias("etype"),
+    ).cache()
+    blocks = encode_table(ev, "event_id", 128)
+    got = sorted(
+        r.event_id for r in scan_table_string_prefix(
+            blocks, ev.schema, "etype", "c"
+        ).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in ev.filter(F.col("etype").startswith("c")).collect()
+    )
+    assert got == want and len(got) > 0
+    # absent prefix: everything prunes at dict cost
+    assert scan_table_string_prefix(
+        blocks, ev.schema, "etype", "zzz"
+    ).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        scan_table_string_prefix(blocks, ev.schema, "etype", "")
+
+
 def test_group_count_pushdown(spark):
     from mapbox_vector_tile_spark.engine.table_encode import (
         table_group_count,
