@@ -447,3 +447,37 @@ def test_direct_doc_range_decode_matches_catalyst(spark, tmp_path):
         spark, blocks, out2, doc_range=("doc-99999000", "doc-99999999")
     ) == 0
     assert os.path.exists(os.path.join(out2, "_SUCCESS"))
+
+
+def test_blocks_files_metadata_table(spark, tmp_path):
+    """blocks_files_df: per-fragment counts + doc envelopes from the
+    manifest alone — no parquet footers opened (poison-proof)."""
+    from mapbox_vector_tile_spark.engine.exchange import (
+        exchange_encode_fused_direct,
+    )
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        blocks_files_df,
+        list_parquet_files,
+    )
+
+    tokens = str(tmp_path / "toks_meta")
+    G.corpus_dataframe(spark, 300, num_partitions=4).repartitionByRange(
+        4, "doc_id"
+    ).write.parquet(tokens)
+    out = str(tmp_path / "blk_meta")
+    exchange_encode_fused_direct(spark, tokens, out, N_BUCKETS, n_tasks=4)
+
+    files = list_parquet_files(out)
+    # poison every fragment: a footer read would now throw
+    for f in files:
+        with open(f, "r+b") as fh:
+            fh.seek(0, 2)
+            size = fh.tell()
+            fh.seek(size - 4)
+            fh.write(b"XXXX")
+    meta = blocks_files_df(spark, out)
+    rows = meta.collect()
+    assert len(rows) == len(files)
+    assert all(r.n_chunks and r.n_chunks > 0 for r in rows)
+    assert all(r.min_doc_id <= r.max_doc_id for r in rows)
+    assert all(r.file_size_in_bytes > 0 for r in rows)
