@@ -3058,7 +3058,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(work, ignore_errors=True)
 
     q["iceberg_bounds_pruned_scan"] = iceberg_bounds_pruned_scan
-    return q
+    return _reorder_for_driver_window(q)
+
+
+# The driver gates only the FIRST 50 registered queries per round
+# (CORRECTNESS_r*.json). Registration order is therefore the one lever on
+# which operators get the hard oracle signal: front-load a few sentinel
+# roundtrips plus the families that have never had a driver-green row
+# (table store, Iceberg, OLAP, kmeans/PQ/BPE, streaming sinks, matview),
+# and push compression_by_codec — rows-only BY DESIGN (no SQL oracle for
+# physical byte sizes) — to the very end so it stops burning a window slot
+# on a guaranteed `err: no_oracle`. Everything outside the window stays
+# registered and is gated by tools/selfcheck.py (all 170+) each session.
+_DRIVER_WINDOW_PRIORITY = [
+    # sentinels: generator parity + flagship auto roundtrip + manifest prune
+    "corpus_per_doc_checksums",
+    "roundtrip_auto_per_doc",
+    "roundtrip_auto_by_regime",
+    "manifest_pruned_decode",
+    # new in round 5 (first driver round for each)
+    "phrase_search_indexed_multi",
+    "bm25_wand_topk",
+    "table_mor_deletes",
+    "matview_incremental_rollup",
+    # whole-table columnar store (never driver-gated before r5)
+    "table_column_roundtrip",
+    "table_range_scan",
+    "table_projection_scan",
+    "table_stats_analyze",
+    "table_nullable_roundtrip",
+    "table_sum_pushdown",
+    "table_multi_range_scan",
+    "table_bloom_probe",
+    "table_schema_drift",
+    "table_decimal_roundtrip",
+    "table_merge_rollup",
+    # pure-Python Iceberg v2 layer (never driver-gated before r5)
+    "iceberg_tokens_roundtrip",
+    "iceberg_encode_roundtrip",
+    "iceberg_mor_deletes",
+    "iceberg_eq_deletes",
+    "iceberg_schema_evolution",
+    "iceberg_partition_pruned",
+    "iceberg_partition_evolution",
+    "iceberg_incremental_read",
+    "iceberg_bounds_pruned_scan",
+    "iceberg_table_store_roundtrip",
+    # OLAP (never driver-gated before r5)
+    "asof_join_events",
+    "events_rollup_levels",
+    "events_cube_levels",
+    "funnel_progression",
+    "cohort_retention",
+    "event_value_quantiles",
+    "top_events_per_user",
+    # ML / sketch trainers (never driver-gated before r5)
+    "kmeans_train_assignments",
+    "kmeans_cluster_stats",
+    "pq_codebook_codes",
+    "pq_adc_top1",
+    "bpe_merge_table",
+    "bpe_merged_checksums",
+    # streaming sinks (never driver-gated before r5)
+    "streaming_index_ingest",
+    "streaming_table_ingest",
+    "streaming_table_upsert",
+    "streaming_dedup_ingest",
+    "streaming_decode_roundtrip",
+    # remaining never-gated singletons
+    "sequence_pack_materialized",
+    "snapshot_time_travel",
+    "scalar_column_roundtrip",
+]
+
+
+def _reorder_for_driver_window(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    head = [n for n in _DRIVER_WINDOW_PRIORITY if n in q]
+    head_set = set(head)
+    tail = [n for n in q if n not in head_set and n != "compression_by_codec"]
+    out = {n: q[n] for n in head + tail}
+    if "compression_by_codec" in q:
+        out["compression_by_codec"] = q["compression_by_codec"]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -433,7 +433,16 @@ def encode_with_checkpoint_fused(
         ).parquet(ckpt_dir)
         processed = len(rows)
     if len(done_tasks(spark, ckpt_dir)) == total:
-        ck = spark.read.parquet(ckpt_dir)
+        # mergeSchema: a resume may mix checkpoint files written before
+        # min_doc_id/max_doc_id joined FUSED_CHECKPOINT_SCHEMA with new
+        # 14-column ones; without it, inference can pick the old schema
+        # and fail the select (or silently null the envelope depending on
+        # which file wins). Pre-envelope rows read as null -> recorded as
+        # "no stats" in the manifest (conservative keep at scan time).
+        ck = spark.read.option("mergeSchema", "true").parquet(ckpt_dir)
+        for c in ("min_doc_id", "max_doc_id"):
+            if c not in ck.columns:
+                ck = ck.withColumn(c, F.lit(None).cast("string"))
         frag_rows = (
             ck.filter((F.col("status") == "done") & (F.col("path") != ""))
             .select("path", "n_chunks", "min_doc_id", "max_doc_id")

@@ -891,9 +891,16 @@ def _fused_direct_run(
                     b_ref = sum(r["bytes_ref"] for r in em.rows)
                     # fragment zone map: the file-level envelope of the
                     # per-chunk doc-id spans, recorded in _manifest.json so
-                    # range scans drop whole fragments before any footer
-                    dmin = min(r["min_doc_id"] for r in em.rows)
-                    dmax = max(r["max_doc_id"] for r in em.rows)
+                    # range scans drop whole fragments before any footer.
+                    # Chunks of empty doc_id sets carry None spans — skip
+                    # them; an all-None fragment keeps the "" sentinel
+                    # (scans treat an empty envelope as "always keep").
+                    mins = [r["min_doc_id"] for r in em.rows
+                            if r["min_doc_id"] is not None]
+                    maxs = [r["max_doc_id"] for r in em.rows
+                            if r["max_doc_id"] is not None]
+                    dmin = min(mins) if mins else ""
+                    dmax = max(maxs) if maxs else ""
                 yield pa.RecordBatch.from_pydict(
                     {
                         "task_id": [task_id],

@@ -1207,11 +1207,14 @@ def incremental_scan(
     """Incremental (CDC-append) read: rows of data files ADDED strictly
     after ``from_snapshot_id`` up to ``to_snapshot_id`` (default: current).
     File selection is metadata-only — a file is in the increment iff its
-    data sequence number lands in ``(seq(from), seq(to)]`` — so a daily
-    consumer reads exactly the new files, never a table diff. Matches
-    Iceberg's incremental append scan; rows later deleted by position/
-    equality deletes still appear (append semantics, as in the spec's
-    incremental read)."""
+    data sequence number lands in ``(seq(from), seq(to)]`` AND the
+    snapshot that assigned that sequence number was an ``append`` — so a
+    daily consumer reads exactly the new rows, never a table diff.
+    Matches Iceberg's IncrementalAppendScan: ``replace`` commits
+    (rewrite_data_files) re-add existing rows under a new sequence
+    number, so their files are SKIPPED (the rows were already consumed
+    from the original append); an ``overwrite`` in the range is
+    ambiguous for append-only CDC and raises, as in Iceberg."""
     meta = load_metadata(table_path)
     lo_seq = _snapshot(meta, from_snapshot_id)["sequence-number"]
     hi_seq = _snapshot(meta, to_snapshot_id)["sequence-number"]
@@ -1219,10 +1222,21 @@ def incremental_scan(
         raise ValueError(
             f"to-snapshot seq {hi_seq} precedes from-snapshot seq {lo_seq}"
         )
+    seq_op = {
+        s["sequence-number"]: s["summary"]["operation"]
+        for s in meta["snapshots"]
+    }
+    for s_seq, op in seq_op.items():
+        if lo_seq < s_seq <= hi_seq and op == "overwrite":
+            raise ValueError(
+                f"incremental range contains an overwrite commit "
+                f"(sequence {s_seq}); append-scan semantics undefined"
+            )
     files = [
         f for f in _plan_files(table_path, meta, to_snapshot_id)
         if f.sequence_number is not None
         and lo_seq < f.sequence_number <= hi_seq
+        and seq_op.get(f.sequence_number) == "append"
     ]
     if not files:
         return spark.createDataFrame(

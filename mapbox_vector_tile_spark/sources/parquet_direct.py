@@ -145,7 +145,9 @@ def prune_files_by_doc_range(
             keep.append(f)
             continue
         mn, mx = st.get("min_doc_id"), st.get("max_doc_id")
-        if mn is None or mx is None:
+        # "" is the sink's "no envelope" sentinel (all chunks had empty
+        # doc-id sets) — conservative keep, same as missing stats
+        if not mn or not mx:
             keep.append(f)
             continue
         if (hi is not None and mn >= hi) or (lo is not None and mx < lo):
@@ -608,11 +610,13 @@ def decode_to_parquet_direct(
                         zmax = (batch.column("max_doc_id")
                                 if lo is not None else None)
                         for i in range(batch.num_rows):
-                            if lo is not None and (
-                                zmax[i].as_py() < lo
-                                or zmin[i].as_py() >= hi
-                            ):
-                                continue  # chunk zone map: payload untouched
+                            if lo is not None:
+                                zlo, zhi = zmin[i].as_py(), zmax[i].as_py()
+                                # null zone map (empty-doc_ids chunk or
+                                # pre-zonemap writer) -> conservative keep
+                                if (zlo is not None and zhi is not None
+                                        and (zhi < lo or zlo >= hi)):
+                                    continue  # zone map: payload untouched
                             lengths, values = D.decode_block_row(
                                 memoryview(payloads[i].as_buffer()),
                                 memoryview(lb[i].as_buffer()),

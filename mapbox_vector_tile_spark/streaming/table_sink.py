@@ -264,21 +264,35 @@ def compact_upsert_tail(
     unsound: a version between folded ones could be wrongly shadowed by
     an older row carried forward.)
 
-    No-op (returns ``dir=None``) when fewer than ``min_tail`` versions
-    landed since the last maintenance point."""
+    A new fold ABSORBS the immediately preceding fold dir (the prior
+    fold is itself a contiguous-suffix version, so the combined set is
+    still a suffix and the argument holds). This keeps reader fan-in
+    bounded at one fold dir + the fresh tail between full compactions —
+    without absorption it would grow by one dir per fold
+    (n_batches/compact_every) until the next ``compact_upsert_store``.
+
+    No-op (returns ``dir=None``) when fewer than ``min_tail`` DATA
+    versions landed since the last maintenance point (a carried-forward
+    fold alone never re-folds)."""
     log = upsert_version_log(store_root)
     shadowed = _shadowed_dirs(log)
     # live data versions in ledger order; the tail starts after the last
-    # maintenance version (a fold or a full compaction)
+    # full compaction, and carries the previous fold (if any) so folds
+    # cascade instead of accumulating
     tail: list[tuple[int, dict]] = []
+    fresh = 0  # non-maintenance versions since the last maintenance point
     for i, v in enumerate(log):
         if v.get("vacuumed") or "dir" not in v or v["dir"] in shadowed:
             continue
-        if "folds_dirs" in v or "compacted_through" in v:
-            tail = []  # maintenance point: reset
+        if "compacted_through" in v:
+            tail, fresh = [], 0  # full compaction: reset
+            continue
+        if "folds_dirs" in v:
+            tail, fresh = [(i, v)], 0  # prior fold: absorb into the next
             continue
         tail.append((i, v))
-    if len(tail) < min_tail:
+        fresh += 1
+    if fresh < min_tail:
         return {"dir": None, "folded_versions": 0}
     parts = [
         spark.read.parquet(os.path.join(store_root, v["dir"]))
@@ -307,7 +321,7 @@ def compact_upsert_tail(
             )
             + "\n"
         )
-    return {"dir": vname, "folded_versions": len(tail)}
+    return {"dir": vname, "folded_versions": fresh}
 
 
 def vacuum_upsert_store(store_root: str) -> list[str]:

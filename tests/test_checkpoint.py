@@ -199,3 +199,50 @@ def test_fused_resume_equals_uninterrupted(spark, tokens_df, tmp_path):
         encode_with_checkpoint_fused(
             spark, tokens_pq, out2, ck2, N_BUCKETS + 1, n_tasks=4
         )
+
+
+def test_fused_resume_from_pre_envelope_checkpoint(spark, tokens_df,
+                                                   tmp_path):
+    """Resuming a checkpoint dir whose earlier files predate the
+    min_doc_id/max_doc_id columns (12-column schema) must not fail or
+    silently corrupt the manifest: mergeSchema reconciles the mix, and
+    pre-envelope rows land as null stats (conservative keep at scan)."""
+    import json
+    import os
+
+    from mapbox_vector_tile_spark.engine.checkpoint import (
+        encode_with_checkpoint_fused,
+    )
+
+    tokens_pq = str(tmp_path / "tokens")
+    tokens_df.write.parquet(tokens_pq, mode="overwrite")
+    out, ck = str(tmp_path / "b"), str(tmp_path / "c")
+    s = encode_with_checkpoint_fused(
+        spark, tokens_pq, out, ck, N_BUCKETS, n_tasks=4, fail_after_tasks=2
+    )
+    assert s["tasks_processed"] == 2
+
+    # rewrite the partial checkpoint in the OLD 12-column layout
+    old = spark.read.parquet(ck).drop("min_doc_id", "max_doc_id")
+    old_rows = old.collect()
+    import shutil
+    shutil.rmtree(ck)
+    spark.createDataFrame(old_rows, old.schema).write.parquet(ck)
+
+    # resume appends 14-column files next to the 12-column ones
+    s2 = encode_with_checkpoint_fused(
+        spark, tokens_pq, out, ck, N_BUCKETS, n_tasks=4
+    )
+    assert s2["tasks_processed"] == 2
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        man = json.load(fh)
+    assert sum(man["row_counts"].values()) == spark.read.parquet(out).count()
+    # pre-envelope fragments: null stats; resumed ones: real envelopes
+    stats = man["file_stats"]
+    assert any(v["min_doc_id"] is None for v in stats.values())
+    assert any(v["min_doc_id"] for v in stats.values())
+    res = verify_roundtrip(
+        tokens_df, decode_dataframe(spark.read.parquet(out))
+    ).first()
+    assert (res.n_docs, res.n_match, res.n_mismatch) == (N_DOCS, N_DOCS, 0)

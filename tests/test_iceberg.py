@@ -599,3 +599,27 @@ def test_iceberg_incremental_scan_and_metadata_tables(spark, tmp_path):
     rows = parts.collect()
     assert sum(r.record_count for r in rows) == 300
     assert {r.spec_id for r in rows} == {0, 1}
+
+
+def test_iceberg_incremental_scan_skips_replace_snapshots(spark, tmp_path):
+    """A rewrite_data_files ('replace') commit inside the incremental
+    range re-adds existing rows under a new sequence number; the
+    append-scan must NOT re-emit them (Iceberg IncrementalAppendScan
+    consumes only append snapshots)."""
+    tp = str(tmp_path / "inc_replace")
+    corpus = G.corpus_dataframe(spark, 200, 2)
+    a = corpus.filter(F.col("doc_id") < "doc-00000100")
+    b = corpus.filter(F.col("doc_id") >= "doc-00000100")
+    ICE.append_dataframe(spark, a, tp)          # snap 1 (append)
+    ICE.rewrite_data_files(spark, tp)           # snap 2 (replace): rewrites a
+    ICE.append_dataframe(spark, b, tp)          # snap 3 (append)
+
+    # (1 -> current]: only wave b, even though the replace re-added all
+    # of wave a's rows at sequence 2
+    got = {r.doc_id for r in
+           ICE.incremental_scan(spark, tp, 1).select("doc_id").collect()}
+    assert got == {r.doc_id for r in b.select("doc_id").collect()}
+    # (1 -> 2]: the replace contributes nothing
+    assert ICE.incremental_scan(spark, tp, 1, 2).count() == 0
+    # full-table read still sees everything (replace is table-preserving)
+    assert ICE.read_table(spark, tp).count() == 200

@@ -919,6 +919,64 @@ def test_compact_and_vacuum_upsert_store(spark, events, tmp_path):
     assert vname in removed2
 
 
+def test_tail_fold_absorbs_previous_fold(spark, events, tmp_path):
+    """Successive tail folds cascade: fold N absorbs fold N-1's dir, so
+    reader fan-in between full compactions stays at one fold dir + the
+    fresh tail — it does NOT grow by one dir per fold."""
+    import os
+
+    from mapbox_vector_tile_spark.engine.table_encode import decode_table
+    from mapbox_vector_tile_spark.streaming.table_sink import (
+        compact_upsert_tail,
+        read_current_table_blocks,
+        upsert_micro_batch,
+        upsert_version_log,
+        vacuum_upsert_store,
+    )
+
+    store = str(tmp_path / "cascade_store")
+    ev = events.select(
+        "event_id", "ts_us", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"), "props",
+    )
+    upsert_micro_batch(spark, store, ev, 0, "event_id", ev.schema, 128)
+    for b, tag in ((1, "u1"), (2, "u2")):
+        upd = ev.filter("event_id < 150").withColumn("event_type", F.lit(tag))
+        upsert_micro_batch(spark, store, upd, b, "event_id", ev.schema, 128)
+    res1 = compact_upsert_tail(spark, store)
+    assert res1["folded_versions"] == 3
+
+    for b, tag in ((3, "u3"), (4, "u4")):
+        upd = ev.filter("event_id < 80").withColumn("event_type", F.lit(tag))
+        upsert_micro_batch(spark, store, upd, b, "event_id", ev.schema, 128)
+    res2 = compact_upsert_tail(spark, store)
+    # second fold absorbs the first fold's dir plus the 2 fresh waves
+    assert res2["folded_versions"] == 2
+    log = upsert_version_log(store)
+    fold2 = next(v for v in log if v.get("dir") == res2["dir"])
+    assert res1["dir"] in fold2["folds_dirs"]
+
+    # after vacuum, exactly ONE live dir remains (bounded fan-in)
+    removed = vacuum_upsert_store(store)
+    assert res1["dir"] in removed
+    live_dirs = {
+        v["dir"] for v in upsert_version_log(store)
+        if "dir" in v and not v.get("vacuumed")
+        and os.path.exists(os.path.join(store, v["dir"]))
+    }
+    assert live_dirs == {res2["dir"]}
+
+    out = decode_table(
+        read_current_table_blocks(spark, store), ev.schema
+    ).collect()
+    assert all(
+        r.event_type == ("u4" if r.event_id < 80 else
+                         "u2" if r.event_id < 150 else r.event_type)
+        for r in out
+    )
+    assert len(out) == ev.count()
+
+
 def test_incremental_tail_compaction(spark, events, tmp_path):
     """compact_upsert_tail folds the version suffix since the last
     maintenance point: O(churn) write, folded dirs immediately
