@@ -37,6 +37,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _probe_first_touch(procs: int = 4, mb: int = 256) -> float:
+    """Aggregate MB/s of ``procs`` processes first-touching fresh buffers
+    simultaneously — the load shape the executor pool presents. This VM
+    backs guest RAM lazily and its first-touch bandwidth swings ~25 MB/s
+    to ~5 GB/s minute-to-minute (BENCH/host_probe.log methodology); the
+    probe values recorded in the bench JSON let a reader separate a dirty
+    measurement window from a code regression without re-running."""
+    import multiprocessing as mp
+
+    def _touch(n_mb: int, q) -> None:
+        import numpy as np
+
+        t = time.time()
+        a = np.zeros(n_mb * 1024 * 1024, dtype=np.uint8)
+        a[::4096] = 1
+        q.put(time.time() - t)
+        del a
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_touch, args=(mb, q)) for _ in range(procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    times = []
+    try:
+        for _ in ps:
+            times.append(q.get(timeout=300))
+    except Exception:
+        times.append(300.0)  # a killed child reads as a (very) dirty probe
+    for p in ps:
+        p.join(timeout=10)
+        if p.is_alive():
+            p.kill()
+    wall = max(max(times), time.time() - t0)
+    return round(procs * mb / wall, 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -108,6 +145,7 @@ def main() -> int:
     bucketed_pq = f"{work}/bucketed_{n_docs}_{num_buckets}"
     blocks_pq = f"{work}/blocks"
     queries: dict[str, float] = {}
+    probes: dict[str, float] = {"pre_generate": _probe_first_touch()}
     t_all = time.time()
     try:
         t = time.time()
@@ -129,6 +167,7 @@ def main() -> int:
         # whichever run first touches fresh pages pays a ~100 MB/s
         # first-touch tax; the second run measures steady state (what a
         # warm cluster delivers)
+        probes["pre_encode"] = _probe_first_touch()
         if fused:
             t = time.time()
             cuts = plan_weighted_cuts(
@@ -283,6 +322,12 @@ def main() -> int:
         # None (JSON null) when the verify phase was skipped — a rate is
         # only reported when it was actually measured this run
         "roundtrip_match_rate": match_rate,
+        # sustained multi-process first-touch MB/s before q_generate and
+        # before q_encode: this host's lazy RAM backing swings 25 MB/s -
+        # 5 GB/s minute-to-minute, so these separate a dirty measurement
+        # window from a code regression (campaign methodology,
+        # BENCH/host_probe.log); clean windows read >= ~1500 MB/s
+        "probe_mb_s": probes,
     }
     print(json.dumps(result))
     spark.stop()

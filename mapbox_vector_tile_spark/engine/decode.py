@@ -319,6 +319,115 @@ def decode_doc_ids(blocks_df, ids, verify_checksum: bool = True):
     return pruned.select(*cols).mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
 
 
+def decode_doc_ids_df(blocks_df, ids_df, verify_checksum: bool = True):
+    """Join-shaped bulk point-lookup decode: the requested ``doc_id`` set
+    arrives as a DataFrame and NEVER routes through the driver.
+
+    The delete-wave / GDPR-purge companion to :func:`decode_doc_ids`:
+    that overload is right for interactive lookups (ids become plan
+    literals, ~10^4 is the comfort bound); this one handles an unbounded
+    id set — a CDC delete window, a takedown list — as two joins whose
+    shuffles carry only metadata:
+
+    1. each chunk's ``doc_ids`` array is ``explode``d to
+       ``(chunk_id, doc_id)`` rows (the payload column is pruned out of
+       this scan) and equi-joined to the distinct id set — shuffle
+       volume is doc-id strings + ints, never payload bytes;
+    2. matched ids fold to one sorted per-chunk ``__want`` array
+       (bounded by docs-per-chunk) and join back to the blocks table on
+       ``chunk_id`` — AQE broadcasts the matched side when small, and
+       the inner join prunes every untouched chunk before its payload is
+       read;
+    3. worker-side, each surviving chunk membership-tests its OWN
+       ``doc_ids`` against ``__want`` and decodes only the matching
+       docs' spans via the codec-aware positional gather, exactly as the
+       literal-id path does.
+
+    Joining back id VALUES (not positions) makes ``chunk_id``
+    collisions harmless: ``chunk_id`` is only unique within one encode
+    run, and a union of several commits (the snapshot/matview read
+    shape) can repeat it — colliding chunks then receive the UNION of
+    their matched ids, and the per-row membership test restores
+    exactness (every id in ``__want`` is a requested id; each chunk
+    decodes requested ∩ own docs).
+
+    Returns the standard ``(doc_id, tokens, n_tok)`` frame; an empty
+    ``ids_df`` yields an empty result of the same schema.
+    """
+    from pyspark.sql import functions as F
+
+    from ..codec.gather import decode_block_gather
+
+    ids = (
+        ids_df.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .distinct()
+    )
+    pos = blocks_df.select(
+        "chunk_id", F.explode("doc_ids").alias("doc_id")
+    )
+    matched = (
+        pos.join(ids, "doc_id")
+        .groupBy("chunk_id")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("__want"))
+    )
+    hit = blocks_df.join(matched, "chunk_id").select(
+        "doc_ids", "lengths_blob", "payload", "checksum", "__want"
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            lengths_blobs = batch.column("lengths_blob")
+            checksums = batch.column("checksum")
+            doc_ids_col = batch.column("doc_ids")
+            wants = batch.column("__want")
+            for i in range(batch.num_rows):
+                doc_ids = doc_ids_col[i].values
+                want = np.asarray(wants[i].values, dtype=object)
+                sel = np.flatnonzero(
+                    np.isin(np.asarray(doc_ids, dtype=object), want)
+                ).astype(np.int64)
+                if sel.size == 0:
+                    continue
+                payload = memoryview(payloads[i].as_buffer())
+                if verify_checksum and zlib.crc32(payload) != checksums[
+                    i
+                ].as_py():
+                    raise ValueError(
+                        "payload checksum mismatch (corrupt block)"
+                    )
+                lengths = B.decode_block(
+                    memoryview(lengths_blobs[i].as_buffer())
+                ).astype(np.int64)
+                starts = np.zeros(lengths.size, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=starts[1:])
+                out_lens = lengths[sel]
+                total_out = int(out_lens.sum())
+                if total_out:
+                    out_starts = np.zeros(out_lens.size, dtype=np.int64)
+                    np.cumsum(out_lens[:-1], out=out_starts[1:])
+                    idx = np.arange(total_out, dtype=np.int64)
+                    idx += np.repeat(starts[sel] - out_starts, out_lens)
+                    values, _ = decode_block_gather(payload, idx)
+                else:
+                    values = np.zeros(0, dtype=np.int32)
+                offsets = np.zeros(out_lens.size + 1, dtype=np.int64)
+                np.cumsum(out_lens, out=offsets[1:])
+                tokens = pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+                ).cast(pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        doc_ids.take(pa.array(sel, pa.int64())),
+                        tokens,
+                        pa.array(out_lens.astype(np.int32), pa.int32()),
+                    ],
+                    schema=_OUT_ARROW_SCHEMA,
+                )
+
+    return hit.mapInArrow(fn, TOKENS_OUT_SPARK_SCHEMA)
+
+
 def decode_prefix_dataframe(blocks_df, k: int, verify_checksum: bool = True):
     """Max-sequence-length truncation decode: ``tokens[:k]`` per document.
 

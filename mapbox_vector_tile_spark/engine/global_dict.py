@@ -47,14 +47,45 @@ from ..codec.select import encode_auto
 from .stats import _histogram_counts
 
 
-def build_global_dict(blocks_df: DataFrame) -> DataFrame:
+def build_global_dict(
+    blocks_df: DataFrame, rank_buckets: int = 32
+) -> DataFrame:
     """``(code, tok, n)`` — frequency-ordered corpus dictionary from codec
     metadata only (no payload decode). Ties break on the token id, so the
-    code assignment is deterministic across parallelism levels."""
+    code assignment is deterministic across parallelism levels.
+
+    The rank is a distributed two-level prefix rank (the
+    ``components.py`` pattern), not a single-partition window over the
+    vocab: rows bucket by deterministic frequency ranges (approx
+    quantiles of ``n``; equal frequencies always share a bucket, so
+    bucket order embeds in the global order), rank locally within each
+    bucket, and offset by the tiny per-bucket size table. Only the
+    bucket-count-sized aggregates ever see an unpartitioned window."""
     counts = _histogram_counts(blocks_df, -(2**31), 2**31 - 1)
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    return counts.select(
-        (F.row_number().over(w) - 1).cast("long").alias("code"),
+    fracs = [i / rank_buckets for i in range(1, rank_buckets)]
+    bounds = counts.agg(
+        F.percentile_approx("n", fracs, 10_000).alias("__bs")
+    )
+    # bucket 0 holds the highest frequencies: count boundaries > n
+    bucketed = counts.crossJoin(F.broadcast(bounds)).select(
+        "tok",
+        "n",
+        F.size(F.filter("__bs", lambda b: b > F.col("n"))).alias("__bk"),
+    )
+    w_local = Window.partitionBy("__bk").orderBy(F.desc("n"), F.asc("tok"))
+    local = bucketed.withColumn("__lr", F.row_number().over(w_local))
+    sizes = bucketed.groupBy("__bk").agg(F.count(F.lit(1)).alias("__sz"))
+    # prefix offsets via a triangular self-join of the <=rank_buckets-row
+    # size table (O(buckets^2) rows, trivially small) — no unpartitioned
+    # WindowExec anywhere in the plan
+    a, b = sizes.alias("a"), sizes.alias("b")
+    offsets = (
+        a.join(b, F.col("b.__bk") < F.col("a.__bk"), "left")
+        .groupBy(F.col("a.__bk").alias("__bk"))
+        .agg(F.coalesce(F.sum("b.__sz"), F.lit(0)).alias("__off"))
+    )
+    return local.join(F.broadcast(offsets), "__bk").select(
+        (F.col("__off") + F.col("__lr") - 1).cast("long").alias("code"),
         F.col("tok").cast("long").alias("tok"),
         F.col("n").cast("long").alias("n"),
     )

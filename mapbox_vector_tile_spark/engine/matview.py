@@ -38,7 +38,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..corpus import MOD
-from .decode import decode_doc_ids
+from .decode import decode_doc_ids_df
 from .snapshots import (
     current_snapshot_id,
     decode_at,
@@ -142,10 +142,13 @@ def refresh_source_rollup_mv(
         F.col("sum_tok").alias("i_tok"),
         F.col("cks").alias("i_cks"),
     )
-    ids = [r.doc_id for r in deleted_ids.collect()]
-    if ids:
+    # delete retraction stays distributed: the CDC delete-id set joins
+    # into the old blocks table (decode_doc_ids_df), so a delete wave of
+    # any size — GDPR purge, domain takedown — never routes doc ids
+    # through the driver as plan literals
+    if not deleted_ids.isEmpty():
         old_blocks = read_blocks_at(spark, root, st["snapshot_id"])
-        sub = _partial(decode_doc_ids(old_blocks, ids)).select(
+        sub = _partial(decode_doc_ids_df(old_blocks, deleted_ids)).select(
             "source",
             F.col("n_docs").alias("d_docs"),
             F.col("sum_tok").alias("d_tok"),

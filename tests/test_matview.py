@@ -88,3 +88,24 @@ def test_rewrite_window_falls_back_to_full(spark, tokens, tmp_path):
     assert out["mode"] == "full"
     assert _mv_rows(spark, mv) == _recompute(spark, root)
     assert mv_state(mv)["mode"] == "full"
+
+
+def test_large_delete_window_stays_distributed(spark, tokens, tmp_path):
+    """A delete wave covering half the table retracts exactly, through
+    the join-shaped decode_doc_ids_df path (no driver-side id collect,
+    no per-id plan literals)."""
+    root = str(tmp_path / "tbl_bigdel")
+    os.makedirs(root)
+    mv = str(tmp_path / "mv_bigdel")
+    S.commit_append(root, encode_dataframe(tokens, EncodeOptions()))
+    assert refresh_source_rollup_mv(spark, root, mv)["mode"] == "full"
+
+    # GDPR-purge-shaped wave: every even doc (half the corpus)
+    S.commit_deletes(
+        root, tokens.select("doc_id").filter(doc_num_expr() % 2 == 0)
+    )
+    out = refresh_source_rollup_mv(spark, root, mv)
+    assert out["mode"] == "incremental"
+    assert _mv_rows(spark, mv) == _recompute(spark, root)
+    total = sum(v[0] for v in _mv_rows(spark, mv).values())
+    assert total == tokens.filter(doc_num_expr() % 2 != 0).count()

@@ -78,3 +78,46 @@ def test_point_lookup_prunes_chunks(blocks):
 def test_point_lookup_rejects_empty_set(blocks):
     with pytest.raises(ValueError):
         decode_doc_ids(blocks, [])
+
+
+def test_doc_ids_df_parity_bulk(spark, blocks, full):
+    """Join-shaped overload: a bulk id DataFrame (every 3rd doc — far
+    beyond literal-array comfort) decodes identically to the full scan,
+    and the id set never becomes plan literals."""
+    from mapbox_vector_tile_spark.engine.decode import decode_doc_ids_df
+
+    ids_df = (
+        spark.range(0, N_DOCS, 3)
+        .select(F.format_string("doc-%08d", F.col("id")).alias("doc_id"))
+    )
+    got = {r.doc_id: r for r in decode_doc_ids_df(blocks, ids_df).collect()}
+    want = {f"doc-{n:08d}" for n in range(0, N_DOCS, 3)}
+    assert set(got) == want
+    for d in want:
+        assert got[d].tokens == full[d].tokens, d
+        assert got[d].n_tok == full[d].n_tok, d
+
+
+def test_doc_ids_df_empty_and_miss(spark, blocks):
+    from mapbox_vector_tile_spark.engine.decode import decode_doc_ids_df
+
+    empty = spark.createDataFrame([], "doc_id string")
+    out = decode_doc_ids_df(blocks, empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "tokens", "n_tok"]
+    # ids absent from the table: empty result, not an error
+    miss = spark.createDataFrame([("doc-99999999",)], "doc_id string")
+    assert decode_doc_ids_df(blocks, miss).count() == 0
+
+
+def test_doc_ids_df_duplicates_collapse(spark, blocks, full):
+    from mapbox_vector_tile_spark.engine.decode import decode_doc_ids_df
+
+    ids_df = spark.createDataFrame(
+        [("doc-00000007",), ("doc-00000007",), ("doc-00000300",)],
+        "doc_id string",
+    )
+    got = decode_doc_ids_df(blocks, ids_df).collect()
+    assert sorted(r.doc_id for r in got) == ["doc-00000007", "doc-00000300"]
+    for r in got:
+        assert r.tokens == full[r.doc_id].tokens
