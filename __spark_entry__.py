@@ -625,6 +625,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_search_indexed"] = phrase_search_indexed
 
+    # n-gram phrase from the positional index: one shifted-position
+    # intersection per extra term, candidates shrink per join, only the
+    # query terms' segments decode
+    def phrase_search_indexed_multi(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import (
+            build_positional_index,
+            phrase_search_indexed_multi as psm,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        pindex = build_positional_index(
+            decode_dataframe(blocks), lo=0, hi=63
+        )
+        return psm(pindex, [32, 23, 14, 5])
+
+    q["phrase_search_indexed_multi"] = phrase_search_indexed_multi
+
+    # block-max WAND top-k: same integer-exact BM25 ranking, but posting
+    # segments whose metadata upper bound cannot reach the seed threshold
+    # are dropped before any blob decodes (oracle-gated lossless)
+    def bm25_wand_topk(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.index import (
+            bm25_wand_topk as wand,
+            build_block_max,
+        )
+        from mapbox_vector_tile_spark.engine.stats import doc_lengths
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        idx = _hot_index(spark, sf_dir)
+        return wand(
+            idx, build_block_max(idx), doc_lengths(blocks),
+            [5, 17, 33], k=15,
+        )
+
+    q["bm25_wand_topk"] = bm25_wand_topk
+
     # manifest-only stats: no posting blob decoded
     def inverted_index_stats(spark, sf_dir):
         from mapbox_vector_tile_spark.engine.index import index_token_stats
@@ -1496,6 +1534,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["table_column_roundtrip"] = table_roundtrip
+
+    # merge-on-read equality deletes on the table store: delete keys ride
+    # as one broadcast sorted array, chunks gate on their manifest zone
+    # map, survivors keep ORIGINAL in-chunk positions (Iceberg position
+    # semantics) — the checksum rollup proves both the filtering and the
+    # non-renumbering
+    def table_mor_deletes(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.table_encode import (
+            decode_table_with_deletes,
+            encode_table,
+        )
+
+        m = 1_000_003
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        blocks = encode_table(ev, "event_id", 256)
+        dels = ev.select("event_id").filter(F.col("event_id") % 7 == 3)
+        dec = decode_table_with_deletes(blocks, ev.schema, dels, "event_id")
+        r = F.col("pos") + 1  # pre-delete rank: deletes must not renumber
+        return (
+            dec.groupBy("chunk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.pmod(F.sum(F.pmod("event_id", F.lit(m))), F.lit(m)).alias(
+                    "id_mod"
+                ),
+                F.pmod(
+                    F.sum(F.pmod("ts_us", F.lit(m)) * r), F.lit(m)
+                ).alias("ts_wcks"),
+                F.pmod(F.sum(F.length("event_type") * r), F.lit(m)).alias(
+                    "type_wcks"
+                ),
+                F.pmod(F.sum(F.length("props") * r), F.lit(m)).alias(
+                    "props_wcks"
+                ),
+            )
+            .orderBy("chunk")
+        )
+
+    q["table_mor_deletes"] = table_mor_deletes
 
     # zone-map range scan on the table store: chunk manifests prune on a
     # Catalyst filter before any frame decodes
@@ -3259,6 +3343,11 @@ ORDER BY doc_id
     o["inverted_index_lookup"] = C.token_search_sql(42)
     o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
     o["phrase_search_indexed"] = C.phrase_search_sql(9, 0)
+    o["phrase_search_indexed_multi"] = C.phrase_search_multi_sql(
+        [32, 23, 14, 5]
+    )
+    # WAND's pruning must be LOSSLESS: the oracle is plain exhaustive BM25
+    o["bm25_wand_topk"] = C.bm25_search_sql([5, 17, 33], k=15)
     o["inverted_index_and_search"] = C.and_search_sql(3, 5)
     o["inverted_index_stats"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.split import split_sql
@@ -3429,6 +3518,26 @@ SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(SUM(LENGTH(props) * r) % 1000003 AS BIGINT) AS props_wcks
 FROM rows_ GROUP BY chunk ORDER BY chunk
 """
+    o["table_mor_deletes"] = """
+WITH rows_ AS (
+  SELECT event_id // 256 AS chunk,
+         ROW_NUMBER() OVER (PARTITION BY event_id // 256
+                            ORDER BY event_id) AS r,
+         event_id, epoch_us(ts) AS ts_us, event_type, props
+  FROM events)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(((SUM(event_id % 1000003) % 1000003) + 1000003) % 1000003 AS BIGINT)
+    AS id_mod,
+  CAST(((SUM((ts_us % 1000003) * r) % 1000003) + 1000003) % 1000003
+    AS BIGINT) AS ts_wcks,
+  CAST(SUM(LENGTH(event_type) * r) % 1000003 AS BIGINT) AS type_wcks,
+  CAST(SUM(LENGTH(props) * r) % 1000003 AS BIGINT) AS props_wcks
+FROM rows_
+WHERE event_id % 7 <> 3
+GROUP BY chunk
+ORDER BY chunk
+"""
+
     o["table_merge_rollup"] = """
 WITH rows_ AS (
   SELECT event_id // 256 AS chunk,

@@ -424,6 +424,37 @@ ORDER BY doc_id
 """
 
 
+def phrase_search_multi_sql(terms, doc_source: str = "documents") -> str:
+    """Docs containing the exact n-term token sequence ``terms`` + match
+    counts (overlapping occurrences count) — oracle for the positional-
+    index n-gram phrase search
+    (:func:`.engine.index.phrase_search_indexed_multi`)."""
+    terms = [int(t) for t in terms]
+    assert len(terms) >= 2
+    leads = ",\n           ".join(
+        f"LEAD(tok, {j}) OVER (PARTITION BY doc_id ORDER BY j) AS t{j}"
+        for j in range(1, len(terms))
+    )
+    conds = " AND ".join(
+        [f"tok = {terms[0]}"]
+        + [f"t{j} = {t}" for j, t in enumerate(terms[1:], start=1)]
+    )
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  s AS (
+    SELECT doc_id, tok,
+           {leads}
+    FROM t WHERE tok IS NOT NULL
+  )
+SELECT printf('doc-%08d', doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM s
+WHERE {conds}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def bm25_search_sql(
     terms,
     k: int,

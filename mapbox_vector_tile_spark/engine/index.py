@@ -354,6 +354,228 @@ def phrase_search_indexed(pindex_df: DataFrame, x: int, y: int) -> DataFrame:
     )
 
 
+def phrase_search_indexed_multi(pindex_df: DataFrame, terms) -> DataFrame:
+    """Index-served n-term phrase search: docs containing the EXACT token
+    sequence ``terms`` — ``(doc_id, n_matches)``, the n-gram
+    generalization of :func:`phrase_search_indexed`.
+
+    One shifted-position intersection per additional term: the running
+    accumulator holds the within-doc positions where the LAST matched
+    term of the prefix sits; joining the next term's posting list and
+    intersecting ``acc+1`` with its positions extends the prefix by one.
+    Positions are unique within a doc, so ``|acc|`` after the final step
+    IS the occurrence count (overlapping matches included). Candidates
+    shrink monotonically — each join is doc-level, bounded by the rarest
+    prefix — and only the query terms' posting segments ever decode; the
+    corpus is never scanned. Repeated terms in the phrase are fine (each
+    step filters the index independently).
+    """
+    terms = [int(t) for t in terms]
+    if len(terms) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    cur = _decode_positions(
+        pindex_df.filter(F.col("tok") == terms[0])
+    ).select("doc", F.col("ps").alias("acc"))
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = _decode_positions(
+            pindex_df.filter(F.col("tok") == t)
+        ).select("doc", F.col("ps").alias(f"nx{j}"))
+        cur = (
+            cur.join(nxt, "doc")
+            .select(
+                "doc",
+                F.array_intersect(
+                    F.transform("acc", lambda p: p + F.lit(1)),
+                    F.col(f"nx{j}"),
+                ).alias("acc"),
+            )
+            .filter(F.size("acc") > 0)
+        )
+    return (
+        cur.select(
+            F.format_string("doc-%08d", "doc").alias("doc_id"),
+            F.size("acc").cast("long").alias("n_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def build_block_max(index_df: DataFrame) -> DataFrame:
+    """Block-max sidecar: ``(tok, segment, max_cnt)`` — the maximum
+    within-doc term frequency of every posting segment.
+
+    The BMW (block-max WAND) auxiliary structure: built once per index
+    (one pass decoding ``cnt_blob``\\s, map-only, no shuffle beyond the
+    index's own layout) and consulted at query time as pure metadata, so
+    ranked queries can discard whole segments by score upper bound
+    without touching their blobs. Kept as a separate manifest-level
+    table rather than an index column so every existing index
+    reader/merger stays byte-compatible."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [("tok", pa.int64()), ("segment", pa.int64()),
+             ("max_cnt", pa.int64())]
+        )
+        for batch in batches:
+            toks = batch.column("tok")
+            segs = batch.column("segment")
+            blobs = batch.column("cnt_blob")
+            out_t, out_s, out_m = [], [], []
+            for i in range(batch.num_rows):
+                cnts = B.decode_block(memoryview(blobs[i].as_buffer()))
+                out_t.append(toks[i].as_py())
+                out_s.append(segs[i].as_py())
+                out_m.append(int(cnts.max()) if cnts.size else 0)
+            if out_t:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_t, pa.int64()),
+                     pa.array(out_s, pa.int64()),
+                     pa.array(out_m, pa.int64())],
+                    schema=schema,
+                )
+
+    return index_df.select("tok", "segment", "cnt_blob").mapInArrow(
+        fn, "tok long, segment long, max_cnt long"
+    )
+
+
+def bm25_wand_topk(
+    index_df: DataFrame,
+    blockmax_df: DataFrame,
+    lengths_df: DataFrame,
+    terms,
+    k: int = 20,
+    k1: int = 1200,
+    b: int = 750,
+) -> DataFrame:
+    """Exact top-``k`` BM25 with block-max WAND segment pruning: the
+    same integer-exact ranking as :func:`bm25_search`, but whole posting
+    segments whose score upper bound cannot reach the current threshold
+    are discarded from METADATA before their blobs decode or join.
+
+    Two phases, both provably lossless:
+
+    1. **Threshold seed** — the rarest query term's postings (smallest
+       ``df``, known from manifest columns) score exactly against the
+       lengths relation; the k-th best PARTIAL score is ``theta``. Every
+       seed doc's full score >= its partial score, so at least k docs
+       reach ``theta`` and the true k-th best full score >= ``theta``.
+    2. **Block-max prune** — per segment ``s`` (segments are aligned
+       doc ranges across terms), ``UB(s) = sum_t ub_t(s)`` where
+       ``ub_t(s)`` evaluates the scoring formula at ``max_cnt(t, s)``
+       and the corpus-minimum document length (both upper-bound the
+       per-doc term contribution: tfn is increasing in tf, decreasing in
+       dl). Segments with ``UB(s) < theta`` cannot host a top-k doc —
+       any doc's full score there is ``<= UB(s) < theta <=`` k-th best —
+       and are dropped; survivors score exactly as in
+       :func:`bm25_search`. No union with the seed is needed: a seed doc
+       in a dropped segment is bounded out by the same argument.
+
+    Scale shape: phase 1 joins df_min postings (broadcast) against
+    lengths; phase 2's pruning is an aggregate over the blockmax sidecar
+    (metadata-sized) and the final score touches only surviving
+    segments. For selective queries over skewed vocabularies this is the
+    difference between decoding the stopword's postings fleet-wide and
+    skipping them wholesale. (Block-max WAND: Ding & Suel, SIGIR'11 —
+    public literature.)
+    """
+    terms = sorted({int(t) for t in terms})
+    if not terms:
+        raise ValueError("terms must be a non-empty collection of tokens")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    row = lengths_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("s"),
+        F.min("n_tok").alias("mn"),
+    ).first()
+    n_corpus, total_tok = int(row.n), int(row.s or 0)
+    dl_min = int(row.mn or 0)
+    if n_corpus == 0 or total_tok == 0:
+        raise ValueError("lengths relation is empty (no corpus statistics)")
+    matched = index_df.filter(F.col("tok").isin(terms))
+    dfs = {
+        int(r.tok): int(r.n_docs)
+        for r in matched.groupBy("tok")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()  # one row per query term: planning-sized
+    }
+    if not dfs:
+        return lengths_df.sparkSession.createDataFrame(
+            [], "doc_id string, score long"
+        )
+    idf = {
+        t: (1_000_000 * (n_corpus - df) + 500_000) // (df + 1)
+        for t, df in dfs.items()
+    }
+
+    def _score_expr(tf_col: str) -> str:
+        # identical integral arithmetic to bm25_search (exactness is the
+        # contract; the oracle reproduces it bit-for-bit)
+        return (
+            f"(idf * (({tf_col} * {1000 + k1} * 1000000) DIV"
+            f" ({tf_col} * 1000 + ({k1} * ({1000 - b} +"
+            f" ({b} * n_tok * {n_corpus}) DIV {total_tok})) DIV 1000)))"
+            f" DIV 1000000"
+        )
+
+    idf_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in idf]).cast("array<long>"),
+        F.array(*[F.lit(v) for v in idf.values()]).cast("array<long>"),
+    )
+
+    # phase 1: exact partial scores of the rarest term's docs -> theta
+    rare = min(dfs, key=lambda t: (dfs[t], t))
+    seed = _decode_postings_tok(matched.filter(F.col("tok") == rare))
+    seed_scored = (
+        lengths_df.join(F.broadcast(seed), "doc")
+        .withColumn("idf", F.element_at(idf_map, F.col("tok")))
+        .select(F.expr(_score_expr("n_hits")).cast("long").alias("ts"))
+        .orderBy(F.col("ts").desc())
+        .limit(int(k))
+        .collect()
+    )
+    theta = int(seed_scored[-1].ts) if len(seed_scored) >= k else None
+
+    if theta is not None:
+        # phase 2: per-segment upper bounds from the sidecar alone
+        bm = blockmax_df.filter(F.col("tok").isin(terms)).withColumn(
+            "idf", F.element_at(idf_map, F.col("tok"))
+        )
+        norm_min = 1000 - b + (b * dl_min * n_corpus) // total_tok
+        ub = (
+            f"(idf * ((max_cnt * {1000 + k1} * 1000000) DIV"
+            f" (max_cnt * 1000 + ({k1} * {norm_min}) DIV 1000)))"
+            f" DIV 1000000"
+        )
+        seg_ub = (
+            bm.select("segment", F.expr(ub).cast("long").alias("ub"))
+            .groupBy("segment")
+            .agg(F.sum("ub").alias("UB"))
+        )
+        keep = seg_ub.filter(F.col("UB") >= theta).select("segment")
+        matched = matched.join(F.broadcast(keep), "segment", "left_semi")
+
+    postings = _decode_postings_tok(matched)
+    joined = lengths_df.join(F.broadcast(postings), "doc").withColumn(
+        "idf", F.element_at(idf_map, F.col("tok"))
+    )
+    return (
+        joined.select(
+            "doc", F.expr(_score_expr("n_hits")).cast("long").alias("ts")
+        )
+        .groupBy("doc")
+        .agg(F.sum("ts").alias("score"))
+        .orderBy(F.col("score").desc(), "doc")
+        .limit(int(k))
+        .select(
+            F.format_string("doc-%08d", "doc").alias("doc_id"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
 def _decode_postings_tok(index_df: DataFrame) -> DataFrame:
     """Matched segments -> ``(tok long, doc long, n_hits long)`` rows —
     the multi-term variant of :func:`_decode_postings` (scoring needs to

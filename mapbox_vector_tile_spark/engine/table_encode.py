@@ -458,6 +458,132 @@ def decode_table(
     return blocks.mapInArrow(dec, spark_ddl)
 
 
+def decode_table_with_deletes(
+    blocks: DataFrame,
+    df_schema,
+    deletes_df: DataFrame,
+    key_col: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Merge-on-read equality deletes for the relational table store:
+    ``decode_table`` minus the rows whose ``key_col`` value appears in
+    ``deletes_df`` — encoded chunks are never rewritten.
+
+    Completes the Iceberg-v2 analogy for the store (the blocks table has
+    :mod:`.deletes`; CoW MERGE was the store's only row-removal path).
+    Same scale shape as the blocks-side reader:
+
+    - the delete set rides to every decode task as ONE broadcast row
+      holding the sorted int64 key array (one-row aggregate + broadcast
+      cross join — no driver collect, no join keyed on chunk ids);
+    - each chunk gates on its MANIFEST zone map for ``key_col`` (two
+      ``searchsorted`` calls against the sorted array): chunks with no
+      overlapping delete decode on the untouched fast path — only the
+      intersecting chunks parse their key frame;
+    - touched chunks build one keep-mask from the key frame and filter
+      every projected column with a vectorized Arrow ``filter``. ``pos``
+      keeps its ORIGINAL in-chunk rank (Iceberg position semantics: a
+      delete does not renumber survivors).
+
+    ``key_col`` must be an int-family column whose zone-map image is the
+    value itself (int/bigint; the usual case — the table's key). NULL
+    keys never match an equality delete. Compaction is the "apply for
+    real" companion: ``decode -> re-encode`` retires the sidecar.
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(df_schema, str):
+        df_schema = StructType.fromDDL(df_schema)
+    key_field = next(
+        (f for f in df_schema.fields if f.name == key_col), None
+    )
+    if key_field is None:
+        raise ValueError(f"key_col {key_col!r} not in schema")
+    kind = _kind_of(key_field.dataType.simpleString())
+    if kind not in (KIND_INT32, KIND_INT64):
+        raise ValueError(
+            f"key_col {key_col!r} must be int/bigint, got {kind}"
+        )
+    all_names = [f.name for f in df_schema.fields]
+    names = all_names if columns is None else [
+        n for n in all_names if n in set(columns)
+    ]
+    wanted = set(names)
+    arrow_fields = [("chunk", pa.int64()), ("pos", pa.int64())]
+    spark_ddl = "chunk long, pos long"
+    for f in df_schema.fields:
+        if f.name not in wanted:
+            continue
+        s = f.dataType.simpleString()
+        arrow_fields.append((f.name, _pa_type_of(_kind_of(s))))
+        spark_ddl += f", {f.name} {s}"
+    out_schema = pa.schema(arrow_fields)
+
+    dels = (
+        deletes_df.select(F.col(key_col).cast("long").alias("k"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("k")).alias("_deleted"))
+    )
+    withd = blocks.crossJoin(F.broadcast(dels))
+
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        del_arr: np.ndarray | None = None
+        for batch in batches:
+            if del_arr is None and batch.num_rows:
+                del_arr = np.asarray(
+                    batch.column("_deleted")[0].as_py(), dtype=np.int64
+                )
+            has_valids = "valids" in batch.schema.names
+            for i in range(batch.num_rows):
+                chunk = batch.column("chunk")[i].as_py()
+                n = batch.column("n_rows")[i].as_py()
+                cols = batch.column("cols")[i].as_py()
+                kinds_row = batch.column("kinds")[i].as_py()
+                payloads = batch.column("payloads")[i]
+                valids_row = batch.column("valids")[i] if has_valids else None
+                mins_row = batch.column("mins")[i].as_py()
+                maxs_row = batch.column("maxs")[i].as_py()
+                j_key = cols.index(key_col)
+                keep = None
+                zlo, zhi = mins_row[j_key], maxs_row[j_key]
+                if zlo is not None and del_arr.size:
+                    a = int(np.searchsorted(del_arr, zlo, "left"))
+                    b = int(np.searchsorted(del_arr, zhi, "right"))
+                    if a != b:  # zone-map hit: parse the key frame
+                        keys = _decode_frame(
+                            payloads, valids_row, j_key, kinds_row[j_key], n
+                        )
+                        kv = np.asarray(keys.cast(pa.int64()).fill_null(0))
+                        hit = np.isin(kv, del_arr[a:b])
+                        if keys.null_count:  # NULL keys never match
+                            hit &= np.asarray(keys.is_valid())
+                        if hit.all():
+                            continue
+                        if hit.any():
+                            keep = ~hit
+                by_name = {}
+                for j, (cname, ckind) in enumerate(zip(cols, kinds_row)):
+                    if cname not in wanted:
+                        continue  # projection: frame never parsed
+                    by_name[cname] = _decode_frame(
+                        payloads, valids_row, j, ckind, n
+                    )
+                arrays = [
+                    pa.array(np.full(n, chunk, np.int64)),
+                    pa.array(np.arange(n, dtype=np.int64)),
+                ] + [
+                    by_name[name] if name in by_name
+                    else pa.nulls(n, out_schema.field(name).type)
+                    for name in names
+                ]
+                rb = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+                if keep is not None:
+                    rb = rb.filter(pa.array(keep))
+                yield rb
+
+    return withd.mapInArrow(dec, spark_ddl)
+
+
 def scan_table_range(
     blocks: DataFrame,
     df_schema,

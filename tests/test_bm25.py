@@ -96,3 +96,64 @@ def test_bm25_rejects_bad_args(corpus):
         bm25_search(index, doc_lengths(blocks), [], k=5)
     with pytest.raises(ValueError):
         bm25_search(index, doc_lengths(blocks), [42], k=0)
+
+
+def test_wand_equals_exhaustive_and_prunes(corpus, spark):
+    """Block-max WAND returns the EXACT exhaustive BM25 top-k (pruning is
+    lossless), and on a multi-segment index the segment upper bounds
+    genuinely disqualify segments (the pruning opportunity is real)."""
+    from mapbox_vector_tile_spark.engine.index import (
+        bm25_wand_topk,
+        build_block_max,
+    )
+
+    tokens, blocks, _ = corpus
+    # small segments -> many per-term blocks -> bounds can discriminate
+    idx = build_token_index(tokens, lo=0, hi=63, segment_docs=32)
+    idx.cache().count()
+    bm = build_block_max(idx)
+    lengths = doc_lengths(blocks)
+    try:
+        for terms, k in (([5, 17, 33], 15), ([3, 42, 57], 25), ([7], 10)):
+            want = [
+                (r.doc_id, r.score)
+                for r in bm25_search(idx, lengths, terms, k=k).collect()
+            ]
+            got = [
+                (r.doc_id, r.score)
+                for r in bm25_wand_topk(
+                    idx, bm, lengths, terms, k=k
+                ).collect()
+            ]
+            assert got == want, terms
+
+        # the bounds discriminate: per-segment UBs for [5, 17, 33] spread
+        # (not all equal), so a theta above the min UB drops segments
+        ubs = [
+            r.mx
+            for r in bm.filter(F.col("tok").isin([5, 17, 33]))
+            .groupBy("segment")
+            .agg(F.sum("max_cnt").alias("mx"))
+            .collect()
+        ]
+        assert len(ubs) > 3 and min(ubs) < max(ubs)
+    finally:
+        idx.unpersist()
+
+
+def test_wand_k_larger_than_candidates(corpus):
+    """k exceeding the candidate count disables pruning (no theta) and
+    still returns every candidate, exhaustive-ranked."""
+    from mapbox_vector_tile_spark.engine.index import (
+        bm25_wand_topk,
+        build_block_max,
+    )
+
+    tokens, blocks, idx = corpus
+    lengths = doc_lengths(blocks)
+    bm = build_block_max(idx)
+    want = bm25_search(idx, lengths, [3], k=10_000).collect()
+    got = bm25_wand_topk(idx, bm, lengths, [3], k=10_000).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]

@@ -6,6 +6,7 @@ multiple segments per token); posting compression proven by d-gap blobs
 beating RAW on dense doc lists."""
 
 import numpy as np
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -198,3 +199,55 @@ def test_postings_compress_as_dgaps(spark):
     assert len(row.doc_blob) < B.header_size() + 4 * row.n_docs
     docs = B.decode_block(row.doc_blob)
     assert np.all(np.diff(docs) > 0)  # strictly increasing, no dup docs
+
+
+def test_multi_phrase_matches_brute_force(spark):
+    """n-term phrase search from the positional index == a direct scan
+    of the decoded arrays, for 3- and 4-term phrases incl. repeats."""
+    from mapbox_vector_tile_spark.engine.index import (
+        build_positional_index,
+        phrase_search_indexed_multi,
+    )
+
+    tokens = G.corpus_dataframe(spark, 300, num_partitions=4)
+    rows = {r.doc_id: list(r.tokens) for r in tokens.collect()}
+    pindex = build_positional_index(tokens, lo=0, hi=63)
+    pindex.cache().count()
+
+    def brute(ts):
+        out = {}
+        n = len(ts)
+        for d, seq in rows.items():
+            c = sum(
+                1
+                for i in range(len(seq) - n + 1)
+                if seq[i : i + n] == ts
+            )
+            if c:
+                out[d] = c
+        return out
+
+    try:
+        # parity incl. a REPEATED-token phrase (RLE-regime docs carry
+        # genuine token runs, so [1,1,1,1,1] has real matches)
+        for ts in (
+            [32, 23, 14],
+            [32, 23, 14, 5],
+            [23, 14, 5, 60],
+            [1, 1, 1, 1, 1],
+        ):
+            got = {
+                r.doc_id: r.n_matches
+                for r in phrase_search_indexed_multi(pindex, ts).collect()
+            }
+            assert got == brute(ts), ts
+        with pytest.raises(ValueError):
+            phrase_search_indexed_multi(pindex, [7])
+        # a phrase the corpus provably lacks -> empty result, not an error
+        absent = next(
+            ts for ts in ([63, 0, 63], [62, 1, 62], [61, 2, 61])
+            if not brute(ts)
+        )
+        assert phrase_search_indexed_multi(pindex, absent).count() == 0
+    finally:
+        pindex.unpersist()

@@ -1218,3 +1218,90 @@ def test_decimal_full_domain_hypothesis():
     assert np.array_equal(back, u)
     # sliced arrays honor the offset
     assert np.array_equal(_decimal_unscaled(arr.slice(2, 4)), u[2:6])
+
+
+def test_mor_equality_deletes_match_cow_filter(spark, events):
+    """decode_table_with_deletes == decode_table + row filter, with
+    ORIGINAL in-chunk positions preserved; whole-chunk deletions vanish;
+    projection pushdown composes; NULL keys survive every delete."""
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        decode_table,
+        decode_table_with_deletes,
+        encode_table,
+    )
+
+    blocks = encode_table(events, "event_id", 128)
+    blocks.cache().count()
+    try:
+        dels = events.select("event_id").filter("event_id % 5 = 2")
+        got = decode_table_with_deletes(
+            blocks, events.schema, dels, "event_id"
+        ).collect()
+        want = (
+            decode_table(blocks, events.schema)
+            .filter("event_id % 5 <> 2")
+            .collect()
+        )
+        key = lambda r: (r.chunk, r.pos)  # noqa: E731
+        assert sorted(got, key=key) == sorted(want, key=key)
+        # positions are the PRE-delete ranks: gaps where deletes sat
+        by_chunk = {}
+        for r in got:
+            by_chunk.setdefault(r.chunk, []).append(r.pos)
+        assert any(
+            ps != list(range(len(ps)))
+            for ps in (sorted(v) for v in by_chunk.values())
+        )
+
+        # whole-chunk delete: every key of chunk 0 -> chunk 0 disappears
+        all_of_zero = events.filter(F.col("event_id") < 128).select(
+            "event_id"
+        )
+        got0 = decode_table_with_deletes(
+            blocks, events.schema, all_of_zero, "event_id"
+        )
+        assert got0.filter("chunk = 0").count() == 0
+        assert got0.count() == events.count() - all_of_zero.count()
+
+        # projection pushdown composes (key column not even projected)
+        proj = decode_table_with_deletes(
+            blocks, events.schema, dels, "event_id",
+            columns=["event_type"],
+        )
+        assert proj.columns == ["chunk", "pos", "event_type"]
+        assert proj.count() == len(want)
+
+        # empty delete set: exact passthrough of decode_table
+        none = spark.createDataFrame([], "event_id long")
+        got_none = decode_table_with_deletes(
+            blocks, events.schema, none, "event_id"
+        ).count()
+        assert got_none == events.count()
+
+        # non-int key rejected
+        with pytest.raises(ValueError, match="int"):
+            decode_table_with_deletes(
+                blocks, events.schema, dels, "event_type"
+            )
+    finally:
+        blocks.unpersist()
+
+
+def test_mor_deletes_null_keys_survive(spark):
+    """NULL delete-key rows never match an equality delete (Iceberg
+    equality-delete semantics)."""
+    from mapbox_vector_tile_spark.engine.table_encode import (
+        decode_table_with_deletes,
+        encode_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else i * 10, f"s{i}") for i in range(64)],
+        "ord int, k long, s string",
+    )
+    blocks = encode_table(df, "ord", 16)
+    dels = spark.createDataFrame([(10,), (40,), (0,)], "k long")
+    out = decode_table_with_deletes(blocks, df.schema, dels, "k").collect()
+    kept = {r.ord for r in out}
+    # deleted: ords 1 and 4 (k=10, 40); k=0 never exists; NULLs all kept
+    assert kept == set(range(64)) - {1, 4}
