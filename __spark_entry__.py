@@ -3055,6 +3055,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iceberg_partition_pruned"] = iceberg_partition_pruned
 
+    # non-identity partition transform (spec bucket[N]): rows land in
+    # murmur3 bucket dirs, a doc-id point predicate prunes to ONE
+    # bucket's files at the metadata level (asserted), and the bucketed
+    # layout round-trips the whole corpus bit-exactly (hash-gated)
+    def iceberg_bucket_pruned_scan(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+
+        work = tempfile.mkdtemp(prefix="mvt_ice_")
+        try:
+            tp = f"{work}/tokens_table"
+            ICE.append_dataframe(
+                spark, _corpus(spark, sf_dir), tp,
+                partition_by=["bucket(8, doc_id)"],
+            )
+            n_all = len(ICE.plan_scan(tp))
+            target = "doc-00000123"
+            pruned = ICE.plan_scan(tp, partition_filter={"doc_id": target})
+            assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+            want = str(ICE.bucket_value(target, 8, "string"))
+            assert {f.partition["doc_id_bucket"] for f in pruned} == {want}
+            res = _per_doc_result(ICE.read_table(spark, tp))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_bucket_pruned_scan"] = iceberg_bucket_pruned_scan
+
     # partition EVOLUTION (spec v2): era 1 lands unpartitioned, the spec
     # evolves to identity(source), era 2 lands partitioned. The filtered
     # read spans both eras — new-spec files prune at the metadata level,
@@ -3164,6 +3194,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "phrase_search_indexed_multi",
     "bm25_wand_topk",
     "table_mor_deletes",
+    "iceberg_bucket_pruned_scan",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -3343,6 +3374,9 @@ ORDER BY doc_id
     o["inverted_index_lookup"] = C.token_search_sql(42)
     o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
     o["phrase_search_indexed"] = C.phrase_search_sql(9, 0)
+    o["iceberg_bucket_pruned_scan"] = C.per_doc_checksum_sql(
+        "documents", string_doc_id=True
+    )
     o["phrase_search_indexed_multi"] = C.phrase_search_multi_sql(
         [32, 23, 14, 5]
     )

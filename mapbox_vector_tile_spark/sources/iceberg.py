@@ -60,6 +60,8 @@ import uuid as _uuid
 from dataclasses import dataclass
 from typing import Any
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via module globals
+
 from . import avro_ocf as A
 
 FORMAT_VERSION = 2
@@ -173,8 +175,13 @@ def evolve_schema(
     """
     meta = load_metadata(table_path)
     cur = current_schema(meta)
+    # guard by SOURCE id: transform fields (doc_id_bucket) have their own
+    # names, but it's the source column that must not be dropped/renamed
+    spec_src_ids = {
+        f["source-id"] for s in meta["partition-specs"] for f in s["fields"]
+    }
     spec_cols = {
-        f["name"] for s in meta["partition-specs"] for f in s["fields"]
+        f["name"] for f in cur["fields"] if f["id"] in spec_src_ids
     }
     fields = [dict(f) for f in cur["fields"]]
     names = {f["name"] for f in fields}
@@ -402,24 +409,315 @@ def _det_uuid(seed: str) -> str:
     return str(_uuid.UUID(bytes=hashlib.md5(seed.encode()).digest()))
 
 
+# ---------------------------------------------------------------------------
+# Partition transforms (Iceberg spec "Partition Transforms"):
+# identity, bucket[N], truncate[W], year/month/day/hour.
+# bucket[N] = (murmur3_x86_32(spec serialization) & Int.MAX_VALUE) % N with
+# the spec's hash serialization: int/long hash as the 8-byte little-endian
+# LONG (so int 34 and long 34 land in the same bucket — spec requirement),
+# strings hash their UTF-8 bytes; dates hash as days-from-epoch longs,
+# timestamps as micros-from-epoch longs. Verified against the spec's
+# published appendix vectors (34 -> 2017239379, "iceberg" -> 1210000089).
+# ---------------------------------------------------------------------------
+
+_MURMUR_C1 = 0xCC9E2D51
+_MURMUR_C2 = 0x1B873593
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Scalar murmur3_x86_32 (public algorithm, Austin Appleby), signed
+    int32 result — the hash the Iceberg bucket transform specifies."""
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * _MURMUR_C1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * _MURMUR_C2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounded:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _MURMUR_C1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * _MURMUR_C2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h if h < 2**31 else h - 2**32
+
+
+def _murmur3_32_long_np(v):
+    """Vectorized murmur3_x86_32 over int64 values serialized as 8-byte
+    little-endian (the spec's long serialization) — the write-path fast
+    path for bucketed integer keys. Bit-identical to the scalar form
+    (cross-checked in tests)."""
+    import numpy as np
+
+    words = (
+        np.ascontiguousarray(v, dtype="<i8").view("<u4").reshape(-1, 2)
+    )
+    h = np.zeros(words.shape[0], dtype=np.uint32)
+    for j in (0, 1):
+        k = words[:, j].copy()
+        k *= np.uint32(_MURMUR_C1)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k *= np.uint32(_MURMUR_C2)
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # length
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h.astype(np.int32)
+
+
+def bucket_value(value, n: int, ice_type: str) -> int:
+    """Spec bucket transform of one value (planner-side: turns a point
+    predicate on the source column into a partition-value predicate)."""
+    if ice_type in ("int", "long"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    elif ice_type == "date":
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_type.startswith("timestamp"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    else:
+        raise ValueError(f"bucket transform unsupported for {ice_type}")
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % int(n)
+
+
+def truncate_value(value, w: int, ice_type: str):
+    """Spec truncate transform of one value: ints floor to a multiple of
+    ``w`` (works for negatives: -1 trunc 10 -> -10), strings keep their
+    first ``w`` code points."""
+    if ice_type in ("int", "long"):
+        v = int(value)
+        return v - (v % int(w))  # Python % floors: matches the spec
+    if ice_type == "string":
+        return str(value)[: int(w)]
+    raise ValueError(f"truncate transform unsupported for {ice_type}")
+
+
+_TIME_TRANSFORMS = ("year", "month", "day", "hour")
+
+
+def time_transform_value(value_us: int, kind: str) -> int:
+    """Spec temporal transforms of one timestamp (micros from epoch) —
+    ordinals from 1970: year/month counts, day/hour floors."""
+    import datetime as _dt
+
+    dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+        microseconds=int(value_us)
+    )
+    if kind == "year":
+        return dt.year - 1970
+    if kind == "month":
+        return (dt.year - 1970) * 12 + (dt.month - 1)
+    if kind == "day":
+        return int(value_us) // 86_400_000_000
+    if kind == "hour":
+        return int(value_us) // 3_600_000_000
+    raise ValueError(f"unknown temporal transform {kind!r}")
+
+
+def parse_partition_term(term: str) -> tuple[str, str, int | None]:
+    """``"source"`` / ``"bucket(8, doc_id)"`` / ``"truncate(16, n_tok)"``
+    / ``"day(ts)"`` -> (source column, transform string, param)."""
+    t = term.strip()
+    if "(" not in t:
+        return t, "identity", None
+    head, rest = t.split("(", 1)
+    head = head.strip()
+    args = [a.strip() for a in rest.rstrip(")").split(",")]
+    if head in ("bucket", "truncate"):
+        if len(args) != 2:
+            raise ValueError(f"{head} needs (N, column): {term!r}")
+        n = int(args[0])
+        if n < 1:
+            raise ValueError(f"{head} width must be >= 1: {term!r}")
+        return args[1], f"{head}[{n}]", n
+    if head in _TIME_TRANSFORMS:
+        if len(args) != 1:
+            raise ValueError(f"{head} needs (column): {term!r}")
+        return args[0], head, None
+    raise ValueError(f"unknown partition transform {head!r} in {term!r}")
+
+
+def transform_field_name(col: str, transform: str) -> str:
+    """Spec-conventional partition field names (col_bucket, col_trunc,
+    col_day, ...)."""
+    if transform == "identity":
+        return col
+    if transform.startswith("bucket["):
+        return f"{col}_bucket"
+    if transform.startswith("truncate["):
+        return f"{col}_trunc"
+    return f"{col}_{transform}"
+
+
+def apply_transform_to_value(value, transform: str, ice_type: str):
+    """Planner-side transform application: the partition value a row with
+    this SOURCE value lands in (used to turn source-column point
+    predicates into partition-value predicates)."""
+    if transform == "identity":
+        return value
+    if transform.startswith("bucket["):
+        return bucket_value(value, int(transform[7:-1]), ice_type)
+    if transform.startswith("truncate["):
+        return truncate_value(value, int(transform[9:-1]), ice_type)
+    if transform in _TIME_TRANSFORMS:
+        return time_transform_value(value, transform)
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _transform_column(df, field: dict, ice_type: str):
+    """Spark Column computing a partition field from its source column —
+    Catalyst where expressible (truncate, temporal), an Arrow-batched
+    pandas UDF only for bucket's murmur3 (vectorized numpy for int
+    family; per-row scalar hashing for strings — a partition-derivation
+    pass bounded by the append, not a corpus hot path)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    col = F.col(field["_source_name"])
+    tr = field["transform"]
+    if tr == "identity":
+        return col
+    if tr.startswith("truncate["):
+        w = int(tr[9:-1])
+        if ice_type == "string":
+            return F.substring(col, 1, w)
+        return (col - F.pmod(col, F.lit(w))).cast("long")
+    if tr in _TIME_TRANSFORMS:
+        us = col.cast("long")  # timestamps arrive as micros-from-epoch
+        if tr == "day":
+            return F.floor(us / F.lit(86_400_000_000)).cast("long")
+        if tr == "hour":
+            return F.floor(us / F.lit(3_600_000_000)).cast("long")
+        ts = F.timestamp_micros(us)
+        if tr == "year":
+            return (F.year(ts) - F.lit(1970)).cast("long")
+        return (
+            (F.year(ts) - F.lit(1970)) * F.lit(12) + F.month(ts) - F.lit(1)
+        ).cast("long")
+    if tr.startswith("bucket["):
+        import pandas as pd
+
+        n = int(tr[7:-1])
+        if ice_type in ("int", "long", "date") or ice_type.startswith(
+            "timestamp"
+        ):
+            @pandas_udf("long")
+            def _bucket_int(s: pd.Series) -> pd.Series:
+                import numpy as np
+
+                v = s.to_numpy(dtype=np.int64)
+                h = _murmur3_32_long_np(v).astype(np.int64)
+                return pd.Series((h & 0x7FFFFFFF) % n)
+
+            return _bucket_int(col.cast("long"))
+
+        @pandas_udf("long")
+        def _bucket_str(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda x: (
+                    murmur3_x86_32(str(x).encode("utf-8")) & 0x7FFFFFFF
+                ) % n
+            ).astype("int64")
+
+        return _bucket_str(col)
+    raise ValueError(f"unknown transform {tr!r}")
+
+
+def _validate_transform_type(transform: str, ice_type: str, col: str):
+    if transform == "identity":
+        if ice_type != "string":
+            raise ValueError(
+                f"identity partitioning supports string columns; {col!r} "
+                f"is {ice_type}"
+            )
+    elif transform.startswith("bucket["):
+        if ice_type not in ("int", "long", "string", "date") and not str(
+            ice_type
+        ).startswith("timestamp"):
+            raise ValueError(
+                f"bucket transform unsupported for {col!r}: {ice_type}"
+            )
+    elif transform.startswith("truncate["):
+        if ice_type not in ("int", "long", "string"):
+            raise ValueError(
+                f"truncate transform unsupported for {col!r}: {ice_type}"
+            )
+    elif transform in _TIME_TRANSFORMS:
+        # micros-from-epoch longs are this engine's timestamp carrier
+        if ice_type != "long" and not str(ice_type).startswith("timestamp"):
+            raise ValueError(
+                f"{transform} transform needs a timestamp/micros-long "
+                f"column; {col!r} is {ice_type}"
+            )
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+
+
+def _spec_fields_from_terms(
+    ice_schema: dict, terms: list[str], known: dict, last_pid: int
+) -> tuple[list[dict], int]:
+    """Partition terms (``"source"``, ``"bucket(8, doc_id)"``, ...) ->
+    spec field dicts, reusing field-ids for (source, transform) pairs
+    seen in any prior spec (spec rule)."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    fields = []
+    for term in terms:
+        col, tr, _ = parse_partition_term(term)
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in schema")
+        _validate_transform_type(tr, by_name[col]["type"], col)
+        sid = by_name[col]["id"]
+        fid = known.get((sid, tr))
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        fields.append({
+            "name": transform_field_name(col, tr),
+            "transform": tr,
+            "source-id": sid,
+            "field-id": fid,
+        })
+    if len({f["name"] for f in fields}) != len(fields):
+        raise ValueError(f"duplicate partition field names in {terms!r}")
+    return fields, last_pid
+
+
 def create_table(
     table_path: str, spark_schema, partition_by: list[str] | None = None
 ) -> dict:
-    """CREATE: v1 metadata, no snapshots yet. ``partition_by`` declares an
-    identity-transform partition spec over the named (string) columns —
-    partition values then live in manifest entries and scans prune at the
-    METADATA level before any parquet file is opened."""
+    """CREATE: v1 metadata, no snapshots yet. ``partition_by`` declares
+    the partition spec — identity terms (string columns) or spec
+    transforms (``"bucket(8, doc_id)"``, ``"truncate(16, n_tok)"``,
+    ``"day(ts_us)"``); partition values then live in manifest entries and
+    scans prune at the METADATA level before any parquet file is
+    opened."""
     ice_schema = schema_to_iceberg(spark_schema)
-    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": name_to_id[c],
-            "field-id": 1000 + i,
-        }
-        for i, c in enumerate(partition_by or [])
-    ]
+    spec_fields, last_pid = _spec_fields_from_terms(
+        ice_schema, partition_by or [], {}, 999
+    )
     meta = {
         "format-version": FORMAT_VERSION,
         "table-uuid": _det_uuid(table_path),
@@ -431,7 +729,7 @@ def create_table(
         "schemas": [ice_schema],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 999 + len(spec_fields),
+        "last-partition-id": last_pid,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -466,34 +764,19 @@ def evolve_partition_spec(table_path: str, partition_by: list[str]) -> dict:
 
     Field-ids are REUSED for a (source column, transform) pair that
     already appeared in any prior spec (spec rule: partition field ids are
-    assigned once per transform+source across the table's history)."""
+    assigned once per transform+source across the table's history).
+    Terms accept the same transform syntax as ``create_table``
+    (``"bucket(8, doc_id)"`` etc.)."""
     meta = load_metadata(table_path)
-    schema_fields = {f["name"]: f for f in current_schema(meta)["fields"]}
-    for c in partition_by:
-        if c not in schema_fields:
-            raise ValueError(f"partition column {c!r} not in current schema")
-        if schema_fields[c]["type"] != "string":
-            raise ValueError(
-                f"identity partitioning supports string columns; {c!r} is "
-                f"{schema_fields[c]['type']}"
-            )
     known = {
         (f["source-id"], f["transform"]): f["field-id"]
         for s in meta["partition-specs"]
         for f in s["fields"]
     }
-    last_pid = meta.get("last-partition-id", 999)
-    fields = []
-    for c in partition_by:
-        sid = schema_fields[c]["id"]
-        fid = known.get((sid, "identity"))
-        if fid is None:
-            last_pid += 1
-            fid = last_pid
-        fields.append({
-            "name": c, "transform": "identity",
-            "source-id": sid, "field-id": fid,
-        })
+    fields, last_pid = _spec_fields_from_terms(
+        current_schema(meta), partition_by,
+        known, meta.get("last-partition-id", 999),
+    )
     default = _default_spec(meta)
     if fields == default["fields"]:
         return meta  # no-op: already the default layout
@@ -829,12 +1112,17 @@ def plan_scan(
     """Live files of a snapshot, pruned at the METADATA level — no parquet
     footer or byte is touched for a dropped file.
 
-    ``partition_filter`` (e.g. ``{"source": "web"}``) prunes by manifest-
-    entry partition values. With partition evolution a file is dropped
-    only when ITS OWN spec covers the key (spec semantics: old-spec files
-    can't be judged by a partition value they never stored — the column
-    bounds usually still prune them, and the read applies the residual
-    data filter either way).
+    ``partition_filter`` keys are SOURCE columns (e.g. ``{"source":
+    "web"}``, ``{"doc_id": "doc-00000123"}``) and prune by manifest-entry
+    partition values THROUGH the spec's transform: an identity field
+    compares verbatim, a ``bucket[N]`` field compares the filter value's
+    bucket, ``truncate[W]``/temporal fields compare the transformed
+    value — residual-safe in every case because equality on the source
+    implies equality of any transform of it. With partition evolution a
+    file is dropped only when ITS OWN spec covers the key (spec
+    semantics: old-spec files can't be judged by a partition value they
+    never stored — the column bounds usually still prune them, and the
+    read applies the residual data filter either way).
 
     ``range_filter`` maps column -> ``(lo, hi)`` (either end ``None`` for
     open) and prunes on the per-file column bounds the commit recorded
@@ -848,10 +1136,13 @@ def plan_scan(
         f["name"]: f["type"] for f in current_schema(meta)["fields"]
         if isinstance(f["type"], str)
     }
-    spec_cols_by_id = {
-        s["spec-id"]: {f["name"] for f in s["fields"]}
-        for s in meta["partition-specs"]
-    }
+    # spec-id -> source column -> its partition fields (name + transform)
+    spec_fields_by_src: dict[int, dict[str, list[dict]]] = {}
+    for s in meta["partition-specs"]:
+        by_src: dict[str, list[dict]] = {}
+        for f in _resolved_spec_fields(meta, s):
+            by_src.setdefault(f["_source_name"], []).append(f)
+        spec_fields_by_src[s["spec-id"]] = by_src
 
     def _bounds_admit(f: DataFile, col: str, lo, hi) -> bool:
         t = field_types.get(col)
@@ -866,9 +1157,17 @@ def plan_scan(
 
     def _admit(f: DataFile) -> bool:
         for k, v in (partition_filter or {}).items():
-            if k in spec_cols_by_id.get(f.spec_id, set()):
-                if (f.partition or {}).get(k) != v:
-                    return False
+            pfs = spec_fields_by_src.get(f.spec_id, {}).get(k)
+            if pfs:
+                # every partition field over this source is a necessary
+                # condition: transform(v) must equal the stored value
+                # (stored as strings in manifests; compare stringified)
+                for pf in pfs:
+                    want = apply_transform_to_value(
+                        v, pf["transform"], pf["_source_type"]
+                    )
+                    if (f.partition or {}).get(pf["name"]) != str(want):
+                        return False
             elif not _bounds_admit(f, k, v, v):
                 return False
         for k, (lo, hi) in (range_filter or {}).items():
@@ -916,8 +1215,15 @@ def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
 
     parts = []
     for sid, sfiles in sorted(by_spec.items()):
-        spec_cols = [f["name"] for f in _spec_by_id(meta, sid)["fields"]]
-        if not spec_cols:
+        # only IDENTITY fields remove their source column from data files
+        # (Spark partitionBy layout); transform fields (bucket/truncate/
+        # temporal) are derived layout columns — their sources stay in the
+        # files, so nothing needs restoring for them
+        id_cols = [
+            f["name"] for f in _spec_by_id(meta, sid)["fields"]
+            if f["transform"] == "identity"
+        ]
+        if not id_cols:
             parts.append(attach_meta(
                 spark.read.schema(full_ddl)
                 .parquet(*[f.file_path for f in sfiles])
@@ -926,16 +1232,16 @@ def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
         reduced = {
             "type": "struct", "schema-id": 0,
             "fields": [f for f in schema_fields
-                       if f["name"] not in spec_cols],
+                       if f["name"] not in id_cols],
         }
         reduced_ddl = iceberg_to_spark_ddl(reduced)
         groups: dict[tuple, list[str]] = {}
         for f in sfiles:
-            key = tuple((f.partition or {}).get(c) for c in spec_cols)
+            key = tuple((f.partition or {}).get(c) for c in id_cols)
             groups.setdefault(key, []).append(f.file_path)
         for key, paths in sorted(groups.items()):
             g = attach_meta(spark.read.schema(reduced_ddl).parquet(*paths))
-            for c, v in zip(spec_cols, key):
+            for c, v in zip(id_cols, key):
                 g = g.withColumn(c, F.lit(v).cast("string"))
             parts.append(g.select(*order))
     out = parts[0]
@@ -1382,8 +1688,7 @@ def rewrite_data_files(spark, table_path: str) -> dict:
     # evolution this is also the migration step that moves old-spec files
     # into the new layout
     spec = _default_spec(meta)
-    spec_cols = [f["name"] for f in spec["fields"]]
-    new_files = _write_data_files(df, data_dir, spec_cols, spec["spec-id"])
+    new_files = _write_data_files(df, data_dir, meta, spec)
     return _commit(table_path, new_files, cur, "replace")
 
 
@@ -1460,15 +1765,28 @@ def append_dataframe(
             f"{sorted(want)} (did the table evolve?)"
         )
     spec = _default_spec(meta)
-    spec_cols = [f["name"] for f in spec["fields"]]
-    if partition_by is not None and partition_by != spec_cols:
-        raise ValueError(
-            f"table's default spec partitions by {spec_cols}; to change "
-            f"the layout call evolve_partition_spec({partition_by!r})"
+    if partition_by is not None:
+        want_fields, _ = _spec_fields_from_terms(
+            current_schema(meta), partition_by,
+            {
+                (f["source-id"], f["transform"]): f["field-id"]
+                for s in meta["partition-specs"] for f in s["fields"]
+            },
+            meta.get("last-partition-id", 999),
         )
+        if [
+            (f["source-id"], f["transform"]) for f in want_fields
+        ] != [
+            (f["source-id"], f["transform"]) for f in spec["fields"]
+        ]:
+            raise ValueError(
+                f"table's default spec partitions by "
+                f"{[f['name'] for f in spec['fields']]}; to change the "
+                f"layout call evolve_partition_spec({partition_by!r})"
+            )
     seq = meta["last-sequence-number"] + 1
     data_dir = os.path.join(table_path, "data", f"seq={seq}")
-    new_files = _write_data_files(df, data_dir, spec_cols, spec["spec-id"])
+    new_files = _write_data_files(df, data_dir, meta, spec)
     return commit_append(table_path, new_files, branch)
 
 
@@ -1512,20 +1830,50 @@ def _footer_bounds(md) -> tuple[dict | None, dict | None]:
     return (lo_s or None), (hi_s or None)
 
 
+def _resolved_spec_fields(meta: dict, spec: dict) -> list[dict]:
+    """Spec fields + ``_source_name``/``_source_type`` resolved from the
+    current schema (source-ids are stable across renames)."""
+    by_id = {f["id"]: f for f in current_schema(meta)["fields"]}
+    out = []
+    for f in spec["fields"]:
+        src = by_id[f["source-id"]]
+        out.append({**f, "_source_name": src["name"],
+                    "_source_type": src["type"]})
+    return out
+
+
 def _write_data_files(
-    df, data_dir: str, spec_cols: list[str], spec_id: int = 0
+    df, data_dir: str, meta: dict, spec: dict
 ) -> list[DataFile]:
     """Distributed parquet write (partitionBy for partitioned specs) +
     footer walk of the new files; partition values come back from the
-    col=value path segments (identity transform) and column bounds from
-    the row-group statistics. Footer reads are bounded by THIS commit's
-    files (real Iceberg collects the same stats from writer tasks)."""
+    field=value path segments (identity values verbatim; transform
+    values are the derived columns the writer computed — Catalyst for
+    truncate/temporal, vectorized murmur3 for bucket) and column bounds
+    from the row-group statistics. Footer reads are bounded by THIS
+    commit's files (real Iceberg collects the same stats from writer
+    tasks). Identity fields remove their source column from data files
+    (Spark partitionBy layout); transform fields keep it — derived
+    partition columns are layout-only and never part of the table
+    schema."""
     import pyarrow.parquet as pq
 
-    writer = df.write.mode("overwrite")
-    if spec_cols:
-        writer = writer.partitionBy(*spec_cols)
+    fields = _resolved_spec_fields(meta, spec)
+    writer_df = df
+    part_cols = []
+    for f in fields:
+        if f["transform"] == "identity":
+            part_cols.append(f["_source_name"])
+        else:
+            writer_df = writer_df.withColumn(
+                f["name"], _transform_column(df, f, f["_source_type"])
+            )
+            part_cols.append(f["name"])
+    writer = writer_df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     writer.parquet(data_dir)
+    name_by_part = {p: f["name"] for p, f in zip(part_cols, fields)}
     new_files = []
     for dp, _dirs, names in sorted(os.walk(data_dir)):
         rel = os.path.relpath(dp, data_dir)
@@ -1540,9 +1888,10 @@ def _write_data_files(
             lo, hi = _footer_bounds(md)
             new_files.append(DataFile(
                 path, md.num_rows, os.path.getsize(path),
-                partition={c: pvals[c] for c in spec_cols} if spec_cols
-                else None,
-                spec_id=spec_id,
+                partition={
+                    name_by_part[p]: pvals[p] for p in part_cols
+                } if part_cols else None,
+                spec_id=spec["spec-id"],
                 lower_bounds=lo, upper_bounds=hi,
             ))
     return new_files

@@ -5,6 +5,8 @@ import glob
 import json
 import os
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -623,3 +625,184 @@ def test_iceberg_incremental_scan_skips_replace_snapshots(spark, tmp_path):
     assert ICE.incremental_scan(spark, tp, 1, 2).count() == 0
     # full-table read still sees everything (replace is table-preserving)
     assert ICE.read_table(spark, tp).count() == 200
+
+
+def test_partition_transform_units():
+    """Spec conformance without Spark: murmur3 appendix vectors, bucket/
+    truncate/temporal value transforms, term parsing."""
+    from mapbox_vector_tile_spark.sources.iceberg import (
+        bucket_value,
+        murmur3_x86_32,
+        parse_partition_term,
+        time_transform_value,
+        transform_field_name,
+        truncate_value,
+    )
+
+    # Iceberg spec appendix B vectors
+    assert murmur3_x86_32((34).to_bytes(8, "little", signed=True)) \
+        == 2017239379
+    assert murmur3_x86_32("iceberg".encode()) == 1210000089
+    # int and long 34 land in the same bucket (spec requirement)
+    assert bucket_value(34, 16, "int") == bucket_value(34, 16, "long")
+    assert 0 <= bucket_value("doc-00000001", 8, "string") < 8
+
+    # truncate: ints floor (negatives too), strings take code points
+    assert truncate_value(17, 10, "long") == 10
+    assert truncate_value(-1, 10, "long") == -10
+    assert truncate_value("iceberg", 3, "string") == "ice"
+
+    # temporal ordinals from 1970
+    us_2024_03_15 = 1710500000000000  # 2024-03-15T...
+    assert time_transform_value(us_2024_03_15, "year") == 54
+    assert time_transform_value(us_2024_03_15, "month") == 54 * 12 + 2
+    assert time_transform_value(us_2024_03_15, "day") \
+        == us_2024_03_15 // 86_400_000_000
+    assert time_transform_value(us_2024_03_15, "hour") \
+        == us_2024_03_15 // 3_600_000_000
+
+    assert parse_partition_term("source") == ("source", "identity", None)
+    assert parse_partition_term("bucket(8, doc_id)") \
+        == ("doc_id", "bucket[8]", 8)
+    assert parse_partition_term("truncate(16,n_tok)") \
+        == ("n_tok", "truncate[16]", 16)
+    assert parse_partition_term("day(ts_us)") == ("ts_us", "day", None)
+    with pytest.raises(ValueError):
+        parse_partition_term("zorder(a, b)")
+    with pytest.raises(ValueError):
+        parse_partition_term("bucket(0, x)")
+    assert transform_field_name("doc_id", "bucket[8]") == "doc_id_bucket"
+    assert transform_field_name("n_tok", "truncate[16]") == "n_tok_trunc"
+    assert transform_field_name("ts", "day") == "ts_day"
+
+
+def test_murmur_vectorized_matches_scalar():
+    from mapbox_vector_tile_spark.sources.iceberg import (
+        _murmur3_32_long_np,
+        murmur3_x86_32,
+    )
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(-(2**62), 2**62, 4096, dtype=np.int64)
+    got = _murmur3_32_long_np(v)
+    want = np.array(
+        [murmur3_x86_32(int(x).to_bytes(8, "little", signed=True))
+         for x in v],
+        dtype=np.int32,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_iceberg_bucket_partitioning_end_to_end(spark, tmp_path):
+    """bucket(8, doc_id): writes land in spec-correct bucket dirs, point
+    predicates prune to one bucket's files at the METADATA level, reads
+    stay exact (residual filter), full table reads untouched."""
+    from mapbox_vector_tile_spark.sources.iceberg import bucket_value
+
+    tp = str(tmp_path / "bucketed")
+    corpus = G.corpus_dataframe(spark, 400, 4)
+    ICE.append_dataframe(
+        spark, corpus, tp, partition_by=["bucket(8, doc_id)"]
+    )
+    files = ICE.plan_scan(tp)
+    buckets = {f.partition["doc_id_bucket"] for f in files}
+    assert len(buckets) > 4  # data really spread over buckets
+    # every file's dir value is the spec bucket of its own rows
+    some = spark.read.parquet(files[0].file_path).select("doc_id").collect()
+    want_b = {bucket_value(r.doc_id, 8, "string") for r in some}
+    assert want_b == {int(files[0].partition["doc_id_bucket"])}
+
+    target = "doc-00000123"
+    pruned = ICE.plan_scan(tp, partition_filter={"doc_id": target})
+    assert 0 < len(pruned) < len(files)
+    assert {f.partition["doc_id_bucket"] for f in pruned} \
+        == {str(bucket_value(target, 8, "string"))}
+    row = ICE.read_table(
+        spark, tp, partition_filter={"doc_id": target}
+    ).collect()
+    assert len(row) == 1 and row[0].doc_id == target
+    assert list(row[0].tokens) == [
+        list(r.tokens) for r in corpus.filter(
+            F.col("doc_id") == target).collect()
+    ][0]
+    # full read: bit-exact, source column present (transform keeps it)
+    got = {r.doc_id: list(r.tokens)
+           for r in ICE.read_table(spark, tp).collect()}
+    assert got == {r.doc_id: list(r.tokens) for r in corpus.collect()}
+
+
+def test_iceberg_truncate_and_evolution_to_bucket(spark, tmp_path):
+    """truncate(16, n_tok) prunes point predicates through the floor
+    transform; evolving to a bucket spec leaves old files prunable under
+    THEIR spec and new files under the new one."""
+    tp = str(tmp_path / "trunc")
+    corpus = G.corpus_dataframe(spark, 300, 4)
+    a = corpus.filter("doc_id < 'doc-00000150'")
+    b = corpus.filter("doc_id >= 'doc-00000150'")
+    ICE.append_dataframe(spark, a, tp, partition_by=["truncate(16, n_tok)"])
+    files_a = ICE.plan_scan(tp)
+    assert all("n_tok_trunc" in (f.partition or {}) for f in files_a)
+
+    # point predicate on n_tok prunes to its floor-16 band
+    n_target = int(a.first().n_tok)
+    pruned = ICE.plan_scan(tp, partition_filter={"n_tok": n_target})
+    assert 0 < len(pruned) < len(files_a)
+    assert {f.partition["n_tok_trunc"] for f in pruned} \
+        == {str(n_target - (n_target % 16))}
+    got = ICE.read_table(
+        spark, tp, partition_filter={"n_tok": n_target}
+    )
+    want = a.filter(F.col("n_tok") == n_target)
+    assert {r.doc_id for r in got.collect()} \
+        == {r.doc_id for r in want.collect()}
+
+    # evolve to bucket(4, source): old files keep their spec
+    ICE.evolve_partition_spec(tp, ["bucket(4, source)"])
+    ICE.append_dataframe(spark, b, tp)
+    allf = ICE.plan_scan(tp)
+    assert {f.spec_id for f in allf} == {0, 1}
+    # mixed-era read is exact
+    got_all = {r.doc_id: list(r.tokens)
+               for r in ICE.read_table(spark, tp).collect()}
+    assert got_all == {r.doc_id: list(r.tokens) for r in corpus.collect()}
+    # a source-column point predicate prunes NEW files by bucket and OLD
+    # files by their column bounds / residual only (never wrongly drops)
+    src = b.first().source
+    got_src = {r.doc_id for r in ICE.read_table(
+        spark, tp, partition_filter={"source": src}).collect()}
+    want_src = {r.doc_id for r in corpus.filter(
+        F.col("source") == src).collect()}
+    assert got_src == want_src
+    # schema evolution guard protects the SOURCE column behind a transform
+    with pytest.raises(ValueError, match="partition"):
+        ICE.evolve_schema(tp, drop=["source"])
+
+
+def test_iceberg_day_partitioning(spark, tmp_path):
+    """day(ts_us) over micros-from-epoch longs: ordinal-day dirs, point
+    predicate prunes to the day's files, read exact."""
+    tp = str(tmp_path / "daily")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+    )
+    ICE.append_dataframe(spark, ev, tp, partition_by=["day(ts_us)"])
+    files = ICE.plan_scan(tp)
+    days = {f.partition["ts_us_day"] for f in files}
+    assert len(days) > 3
+    probe = ev.first()
+    day_ord = probe.ts_us // 86_400_000_000
+    pruned = ICE.plan_scan(tp, partition_filter={"ts_us": probe.ts_us})
+    assert {f.partition["ts_us_day"] for f in pruned} == {str(day_ord)}
+    assert len(pruned) < len(files)
+    got = ICE.read_table(
+        spark, tp, partition_filter={"ts_us": probe.ts_us}
+    ).collect()
+    assert {r.event_id for r in got} == {
+        r.event_id
+        for r in ev.filter(F.col("ts_us") == probe.ts_us).collect()
+    }
