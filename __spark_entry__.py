@@ -2715,6 +2715,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_frame_stats"] = video_frame_stats
 
+    # COMPRESSED video: motion-JPEG AVI decoded by the pure-numpy baseline
+    # JPEG codec (functions/jpeg.py, public ITU-T T.81). Same index-seek
+    # sampling; the hash gate works on a LOSSY codec because the synthetic
+    # frames are block-constant grayscale, which baseline JPEG at q=100
+    # round-trips bit-exactly — the oracle regenerates the DECODED pixels.
+    def mjpeg_frame_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import multimodal as MM
+
+        return MM.sample_frame_stats(
+            MM.synthetic_mjpeg_assets(spark, 300), every_n=2
+        ).orderBy("asset_id", "t")
+
+    q["mjpeg_frame_stats"] = mjpeg_frame_stats
+
     # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
     q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
     q["dict_frequency_order"] = lambda s, d: CP.dict_frequency_order(
@@ -3195,6 +3209,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_wand_topk",
     "table_mor_deletes",
     "iceberg_bucket_pruned_scan",
+    "mjpeg_frame_stats",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -3896,6 +3911,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 
     o["multimodal_content_stats"] = MM.content_stats_sql(500)
     o["video_frame_stats"] = MM.sample_frame_stats_sql(500, every_n=2)
+    o["mjpeg_frame_stats"] = MM.mjpeg_frame_stats_sql(300, every_n=2)
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

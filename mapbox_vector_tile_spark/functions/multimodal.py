@@ -2,12 +2,15 @@
 
 All three modalities decode for REAL — payloads are stored in standard
 formats decodable with numpy/stdlib alone: 24-bit uncompressed BMP for
-images, PCM16 WAV (stdlib ``wave``) for audio, and uncompressed RIFF/AVI
-(raw DIB frames + idx1 index) for video — so feature extraction operates
-on actual pixels/samples/frames, not hashes. Frame sampling decodes ONLY
-the sampled frames via the idx1 index (:func:`decode_avi_frames`).
-Compressed formats (JPEG/PNG via ``PIL``, H.264 via PyAV/ffmpeg) slot in
-behind :data:`REAL_DECODERS_AVAILABLE` when those libs exist.
+images, PCM16 WAV (stdlib ``wave``) for audio, and RIFF/AVI for video in
+either of two codecs: uncompressed DIB frames, or motion-JPEG whose
+frames are baseline JPEGs decoded by the pure-numpy ITU-T T.81 codec in
+:mod:`.jpeg` — so feature extraction operates on actual pixels/samples/
+frames, not hashes, including through a COMPRESSED codec. Frame sampling
+decodes ONLY the sampled frames via the idx1 index
+(:func:`decode_avi_frames`). Remaining compressed formats (PNG via
+``PIL``, H.264 via PyAV/ffmpeg) slot in behind
+:data:`REAL_DECODERS_AVAILABLE` when those libs exist.
 
 Pattern: ``mapInPandas`` over an assets table
 ``(asset_id string, kind string, payload binary, meta map<string,string>)``;
@@ -197,13 +200,21 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_data)) + riff_data
 
 
-def _avi_headers(payload: bytes) -> tuple[int, int, int, int, int, int]:
+_MJPG = 0x47504A4D  # 'MJPG' fourcc as the little-endian biCompression value
+
+
+def _avi_headers(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int, int]:
     """Validate the container and return
-    ``(n_frames, width, height, fps, movi_pos, idx1_pos)`` where
-    ``movi_pos`` is the offset of the ``movi`` fourcc and ``idx1_pos`` the
-    offset of the idx1 chunk data (or -1 if absent). Walks the RIFF chunk
-    tree properly (even-size padding honored), so any conformant
-    uncompressed-DIB AVI parses, not just :func:`encode_avi` output."""
+    ``(n_frames, width, height, fps, movi_pos, idx1_pos, compression)``
+    where ``movi_pos`` is the offset of the ``movi`` fourcc, ``idx1_pos``
+    the offset of the idx1 chunk data (or -1 if absent), and
+    ``compression`` the strf biCompression value (0 = uncompressed DIB,
+    ``_MJPG`` = motion-JPEG). Walks the RIFF chunk tree properly
+    (even-size padding honored), so any conformant AVI of either codec
+    parses, not just :func:`encode_avi` / :func:`encode_avi_mjpeg`
+    output."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
@@ -242,11 +253,14 @@ def _avi_headers(payload: bytes) -> tuple[int, int, int, int, int, int]:
         pos += 8 + size + (size & 1)
     if movi_pos < 0 or n_frames < 0:
         raise ValueError("AVI missing hdrl/movi")
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported AVI stream (bpp={bpp}, compression={comp})")
+    if comp == 0:
+        if bpp != 24:
+            raise ValueError(f"unsupported DIB AVI (bpp={bpp})")
+    elif comp != _MJPG:
+        raise ValueError(f"unsupported AVI compression 0x{comp:08x}")
     if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
         raise ValueError(f"invalid AVI dimensions ({width}x{height})")
-    return n_frames, width, height, fps, movi_pos, idx1_pos
+    return n_frames, width, height, fps, movi_pos, idx1_pos, comp
 
 
 def _dib_to_rgb(body: np.ndarray, w: int, h: int, stride: int) -> np.ndarray:
@@ -254,15 +268,97 @@ def _dib_to_rgb(body: np.ndarray, w: int, h: int, stride: int) -> np.ndarray:
     return np.ascontiguousarray(bgr[::-1, :, ::-1])
 
 
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 10, quality: int = 100
+) -> bytes:
+    """(T, H, W, 3) uint8 RGB -> motion-JPEG AVI bytes: the same RIFF
+    layout as :func:`encode_avi` but handler/biCompression ``MJPG`` and
+    each ``00dc`` chunk a standalone baseline JPEG
+    (:func:`..jpeg.encode_jpeg`). The idx1 index carries each frame's
+    real byte size, so index-seek sampling works identically."""
+    from .jpeg import encode_jpeg
+
+    t, h, w, _ = frames.shape
+    if t < 1:
+        raise ValueError("AVI needs at least one frame")
+    bodies = [encode_jpeg(frames[k], quality=quality) for k in range(t)]
+    max_fs = max(len(b) for b in bodies)
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, max_fs * fps, 0, 0x10, t, 0, 1, max_fs, w, h, 0, 0,
+        0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, t, max_fs, 0, 0,
+        0, 0, min(w, 32767), min(h, 32767),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG, max_fs, 0, 0, 0, 0
+    )
+    strl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+        + b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    hdrl = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+        + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    )
+    movi_parts = [b"movi"]
+    idx_parts = []
+    off = 4
+    for body in bodies:
+        fs = len(body)
+        movi_parts.append(b"00dc" + struct.pack("<I", fs))
+        movi_parts.append(body)
+        if fs & 1:
+            movi_parts.append(b"\x00")  # RIFF even-size padding
+        idx_parts.append(b"00dc" + struct.pack("<III", 0x10, off, fs))
+        off += 8 + fs + (fs & 1)
+    movi_data = b"".join(movi_parts)
+    movi = b"LIST" + struct.pack("<I", len(movi_data)) + movi_data
+    idx_data = b"".join(idx_parts)
+    idx1 = b"idx1" + struct.pack("<I", len(idx_data)) + idx_data
+    riff_data = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_data)) + riff_data
+
+
+def _mjpeg_frame(payload: bytes, off: int, size: int, w: int,
+                 h: int) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(payload[off:off + size])
+    if px.ndim == 2:
+        px = np.stack([px, px, px], axis=-1)
+    if px.shape[:2] != (h, w):
+        raise ValueError(
+            f"MJPEG frame {px.shape[1]}x{px.shape[0]} != header {w}x{h}"
+        )
+    return px
+
+
 def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes -> ((T, H, W, 3) uint8 RGB, fps). Full sequential decode:
-    walks the movi chunks in order (no index required)."""
-    n_frames, w, h, fps, movi_pos, _ = _avi_headers(payload)
+    walks the movi chunks in order (no index required). Dispatches on the
+    stream's biCompression: uncompressed DIB or motion-JPEG."""
+    n_frames, w, h, fps, movi_pos, _, comp = _avi_headers(payload)
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    pos = movi_pos + 4
+    if comp == _MJPG:
+        for k in range(n_frames):
+            if payload[pos:pos + 2] != b"00":
+                raise ValueError(
+                    f"unexpected movi chunk {payload[pos:pos+4]!r}"
+                )
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            frames[k] = _mjpeg_frame(payload, pos + 8, size, w, h)
+            pos += 8 + size + (size & 1)
+        return frames, fps
     row = w * 3
     stride = row + ((-row) % 4)
     fs = stride * h
-    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
-    pos = movi_pos + 4
     for k in range(n_frames):
         if payload[pos:pos + 2] != b"00":
             raise ValueError(f"unexpected movi chunk {payload[pos:pos+4]!r}")
@@ -279,16 +375,29 @@ def decode_avi_frames(payload: bytes, indices: np.ndarray) -> np.ndarray:
     """Index-seek partial decode: decode ONLY the frames in ``indices``
     using the idx1 offsets — the bytes of unsampled frames are never read.
     This is the 100 TB frame-sampling shape (decode 1/N of the corpus, not
-    all of it); falls back to sequential walk when idx1 is absent."""
-    n_frames, w, h, _fps, movi_pos, idx1_pos = _avi_headers(payload)
+    all of it); falls back to a header-only sequential walk when idx1 is
+    absent (unsampled frames' bodies still never decode). Works for both
+    DIB and motion-JPEG streams — for MJPEG the skipped bytes are entire
+    compressed frames, which is where sampling pays most."""
+    n_frames, w, h, _fps, movi_pos, idx1_pos, comp = _avi_headers(payload)
     indices = np.asarray(indices, dtype=np.int64)
     if indices.size and (indices.min() < 0 or indices.max() >= n_frames):
         raise ValueError("frame index out of range")
     row = w * 3
     stride = row + ((-row) % 4)
     fs = stride * h
-    if idx1_pos < 0:  # no index: sequential positions are still closed-form
-        offs = movi_pos + 4 + indices * (8 + fs + (fs & 1))
+    if idx1_pos < 0:
+        if comp == _MJPG:
+            # variable-size chunks: walk headers only (8 bytes/frame)
+            offs = np.empty(n_frames, dtype=np.int64)
+            pos = movi_pos + 4
+            for k in range(n_frames):
+                offs[k] = pos
+                (sz,) = struct.unpack_from("<I", payload, pos + 4)
+                pos += 8 + sz + (sz & 1)
+            offs = offs[indices]
+        else:  # fixed-size chunks: positions are closed-form
+            offs = movi_pos + 4 + indices * (8 + fs + (fs & 1))
     else:
         (idx_size,) = struct.unpack_from("<I", payload, idx1_pos - 4)
         entries = np.frombuffer(
@@ -300,6 +409,9 @@ def decode_avi_frames(payload: bytes, indices: np.ndarray) -> np.ndarray:
     out = np.empty((indices.size, h, w, 3), dtype=np.uint8)
     for j, off in enumerate(offs):
         (size,) = struct.unpack_from("<I", payload, int(off) + 4)
+        if comp == _MJPG:
+            out[j] = _mjpeg_frame(payload, int(off) + 8, size, w, h)
+            continue
         if size != fs or off + 8 + fs > len(payload):
             raise ValueError("AVI frame size mismatch")
         body = np.frombuffer(payload, dtype=np.uint8, count=fs, offset=int(off) + 8)
@@ -702,7 +814,7 @@ def sample_frame_stats(assets: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = bytes(payload)
-                n_frames, w, h, _fps, _mp, _ip = _avi_headers(payload)
+                n_frames, w, h = _avi_headers(payload)[:3]
                 idx = np.arange(0, n_frames, every_n, dtype=np.int64)
                 frames = decode_avi_frames(payload, idx)
                 v = frames.astype(np.int64)
@@ -753,4 +865,83 @@ SELECT printf('asset-%06d', i) AS asset_id, CAST(t AS BIGINT) AS t,
        CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS vmax,
        CAST(SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS BIGINT) AS zcross
 FROM px GROUP BY i, t, w, h ORDER BY asset_id, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# motion-JPEG synthetic assets (closed-form DESPITE the lossy codec)
+# ---------------------------------------------------------------------------
+
+def synthetic_mjpeg_frames(i: int) -> np.ndarray:
+    """Closed-form MJPEG video content for asset ``i``: frames are
+    grayscale (R=G=B) and constant within each 8x8 block, with block
+    value ``(7t + 3bx + 5by + i) % 256``. At ``quality=100`` baseline
+    JPEG round-trips this content BIT-EXACTLY (single exactly-
+    representable DC coefficient, all-zero ACs, Cb = Cr = 128 through
+    the color cycle — see :mod:`.jpeg`), so a SQL oracle regenerates
+    the *decoded* pixels of a *lossy* codec in closed form."""
+    t = 2 + (i * 11) % 4
+    bw = 1 + (i * 13) % 3
+    bh = 1 + (i * 29) % 3
+    tt = np.arange(t, dtype=np.int64)[:, None, None]
+    bx = np.arange(bw, dtype=np.int64)[None, None, :]
+    by = np.arange(bh, dtype=np.int64)[None, :, None]
+    v = ((7 * tt + 3 * bx + 5 * by + i) % 256).astype(np.uint8)
+    px = np.repeat(np.repeat(v, 8, axis=1), 8, axis=2)
+    return np.repeat(px[..., None], 3, axis=3)
+
+
+def synthetic_mjpeg_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic MJPEG asset table: every payload is a REAL
+    motion-JPEG AVI (RIFF/MJPG + idx1, each frame a standalone baseline
+    JPEG) around :func:`synthetic_mjpeg_frames` content."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                payload = encode_avi_mjpeg(
+                    synthetic_mjpeg_frames(i), fps=10, quality=100
+                )
+                rows.append(
+                    {
+                        "asset_id": f"asset-{i:06d}",
+                        "kind": "video",
+                        "payload": payload,
+                        "meta": {"idx": str(i), "codec": "mjpeg"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, ASSETS_SCHEMA)
+
+
+def mjpeg_frame_stats_sql(n: int, every_n: int = 2) -> str:
+    """DuckDB oracle for ``sample_frame_stats(synthetic_mjpeg_assets(n))``:
+    the decoded pixels are block-constant, so the oracle aggregates at
+    BLOCK granularity (64 pixels x 3 channels per block) — no decoder,
+    no per-pixel expansion."""
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+vid AS (
+  SELECT i, 2 + (i*11) % 4 AS nt,
+         1 + (i*13) % 3 AS bw, 1 + (i*29) % 3 AS bh
+  FROM ids
+),
+blk AS (
+  SELECT vid.i, t.range AS t, vid.bw, vid.bh,
+         (7*t.range + 3*bx.range + 5*by.range + i) % 256 AS v
+  FROM vid, range(5) t, range(3) bx, range(3) by
+  WHERE t.range < vid.nt AND t.range % {every_n} = 0
+    AND bx.range < vid.bw AND by.range < vid.bh
+)
+SELECT printf('asset-%06d', i) AS asset_id, CAST(t AS BIGINT) AS t,
+       CAST(bw * 8 AS BIGINT) AS width, CAST(bh * 8 AS BIGINT) AS height,
+       CAST(SUM(192 * v) AS BIGINT) AS sum1,
+       CAST(SUM(192 * v * v) AS BIGINT) AS sum2,
+       CAST(MIN(v) AS BIGINT) AS vmin,
+       CAST(MAX(v) AS BIGINT) AS vmax,
+       CAST(0 AS BIGINT) AS zcross
+FROM blk GROUP BY i, t, bw, bh ORDER BY asset_id, t
 """
