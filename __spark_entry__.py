@@ -3099,6 +3099,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["iceberg_bucket_pruned_scan"] = iceberg_bucket_pruned_scan
 
+    # filesystem (Hadoop-style) CATALOG: warehouse dir + dotted namespace
+    # identifiers resolve to table paths; create/append/list/load drive
+    # the same v2 metadata layer, and the URI form warehouse::ns.table
+    # feeds the deployment surface. Roundtrip hash-gated end to end.
+    def iceberg_catalog_scan(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.sources import iceberg as ICE
+        from mapbox_vector_tile_spark.sources.iceberg_catalog import (
+            FsCatalog,
+            resolve_uri,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_icecat_")
+        try:
+            cat = FsCatalog(f"{work}/warehouse")
+            cat.create_namespace("corpus")
+            df = _corpus(spark, sf_dir)
+            ICE.append_dataframe(
+                spark, df, cat.create_table("corpus.tokens", df.schema)
+            )
+            assert cat.list_tables("corpus") == ["corpus.tokens"]
+            path, _ = resolve_uri(
+                f"iceberg://{cat.warehouse}::corpus.tokens"
+            )
+            res = _per_doc_result(ICE.read_table(spark, path))
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["iceberg_catalog_scan"] = iceberg_catalog_scan
+
     # partition EVOLUTION (spec v2): era 1 lands unpartitioned, the spec
     # evolves to identity(source), era 2 lands partitioned. The filtered
     # read spans both eras — new-spec files prune at the metadata level,
@@ -3209,6 +3242,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_wand_topk",
     "table_mor_deletes",
     "iceberg_bucket_pruned_scan",
+    "iceberg_catalog_scan",
     "mjpeg_frame_stats",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
@@ -3390,6 +3424,9 @@ ORDER BY doc_id
     o["bm25_ranked_search"] = C.bm25_search_sql([3, 42, 57], k=25)
     o["phrase_search_indexed"] = C.phrase_search_sql(9, 0)
     o["iceberg_bucket_pruned_scan"] = C.per_doc_checksum_sql(
+        "documents", string_doc_id=True
+    )
+    o["iceberg_catalog_scan"] = C.per_doc_checksum_sql(
         "documents", string_doc_id=True
     )
     o["phrase_search_indexed_multi"] = C.phrase_search_multi_sql(

@@ -88,8 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if args.input.startswith("iceberg://"):
             from mapbox_vector_tile_spark.sources.iceberg import read_table
+            from mapbox_vector_tile_spark.sources.iceberg_catalog import (
+                resolve_uri,
+            )
 
-            table, _, snap = args.input[len("iceberg://"):].partition("@")
+            table, snap = resolve_uri(args.input)
             tokens = read_table(spark, table, int(snap) if snap else None)
         else:
             tokens = spark.read.parquet(args.input)

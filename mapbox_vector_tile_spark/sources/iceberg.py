@@ -40,10 +40,14 @@ or data byte is touched, reads apply the same predicates as residual
 data filters), position + equality delete files merge-on-read, and
 schema evolution with field-id resolution.
 
-Not implemented (documented, not hidden): non-identity transforms
-(bucket/truncate/day — the corpus partitions by size-weighted ranges
-at the exchange layer instead) and catalog services (HMS/REST) —
-file-system tables with version-hint only.
+Partition transforms: identity plus the spec's bucket[N] (spec-exact
+murmur3_x86_32), truncate[W], and year/month/day/hour — point predicates
+on a transform's SOURCE column prune at the metadata level through the
+transform. Catalogs: the filesystem (Hadoop-style) catalog lives in
+:mod:`.iceberg_catalog` (warehouse dir + dotted identifiers + the
+``iceberg://warehouse::ns.table`` URI form). Not implemented (documented,
+not hidden): NETWORK catalog services (Hive metastore, REST) — service
+clients, not table-format semantics, and this sandbox has no network.
 
 Reference parity anchor: the reference's tile container wraps layers the
 same way Iceberg metadata wraps data files — a self-describing envelope

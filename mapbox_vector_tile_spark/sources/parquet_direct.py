@@ -251,9 +251,9 @@ def list_parquet_files(path: str) -> list[str]:
     consumes Iceberg tables natively, including time travel."""
     if path.startswith("iceberg://"):
         from .iceberg import plan_scan
+        from .iceberg_catalog import resolve_uri
 
-        spec = path[len("iceberg://"):]
-        table, _, snap = spec.partition("@")
+        table, snap = resolve_uri(path)  # plain path or warehouse::ns.tbl
         snapshot_id = int(snap) if snap else None
         live_deletes = [
             f
