@@ -1130,7 +1130,13 @@ def plan_scan(
 
     ``range_filter`` maps column -> ``(lo, hi)`` (either end ``None`` for
     open) and prunes on the per-file column bounds the commit recorded
-    from parquet footers; files predating bounds are conservatively kept.
+    from parquet footers (files predating bounds are conservatively
+    kept) AND through MONOTONIC partition transforms: truncate[W],
+    year/month/day/hour, and identity are order-preserving, so
+    ``v in [lo, hi]`` implies ``t(v) in [t(lo), t(hi)]`` and a file
+    whose stored partition value falls outside that transformed window
+    cannot contain a matching row. bucket[N] is not monotonic and never
+    participates in range pruning.
     """
     meta = load_metadata(table_path)
     files = _plan_files(table_path, meta, snapshot_id, content)
@@ -1177,6 +1183,30 @@ def plan_scan(
         for k, (lo, hi) in (range_filter or {}).items():
             if not _bounds_admit(f, k, lo, hi):
                 return False
+            for pf in spec_fields_by_src.get(f.spec_id, {}).get(k) or []:
+                tr = pf["transform"]
+                if tr.startswith("bucket["):
+                    continue  # not monotonic: unusable for ranges
+                stored = (f.partition or {}).get(pf["name"])
+                if stored is None:
+                    continue
+                # lexical compare for string-valued transforms (identity
+                # and truncate-on-string are prefix/id maps, monotone
+                # under lexicographic order); numeric otherwise
+                as_str = pf["_source_type"] == "string"
+                sv = stored if as_str else int(stored)
+                if lo is not None:
+                    tlo = apply_transform_to_value(
+                        lo, tr, pf["_source_type"]
+                    )
+                    if sv < (tlo if as_str else int(tlo)):
+                        return False
+                if hi is not None:
+                    thi = apply_transform_to_value(
+                        hi, tr, pf["_source_type"]
+                    )
+                    if sv > (thi if as_str else int(thi)):
+                        return False
         return True
 
     return [f for f in files if _admit(f)]

@@ -806,3 +806,58 @@ def test_iceberg_day_partitioning(spark, tmp_path):
         r.event_id
         for r in ev.filter(F.col("ts_us") == probe.ts_us).collect()
     }
+
+
+def test_range_pruning_through_monotonic_transforms(spark, tmp_path):
+    """range_filter prunes through day(ts_us) and truncate(W, n) — the
+    monotone-transform window [t(lo), t(hi)] — while bucket fields never
+    participate; reads stay exact via the residual filter."""
+    tp = str(tmp_path / "daily_rng")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    ICE.append_dataframe(spark, ev, tp, partition_by=["day(ts_us)"])
+    files = ICE.plan_scan(tp)
+    days = sorted(int(f.partition["ts_us_day"]) for f in files)
+    assert len(set(days)) > 3
+    # a 2-day window in the middle
+    d0 = days[len(days) // 2]
+    lo, hi = d0 * 86_400_000_000, (d0 + 2) * 86_400_000_000 - 1
+    pruned = ICE.plan_scan(tp, range_filter={"ts_us": (lo, hi)})
+    got_days = {int(f.partition["ts_us_day"]) for f in pruned}
+    assert got_days <= {d0, d0 + 1} and len(pruned) < len(files)
+    got = ICE.read_table(spark, tp, range_filter={"ts_us": (lo, hi)})
+    want = ev.filter((F.col("ts_us") >= lo) & (F.col("ts_us") <= hi))
+    assert {r.event_id for r in got.collect()} \
+        == {r.event_id for r in want.collect()}
+
+    # half-open window (lo only)
+    lo2 = days[-1] * 86_400_000_000
+    pr2 = ICE.plan_scan(tp, range_filter={"ts_us": (lo2, None)})
+    assert {int(f.partition["ts_us_day"]) for f in pr2} == {days[-1]}
+
+    # truncate(16, event_id): integer window maps to truncated window
+    tp2 = str(tmp_path / "trunc_rng")
+    ICE.append_dataframe(
+        spark, ev, tp2, partition_by=["truncate(16, event_id)"]
+    )
+    pr3 = ICE.plan_scan(tp2, range_filter={"event_id": (40, 70)})
+    vals = {int(f.partition["event_id_trunc"]) for f in pr3}
+    assert vals <= {32, 48, 64} and len(pr3) < len(ICE.plan_scan(tp2))
+
+    # bucket(8, event_id) must NOT range-prune (non-monotonic)
+    tp3 = str(tmp_path / "bucket_rng")
+    ICE.append_dataframe(
+        spark, ev, tp3, partition_by=["bucket(8, event_id)"]
+    )
+    n_all = len(ICE.plan_scan(tp3))
+    pr4 = ICE.plan_scan(tp3, range_filter={"event_id": (40, 70)})
+    # bounds may prune some files, but bucket values alone never do:
+    # every surviving file was admitted by its footer bounds, and a
+    # window this wide overlaps files in many buckets
+    assert len({f.partition["event_id_bucket"] for f in pr4}) > 1
+    assert n_all >= len(pr4) > 0
