@@ -2729,6 +2729,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mjpeg_frame_stats"] = mjpeg_frame_stats
 
+    # COMPRESSED images: PNG (pure stdlib zlib + numpy, functions/png.py)
+    # with real per-row adaptive filtering. Lossless, so the pixel-stats
+    # hash gate is exact; n_bytes (deflate size) is dropped on both sides
+    # because compressed size is not closed-form.
+    def png_content_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import multimodal as MM
+
+        return (
+            MM.content_stats(MM.synthetic_png_assets(spark, 400))
+            .drop("n_bytes")
+            .orderBy("asset_id")
+        )
+
+    q["png_content_stats"] = png_content_stats
+
     # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
     q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
     q["dict_frequency_order"] = lambda s, d: CP.dict_frequency_order(
@@ -3244,6 +3259,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "iceberg_bucket_pruned_scan",
     "iceberg_catalog_scan",
     "mjpeg_frame_stats",
+    "png_content_stats",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -3949,6 +3965,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["multimodal_content_stats"] = MM.content_stats_sql(500)
     o["video_frame_stats"] = MM.sample_frame_stats_sql(500, every_n=2)
     o["mjpeg_frame_stats"] = MM.mjpeg_frame_stats_sql(300, every_n=2)
+    o["png_content_stats"] = MM.png_content_stats_sql(400)
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

@@ -1,16 +1,18 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 All three modalities decode for REAL — payloads are stored in standard
-formats decodable with numpy/stdlib alone: 24-bit uncompressed BMP for
-images, PCM16 WAV (stdlib ``wave``) for audio, and RIFF/AVI for video in
-either of two codecs: uncompressed DIB frames, or motion-JPEG whose
-frames are baseline JPEGs decoded by the pure-numpy ITU-T T.81 codec in
-:mod:`.jpeg` — so feature extraction operates on actual pixels/samples/
-frames, not hashes, including through a COMPRESSED codec. Frame sampling
+formats decodable with numpy/stdlib alone: 24-bit uncompressed BMP and
+zlib-deflated PNG (:mod:`.png`) for images, PCM16 WAV (stdlib ``wave``)
+for audio, and RIFF/AVI for video in either of two codecs: uncompressed
+DIB frames, or motion-JPEG whose frames are baseline JPEGs decoded by
+the pure-numpy ITU-T T.81 codec in :mod:`.jpeg` — so feature extraction
+operates on actual pixels/samples/frames, not hashes, including through
+COMPRESSED codecs on both the image and video paths
+(:func:`decode_image` sniffs the container magic). Frame sampling
 decodes ONLY the sampled frames via the idx1 index
-(:func:`decode_avi_frames`). Remaining compressed formats (PNG via
-``PIL``, H.264 via PyAV/ffmpeg) slot in behind
-:data:`REAL_DECODERS_AVAILABLE` when those libs exist.
+(:func:`decode_avi_frames`). Remaining compressed formats (H.264 et al.
+via PyAV/ffmpeg) slot in behind :data:`REAL_DECODERS_AVAILABLE` when
+those libs exist.
 
 Pattern: ``mapInPandas`` over an assets table
 ``(asset_id string, kind string, payload binary, meta map<string,string>)``;
@@ -106,6 +108,25 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h > 0:
         bgr = bgr[::-1]  # bottom-up -> top-down
     return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Format-sniffing image decode: BMP (``BM`` magic, uncompressed) or
+    PNG (signature, zlib-deflated — :mod:`.png`). Always returns
+    (H, W, 3) uint8 RGB (grayscale broadcast, alpha dropped) so the
+    stats/features paths are codec-agnostic."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        px = decode_png(payload)
+        if px.ndim == 2:
+            return np.repeat(px[:, :, None], 3, axis=2)
+        if px.shape[2] == 2:  # gray+alpha -> gray RGB
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA->RGB
+    raise ValueError("unknown image payload (not BMP or PNG)")
 
 
 # ---------------------------------------------------------------------------
@@ -503,7 +524,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 status, feat, w, hgt = "ok", None, -1, -1
                 try:
                     if kind == "image":
-                        px = decode_bmp(payload)
+                        px = decode_image(payload)
                         hgt, w, _ = px.shape
                         feat = _image_features(px)
                     elif kind == "audio":
@@ -563,7 +584,7 @@ def content_stats(assets: DataFrame) -> DataFrame:
             ):
                 payload = bytes(payload) if payload is not None else b""
                 if kind == "image":
-                    px = decode_bmp(payload)
+                    px = decode_image(payload)
                     h, w, _ = px.shape
                     v = px.astype(np.int64)
                     rows.append(
@@ -944,4 +965,65 @@ SELECT printf('asset-%06d', i) AS asset_id, CAST(t AS BIGINT) AS t,
        CAST(MAX(v) AS BIGINT) AS vmax,
        CAST(0 AS BIGINT) AS zcross
 FROM blk GROUP BY i, t, bw, bh ORDER BY asset_id, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# PNG synthetic assets (lossless compressed images)
+# ---------------------------------------------------------------------------
+
+def synthetic_png_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic compressed-image asset table: the SAME closed-form
+    pixels as :func:`synthetic_pixels`, stored as real PNGs with
+    per-row adaptive filtering (:mod:`.png`). PNG is lossless, so the
+    pixel-stats oracle needs no content trick — only ``n_bytes`` stops
+    being closed-form (deflate output size), which is why
+    ``png_content_stats`` drops that column from the gate."""
+    from .png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rows.append(
+                    {
+                        "asset_id": f"asset-{i:06d}",
+                        "kind": "image",
+                        "payload": encode_png(synthetic_pixels(i)),
+                        "meta": {"idx": str(i), "codec": "png"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, ASSETS_SCHEMA)
+
+
+def png_content_stats_sql(n: int) -> str:
+    """DuckDB oracle for
+    ``content_stats(synthetic_png_assets(n)).drop("n_bytes")``:
+    regenerates the closed-form pixels (identical formulas to the BMP
+    image oracle) and computes the same integer statistics — a hash
+    match proves the zlib/filter pipeline reconstructed every pixel."""
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+img AS (
+  SELECT i, 1 + (i*7919) % 64 AS w, 1 + (i*104729) % 64 AS h FROM ids
+),
+px AS (
+  SELECT img.i, img.w, img.h,
+         (3*x.range + i) % 256 AS r,
+         (5*y.range + 2*i) % 256 AS g,
+         (x.range + y.range + i) % 256 AS b
+  FROM img, range(64) x, range(64) y
+  WHERE x.range < img.w AND y.range < img.h
+)
+SELECT printf('asset-%06d', i) AS asset_id, 'image' AS kind,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum1,
+       CAST(SUM(r*r + g*g + b*b) AS BIGINT) AS sum2,
+       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS vmin,
+       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS vmax,
+       CAST(SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+FROM px GROUP BY i, w, h ORDER BY asset_id
 """
