@@ -2744,6 +2744,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["png_content_stats"] = png_content_stats
 
+    # COMPRESSED audio: G.711 mu-law (functions/g711.py). Lossy, but the
+    # transfer function is a closed-form per-sample integer formula, so
+    # the oracle recomputes the DECODED samples in SQL and the gate is
+    # hash-exact — n_bytes included (mu-law is fixed-rate).
+    def mulaw_content_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import multimodal as MM
+
+        return MM.content_stats(
+            MM.synthetic_mulaw_assets(spark, 400)
+        ).orderBy("asset_id")
+
+    q["mulaw_content_stats"] = mulaw_content_stats
+
     # ---- SQL-shaped engine-component analogs over the TPC-H-ish tables ----
     q["stats_sampler_by_source"] = lambda s, d: CP.stats_sampler_by_source(_docs(s, d))
     q["dict_frequency_order"] = lambda s, d: CP.dict_frequency_order(
@@ -3260,6 +3273,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "iceberg_catalog_scan",
     "mjpeg_frame_stats",
     "png_content_stats",
+    "mulaw_content_stats",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -3966,6 +3980,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["video_frame_stats"] = MM.sample_frame_stats_sql(500, every_n=2)
     o["mjpeg_frame_stats"] = MM.mjpeg_frame_stats_sql(300, every_n=2)
     o["png_content_stats"] = MM.png_content_stats_sql(400)
+    o["mulaw_content_stats"] = MM.mulaw_content_stats_sql(400)
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

@@ -2,13 +2,14 @@
 
 All three modalities decode for REAL — payloads are stored in standard
 formats decodable with numpy/stdlib alone: 24-bit uncompressed BMP and
-zlib-deflated PNG (:mod:`.png`) for images, PCM16 WAV (stdlib ``wave``)
-for audio, and RIFF/AVI for video in either of two codecs: uncompressed
-DIB frames, or motion-JPEG whose frames are baseline JPEGs decoded by
-the pure-numpy ITU-T T.81 codec in :mod:`.jpeg` — so feature extraction
-operates on actual pixels/samples/frames, not hashes, including through
-COMPRESSED codecs on both the image and video paths
-(:func:`decode_image` sniffs the container magic). Frame sampling
+zlib-deflated PNG (:mod:`.png`) for images, PCM16 or G.711 mu-law WAV
+(:mod:`.g711`) for audio, and RIFF/AVI for video in either of two
+codecs: uncompressed DIB frames, or motion-JPEG whose frames are
+baseline JPEGs decoded by the pure-numpy ITU-T T.81 codec in
+:mod:`.jpeg` — so feature extraction operates on actual pixels/samples/
+frames, not hashes, including through COMPRESSED codecs on all three
+modality paths (:func:`decode_image` / :func:`decode_wav` sniff the
+container magic/format tag). Frame sampling
 decodes ONLY the sampled frames via the idx1 index
 (:func:`decode_avi_frames`). Remaining compressed formats (H.264 et al.
 via PyAV/ffmpeg) slot in behind :data:`REAL_DECODERS_AVAILABLE` when
@@ -145,7 +146,15 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> (int16 samples, sample_rate)."""
+    """WAV bytes -> (int16 samples, sample_rate). Sniffs the fmt tag:
+    PCM16 (tag 1, stdlib ``wave``) or COMPRESSED G.711 mu-law (tag 7,
+    :mod:`.g711` — stdlib ``wave`` rejects non-PCM), so the stats/
+    features paths are codec-agnostic on audio exactly as
+    :func:`decode_image` is on images."""
+    from .g711 import decode_wav_mulaw, wav_format_tag
+
+    if payload[:4] == b"RIFF" and wav_format_tag(payload) == 7:
+        return decode_wav_mulaw(payload)
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getsampwidth() != 2:
             raise ValueError("only PCM16 supported")
@@ -1026,4 +1035,71 @@ SELECT printf('asset-%06d', i) AS asset_id, 'image' AS kind,
        CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS vmax,
        CAST(SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS BIGINT) AS zcross
 FROM px GROUP BY i, w, h ORDER BY asset_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law synthetic assets (compressed audio)
+# ---------------------------------------------------------------------------
+
+def synthetic_mulaw_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic compressed-audio asset table: the SAME closed-form
+    waveforms as :func:`synthetic_samples`, stored as real G.711 mu-law
+    WAVs (:mod:`.g711`, format tag 7, 8 bits/sample — 2:1 vs PCM16).
+    The codec is lossy but its transfer function is a closed-form
+    per-sample integer formula, so the content-stats oracle recomputes
+    the DECODED samples exactly in SQL — including ``n_bytes``, which
+    stays closed-form (``58 + n + n%2``) because mu-law is fixed-rate."""
+    from .g711 import encode_wav_mulaw
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rows.append(
+                    {
+                        "asset_id": f"asset-{i:06d}",
+                        "kind": "audio",
+                        "payload": encode_wav_mulaw(synthetic_samples(i)),
+                        "meta": {"idx": str(i), "codec": "mulaw"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, ASSETS_SCHEMA)
+
+
+def mulaw_content_stats_sql(n: int) -> str:
+    """DuckDB oracle for ``content_stats(synthetic_mulaw_assets(n))``:
+    regenerates the closed-form PCM waveform, pushes every sample
+    through the mu-law transfer function IN SQL
+    (:func:`.g711.mulaw_quantize_sql`), and computes the same integer
+    statistics over the decoded (quantized) samples — a hash match
+    proves the Spark side's encode -> RIFF container -> decode pipeline
+    is sample-exact through a lossy compressed codec."""
+    from .g711 import mulaw_quantize_sql
+
+    q = mulaw_quantize_sql("(((i*37 + 13*j.range*j.range) % 4001) - 2000)")
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+aud AS (SELECT i, 400 + (i*31) % 800 AS n FROM ids),
+samp AS (
+  SELECT aud.i, aud.n, j.range AS j, {q} AS s
+  FROM aud, range(1200) j WHERE j.range < aud.n
+),
+lagd AS (
+  SELECT i, n, j, s, LAG(s) OVER (PARTITION BY i ORDER BY j) AS sp
+  FROM samp
+)
+SELECT printf('asset-%06d', i) AS asset_id, 'audio' AS kind,
+       CAST(58 + n + (n % 2) AS BIGINT) AS n_bytes,
+       CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+       CAST(SUM(s) AS BIGINT) AS sum1,
+       CAST(SUM(s*s) AS BIGINT) AS sum2,
+       CAST(MIN(s) AS BIGINT) AS vmin,
+       CAST(MAX(s) AS BIGINT) AS vmax,
+       CAST(SUM(CASE WHEN sp IS NOT NULL AND (s < 0) != (sp < 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+FROM lagd GROUP BY i, n ORDER BY asset_id
 """
