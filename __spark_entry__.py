@@ -2639,6 +2639,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # PII hygiene (functions/pii.py): pure-Catalyst regex screen +
+    # redaction over deterministically-injected closed-form PII; the
+    # redaction gate compares the FULL masked text hash-exact.
+    def pii_screen_by_source(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import pii as PII
+
+        return PII.pii_screen_by_source(
+            PII.with_synthetic_pii(_docs(spark, sf_dir))
+        )
+
+    def pii_redaction(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import pii as PII
+
+        return PII.pii_redact(
+            PII.with_synthetic_pii(_docs(spark, sf_dir))
+        ).orderBy("doc_id")
+
+    q["pii_screen_by_source"] = pii_screen_by_source
+    q["pii_redaction"] = pii_redaction
+
     q["dedup_exact"] = lambda s, d: T.dedup_exact(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: T.minhash_signatures(_docs(s, d))
     q["lsh_candidate_pairs"] = lambda s, d: T.lsh_candidate_pairs(_docs(s, d))
@@ -3274,6 +3294,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "mjpeg_frame_stats",
     "png_content_stats",
     "mulaw_content_stats",
+    "pii_screen_by_source",
+    "pii_redaction",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -3517,6 +3539,10 @@ ORDER BY doc_id
     o["ngram_contamination_screen"] = C.ngram_contamination_sql(
         5, "doc_id % 10 <> 0", "doc_id % 10 = 0"
     )
+    from mapbox_vector_tile_spark.functions import pii as PII
+
+    o["pii_screen_by_source"] = PII.pii_screen_by_source_sql()
+    o["pii_redaction"] = PII.pii_redaction_sql()
     o["streaming_index_ingest"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.tokenize import (
         tokenize_checksum_sql,

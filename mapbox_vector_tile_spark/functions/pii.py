@@ -1,0 +1,165 @@
+"""PII detection and redaction over the documents table — pure Catalyst.
+
+The standard training-data hygiene pass (C4/Dolma/FineWeb-style): find
+and mask emails, IPv4 addresses, and phone numbers before a corpus ships
+to training. Everything here is built-in JVM regex expressions
+(``regexp_extract_all`` / ``regexp_replace``) — no UDFs, no shuffle on
+the redaction path (projection-only narrow transformation), and the
+screen rollup shuffles only the per-source aggregate. At 100 TB this is
+the ideal shape: whole-stage-codegen regex over string columns,
+embarrassingly parallel, output co-partitioned with input.
+
+The synthetic corpus has no PII, so :func:`with_synthetic_pii` injects
+deterministic closed-form PII (pure string formulas of ``doc_id``) that
+the DuckDB oracle regenerates exactly — making both the counts and the
+full redacted text hash-gateable.
+
+Patterns are deliberately restricted to syntax with identical semantics
+in Java regex (Spark) and RE2 (DuckDB): character classes, ``\\b``,
+bounded repetition; no lookaround, no backreferences.
+
+Reference parity: the reference has no text-hygiene surface (geometry
+library); this is part of the beyond-reference LLM-pipeline layer
+(SURVEY.md addendum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic PII to ``text`` as closed-form functions of
+    ``doc_id``: one email on ``doc_id % 3 == 0`` (a second on ``% 9``),
+    an IPv4 on ``% 4 == 0``, a phone on ``% 5 == 0``. Mirrored verbatim
+    by :func:`with_synthetic_pii_sql_expr`."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    piece = [
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" contact user"), s,
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(d % 9 == 0,
+               F.concat(F.lit(" cc admin"), s,
+                        F.lit("@mail.test.org"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                        F.lit("."), ((d * 7) % 256).cast("string"),
+                        F.lit("."), (d % 100).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" call 555-"), (d % 900 + 100).cast("string"),
+                        F.lit("-"), (d % 9000 + 1000).cast("string"))
+               ).otherwise(F.lit("")),
+    ]
+    return docs.withColumn("text", F.concat(F.col("text"), *piece))
+
+
+def with_synthetic_pii_sql_expr(text: str = "text",
+                                doc_id: str = "doc_id") -> str:
+    """DuckDB expression mirroring :func:`with_synthetic_pii`."""
+    d = doc_id
+    return (
+        f"{text}"
+        f" || CASE WHEN {d} % 3 = 0 THEN ' contact user' || {d} ||"
+        f" '@example.com now' ELSE '' END"
+        f" || CASE WHEN {d} % 9 = 0 THEN ' cc admin' || {d} ||"
+        f" '@mail.test.org' ELSE '' END"
+        f" || CASE WHEN {d} % 4 = 0 THEN ' from 10.' || ({d} % 256) ||"
+        f" '.' || (({d} * 7) % 256) || '.' || ({d} % 100) ELSE '' END"
+        f" || CASE WHEN {d} % 5 = 0 THEN ' call 555-' || ({d} % 900 + 100)"
+        f" || '-' || ({d} % 9000 + 1000) ELSE '' END"
+    )
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_screen(docs: DataFrame) -> DataFrame:
+    """Per-document PII counts + flag. Narrow (no shuffle): three
+    codegen'd regex scans over the text column."""
+    t = F.col("text")
+    out = docs.select(
+        "doc_id", "source",
+        _count(t, EMAIL_RE).cast("long").alias("n_email"),
+        _count(t, IPV4_RE).cast("long").alias("n_ipv4"),
+        _count(t, PHONE_RE).cast("long").alias("n_phone"),
+    )
+    return out.withColumn(
+        "pii_total",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")),
+    ).withColumn("flagged", F.col("pii_total") > 0)
+
+
+def pii_screen_by_source(docs: DataFrame) -> DataFrame:
+    """Corpus-hygiene rollup: per source, docs screened / flagged and
+    per-class totals. One tiny aggregate shuffle (|sources| rows)."""
+    return (
+        pii_screen(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("docs_flagged"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_phone").alias("n_phone"),
+        )
+        .orderBy("source")
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Masked copy of the corpus: each PII class replaced by its typed
+    placeholder (email first — after that pass the placeholder contains
+    no digits, so the later numeric patterns can't re-match inside it).
+    Projection-only; output stays co-partitioned with input."""
+    red = F.regexp_replace(F.col("text"), EMAIL_RE, EMAIL_TOKEN)
+    red = F.regexp_replace(red, IPV4_RE, IPV4_TOKEN)
+    red = F.regexp_replace(red, PHONE_RE, PHONE_TOKEN)
+    return docs.select("doc_id", "source", red.alias("redacted"))
+
+
+def pii_screen_by_source_sql() -> str:
+    """DuckDB oracle for ``pii_screen_by_source(with_synthetic_pii(documents))``."""
+    txt = with_synthetic_pii_sql_expr()
+    return f"""
+WITH pii AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all({txt}, '{EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all({txt}, '{IPV4_RE}')) AS n_ipv4,
+         len(regexp_extract_all({txt}, '{PHONE_RE}')) AS n_phone
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_flagged,
+       CAST(SUM(n_email) AS BIGINT) AS n_email,
+       CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phone
+FROM pii GROUP BY source ORDER BY source
+"""
+
+
+def pii_redaction_sql() -> str:
+    """DuckDB oracle for ``pii_redact(with_synthetic_pii(documents))``:
+    the full redacted text compares hash-exact, proving both engines'
+    regex passes found and masked identical spans."""
+    txt = with_synthetic_pii_sql_expr()
+    return f"""
+SELECT doc_id, source,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace({txt}, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+           '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
+         '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
+FROM documents ORDER BY doc_id
+"""
