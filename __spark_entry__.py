@@ -542,6 +542,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_distinct_trigrams"] = kmv_distinct_trigrams
 
+    # KMV SET OPERATIONS: cross-source n-gram overlap (union /
+    # intersection / Jaccard) estimated purely from per-source bottom-k
+    # sketches — exact overlap would shuffle the whole distinct domain;
+    # the pairwise combine here is arithmetic over 2k-row inputs
+    def kmv_source_overlap(spark, sf_dir):
+        from mapbox_vector_tile_spark.engine.matview import _source_expr
+        from mapbox_vector_tile_spark.functions.sketch import (
+            kmv_source_overlap,
+        )
+
+        tokens = _corpus(spark, sf_dir)
+        blocks = encode_dataframe(tokens, EncodeOptions())
+        decoded = decode_dataframe(blocks).withColumn(
+            "source", _source_expr()
+        )
+        return kmv_source_overlap(decoded, 3, 512)
+
+    q["kmv_source_overlap"] = kmv_source_overlap
+
     # count-min frequency sketch over bigrams: exact (r, bucket) sums —
     # the sketch state is a pure function of the corpus; map-side partial
     # agg collapses each partition to <= w*d rows before any shuffle
@@ -3296,6 +3315,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "mulaw_content_stats",
     "pii_screen_by_source",
     "pii_redaction",
+    "kmv_source_overlap",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -3465,6 +3485,11 @@ ORDER BY doc_id
     )
 
     o["kmv_distinct_trigrams"] = kmv_distinct_ngrams_sql(3, 1024)
+    from mapbox_vector_tile_spark.functions.sketch import (
+        kmv_source_overlap_sql,
+    )
+
+    o["kmv_source_overlap"] = kmv_source_overlap_sql(3, 512)
     from mapbox_vector_tile_spark.functions.sketch import (
         cm_estimate_top_ngrams_sql,
         cm_sketch_ngrams_sql,

@@ -32,7 +32,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..corpus import MOD
 
@@ -164,6 +164,185 @@ SELECT CAST({int(k)} AS BIGINT) AS k_used,
                  THEN ({int(k - 1)} * {H_DOMAIN}) // kth_h
                  ELSE n_seen END AS BIGINT) AS est_distinct
 FROM a
+"""
+
+
+def kmv_source_overlap(
+    decoded_df: DataFrame, n: int = 3, k: int = 1024
+) -> DataFrame:
+    """Cross-source n-gram overlap from per-source KMV sketches — the
+    set-operation face of KMV (Beyer et al., SIGMOD 2007 "On synopses
+    for distinct-value estimation under multiset operations", public
+    paper): one row per source pair with union / intersection / Jaccard
+    estimates computed ONLY from the two k-value sketches.
+
+    Why this shape at 100 TB: exact cross-source overlap is a shuffle of
+    the whole distinct gram domain; here each source is reduced to its
+    k smallest gram hashes (per-doc bottom-k slice -> distinct ->
+    per-source rank window, all bounded), and every pairwise estimate is
+    arithmetic over 2k-row inputs. The per-doc slice is lossless for the
+    source-level bottom-k: if a hash is among a source's k smallest, at
+    most k-1 hashes of its own doc are smaller, so it is in the doc's
+    bottom-k too.
+
+    All math is integer-exact (DIV, not float), so the DuckDB mirror
+    reproduces every row hash-exact.
+    """
+    if n < 1 or k < 2:
+        raise ValueError(f"need n >= 1 and k >= 2, got n={n} k={k}")
+    grams = (
+        decoded_df.filter(F.col("n_tok") >= n)
+        .select(
+            "source",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.expr(_gram_hash_expr(n)))
+                    ),
+                    1,
+                    k,
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    rank_w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        grams.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    side_a = pairs.join(
+        F.broadcast(sk), F.col("sa") == F.col("source")
+    ).select("sa", "sb", "h", F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    side_b = pairs.join(
+        F.broadcast(sk), F.col("sb") == F.col("source")
+    ).select("sa", "sb", "h", F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+    pair_w = Window.partitionBy("sa", "sb").orderBy("h")
+    win = (
+        merged.withColumn("rn", F.row_number().over(pair_w))
+        .filter(F.col("rn") <= k)
+    )
+    agg = win.groupBy("sa", "sb").agg(
+        F.count("*").alias("union_seen"),
+        F.max("h").alias("union_kth"),
+        F.sum(F.col("ina") * F.col("inb")).alias("inter_window"),
+    )
+    est_union = F.when(
+        F.col("union_seen") >= k,
+        F.expr(f"({int(k - 1)}L * {H_DOMAIN}L) DIV union_kth"),
+    ).otherwise(F.col("union_seen"))
+    return (
+        agg.select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.lit(int(k)).cast("long").alias("k_used"),
+            F.col("union_seen").cast("long"),
+            F.col("union_kth").cast("long"),
+            F.col("inter_window").cast("long"),
+            est_union.cast("long").alias("est_union"),
+        )
+        .withColumn(
+            "est_intersection",
+            F.expr("(inter_window * est_union) DIV union_seen").cast("long"),
+        )
+        .withColumn(
+            "jaccard_pct",
+            F.expr("(100 * inter_window) DIV union_seen").cast("long"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def kmv_source_overlap_sql(
+    n: int = 3, k: int = 1024, doc_source: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`kmv_source_overlap`: exact per-source
+    distinct gram hashes -> identical rank windows and integer
+    arithmetic (the per-doc slice in the Spark plan is lossless, so the
+    oracle skips it)."""
+    from ..corpus import params_cte_sql, source_case_sql, tokens_cte_sql
+
+    toks = ", ".join(
+        f"LEAD(tok, {d}) OVER (PARTITION BY doc_id ORDER BY j) AS t{d}"
+        for d in range(1, n)
+    )
+    lead_cols = (", " + toks) if n > 1 else ""
+    parts = " || ',' || ".join(
+        ["CAST(tok AS BIGINT)"] + [f"CAST(t{d} AS BIGINT)" for d in range(1, n)]
+    )
+    not_null = " AND ".join(
+        ["tok IS NOT NULL"] + [f"t{d} IS NOT NULL" for d in range(1, n)]
+    )
+    return f"""
+WITH{params_cte_sql(doc_source)},{tokens_cte_sql()},
+  w AS (
+    SELECT doc_id, j, tok{lead_cols} FROM t
+  ),
+  g AS (
+    SELECT DISTINCT {source_case_sql("doc_id")} AS source,
+      CAST('0x' || substr(md5(CAST({parts} AS VARCHAR)), 1, 12) AS BIGINT)
+        AS h
+    FROM w WHERE {not_null}
+  ),
+  sk AS (
+    SELECT source, h FROM (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM g
+    ) WHERE rn <= {int(k)}
+  ),
+  pr AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM (SELECT DISTINCT source FROM sk) a,
+         (SELECT DISTINCT source FROM sk) b
+    WHERE a.source < b.source
+  ),
+  m AS (
+    SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+      SELECT pr.sa, pr.sb, sk.h, 1 AS ina, 0 AS inb
+      FROM pr JOIN sk ON sk.source = pr.sa
+      UNION ALL
+      SELECT pr.sa, pr.sb, sk.h, 0 AS ina, 1 AS inb
+      FROM pr JOIN sk ON sk.source = pr.sb
+    ) GROUP BY sa, sb, h
+  ),
+  win AS (
+    SELECT * FROM (
+      SELECT m.*, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      FROM m
+    ) WHERE rn <= {int(k)}
+  ),
+  a AS (
+    SELECT sa, sb, COUNT(*) AS union_seen, MAX(h) AS union_kth,
+           SUM(ina * inb) AS inter_window
+    FROM win GROUP BY sa, sb
+  )
+SELECT sa AS source_a, sb AS source_b,
+       CAST({int(k)} AS BIGINT) AS k_used,
+       CAST(union_seen AS BIGINT) AS union_seen,
+       CAST(union_kth AS BIGINT) AS union_kth,
+       CAST(inter_window AS BIGINT) AS inter_window,
+       CAST(CASE WHEN union_seen >= {int(k)}
+                 THEN ({int(k - 1)} * {H_DOMAIN}) // union_kth
+                 ELSE union_seen END AS BIGINT) AS est_union,
+       CAST((inter_window * (CASE WHEN union_seen >= {int(k)}
+                 THEN ({int(k - 1)} * {H_DOMAIN}) // union_kth
+                 ELSE union_seen END)) // union_seen AS BIGINT)
+           AS est_intersection,
+       CAST((100 * inter_window) // union_seen AS BIGINT) AS jaccard_pct
+FROM a ORDER BY source_a, source_b
 """
 
 
