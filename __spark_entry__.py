@@ -2768,6 +2768,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mjpeg_frame_stats"] = mjpeg_frame_stats
 
+    # COMPRESSED video, second container: animated GIF (LZW dictionary
+    # compression, functions/gif.py). Lossless palette codec => exact
+    # sampled-frame stats; unsampled frames cost only a sub-block walk.
+    def gif_frame_stats(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions import multimodal as MM
+
+        return MM.sample_frame_stats(
+            MM.synthetic_gif_assets(spark, 300), every_n=2
+        ).orderBy("asset_id", "t")
+
+    q["gif_frame_stats"] = gif_frame_stats
+
     # COMPRESSED images: PNG (pure stdlib zlib + numpy, functions/png.py)
     # with real per-row adaptive filtering. Lossless, so the pixel-stats
     # hash gate is exact; n_bytes (deflate size) is dropped on both sides
@@ -3313,6 +3325,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "mjpeg_frame_stats",
     "png_content_stats",
     "mulaw_content_stats",
+    "gif_frame_stats",
     "pii_screen_by_source",
     "pii_redaction",
     "kmv_source_overlap",
@@ -4032,6 +4045,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["mjpeg_frame_stats"] = MM.mjpeg_frame_stats_sql(300, every_n=2)
     o["png_content_stats"] = MM.png_content_stats_sql(400)
     o["mulaw_content_stats"] = MM.mulaw_content_stats_sql(400)
+    o["gif_frame_stats"] = MM.gif_frame_stats_sql(300, every_n=2)
     o["stats_sampler_by_source"] = CP.STATS_SAMPLER_SQL
     o["dict_frequency_order"] = CP.DICT_FREQ_SQL
     o["rle_run_count_events"] = CP.RLE_RUNS_SQL

@@ -3,17 +3,18 @@
 All three modalities decode for REAL — payloads are stored in standard
 formats decodable with numpy/stdlib alone: 24-bit uncompressed BMP and
 zlib-deflated PNG (:mod:`.png`) for images, PCM16 or G.711 mu-law WAV
-(:mod:`.g711`) for audio, and RIFF/AVI for video in either of two
-codecs: uncompressed DIB frames, or motion-JPEG whose frames are
-baseline JPEGs decoded by the pure-numpy ITU-T T.81 codec in
-:mod:`.jpeg` — so feature extraction operates on actual pixels/samples/
-frames, not hashes, including through COMPRESSED codecs on all three
-modality paths (:func:`decode_image` / :func:`decode_wav` sniff the
-container magic/format tag). Frame sampling
-decodes ONLY the sampled frames via the idx1 index
-(:func:`decode_avi_frames`). Remaining compressed formats (H.264 et al.
-via PyAV/ffmpeg) slot in behind :data:`REAL_DECODERS_AVAILABLE` when
-those libs exist.
+(:mod:`.g711`) for audio, and two video containers: RIFF/AVI
+(uncompressed DIB frames, or motion-JPEG whose frames are baseline
+JPEGs decoded by the pure-numpy ITU-T T.81 codec in :mod:`.jpeg`) and
+animated GIF (LZW, :mod:`.gif`) — so feature extraction operates on
+actual pixels/samples/frames, not hashes, including through COMPRESSED
+codecs on all three modality paths (:func:`decode_image` /
+:func:`decode_wav` / :func:`decode_video` sniff the container
+magic/format tag). Frame sampling decodes ONLY the sampled frames — via
+the idx1 index for AVI (:func:`decode_avi_frames`), via the LZW-free
+sub-block walk for GIF. Remaining compressed formats (H.264 et al. via
+PyAV/ffmpeg) slot in behind :data:`REAL_DECODERS_AVAILABLE` when those
+libs exist.
 
 Pattern: ``mapInPandas`` over an assets table
 ``(asset_id string, kind string, payload binary, meta map<string,string>)``;
@@ -143,6 +144,43 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         w.setframerate(rate)
         w.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
+    """Format-sniffing video decode: RIFF/AVI (DIB or motion-JPEG) or
+    animated GIF (:mod:`.gif`, LZW). Returns ((T, H, W, 3) uint8 RGB,
+    rate) — fps for AVI, the GIF frame delay in centiseconds."""
+    if payload[:4] == b"RIFF":
+        return decode_avi(payload)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("unknown video payload (not AVI or GIF)")
+
+
+def video_headers(payload: bytes) -> tuple[int, int, int]:
+    """Sniffing ``(n_frames, width, height)`` without decoding frames."""
+    if payload[:4] == b"RIFF":
+        return _avi_headers(payload)[:3]
+    if payload[:4] == b"GIF8":
+        from .gif import gif_headers
+
+        return gif_headers(payload)
+    raise ValueError("unknown video payload (not AVI or GIF)")
+
+
+def decode_video_frames(payload: bytes, indices: np.ndarray) -> np.ndarray:
+    """Sniffing sampled-frame decode: AVI seeks via the idx1 index
+    (unsampled frames' bytes never read); GIF walks sub-block lengths
+    (no LZW for unsampled frames) — each container's honest bound."""
+    if payload[:4] == b"RIFF":
+        return decode_avi_frames(payload, indices)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif_frames
+
+        return decode_gif_frames(payload, indices)
+    raise ValueError("unknown video payload (not AVI or GIF)")
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -540,7 +578,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         samples, rate = decode_wav(payload)
                         feat = _audio_features(samples, rate)
                     elif kind == "video":
-                        frames, fps = decode_avi(payload)
+                        frames, fps = decode_video(payload)
                         _t, hgt, w, _ = frames.shape
                         feat = _video_features(frames, fps)
                     else:  # unknown kind: deterministic payload features
@@ -614,7 +652,7 @@ def content_stats(assets: DataFrame) -> DataFrame:
                          int(np.count_nonzero(neg[1:] != neg[:-1])))
                     )
                 else:  # video: stats over REAL decoded frames
-                    frames, _fps = decode_avi(payload)
+                    frames, _fps = decode_video(payload)
                     _t, h, w, _ = frames.shape
                     v = frames.astype(np.int64)
                     rows.append(
@@ -844,9 +882,9 @@ def sample_frame_stats(assets: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = bytes(payload)
-                n_frames, w, h = _avi_headers(payload)[:3]
+                n_frames, w, h = video_headers(payload)
                 idx = np.arange(0, n_frames, every_n, dtype=np.int64)
-                frames = decode_avi_frames(payload, idx)
+                frames = decode_video_frames(payload, idx)
                 v = frames.astype(np.int64)
                 for j, t in enumerate(idx):
                     rows.append(
@@ -1102,4 +1140,90 @@ SELECT printf('asset-%06d', i) AS asset_id, 'audio' AS kind,
        CAST(SUM(CASE WHEN sp IS NOT NULL AND (s < 0) != (sp < 0)
                 THEN 1 ELSE 0 END) AS BIGINT) AS zcross
 FROM lagd GROUP BY i, n ORDER BY asset_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Animated-GIF synthetic assets (LZW-compressed video)
+# ---------------------------------------------------------------------------
+
+def synthetic_gif_frames(i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form palette animation for asset ``i``: frame indices and
+    palette are integer formulas of ``(i, t, x, y)`` / ``(i, j)``, so a
+    SQL oracle regenerates every decoded RGB value exactly (GIF's LZW is
+    lossless)."""
+    p = 4 + (i * 3) % 60
+    t = 2 + (i * 11) % 5
+    w = 1 + (i * 13) % 24
+    h = 1 + (i * 29) % 24
+    tt = np.arange(t, dtype=np.int64)[:, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :]
+    idx = ((x + 2 * y + 3 * tt + i) % p).astype(np.uint8)
+    j = np.arange(p, dtype=np.int64)
+    pal = np.stack(
+        [(7 * j + i) % 256, (11 * j + 2 * i) % 256, (13 * j + 3 * i) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return np.broadcast_to(idx, (t, h, w)).copy(), pal
+
+
+def synthetic_gif_assets(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic animated-GIF asset table (kind ``video``): real
+    GIF89a payloads around :func:`synthetic_gif_frames` content,
+    LZW-compressed by :mod:`.gif`."""
+    from .gif import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                frames, pal = synthetic_gif_frames(i)
+                rows.append(
+                    {
+                        "asset_id": f"asset-{i:06d}",
+                        "kind": "video",
+                        "payload": encode_gif(frames, pal),
+                        "meta": {"idx": str(i), "codec": "gif"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, ASSETS_SCHEMA)
+
+
+def gif_frame_stats_sql(n: int, every_n: int = 2) -> str:
+    """DuckDB oracle for
+    ``sample_frame_stats(synthetic_gif_assets(n), every_n)``: regenerates
+    the sampled frames' palette lookups in SQL — a hash match proves the
+    LZW stream decoded every index exactly through the sub-block walk."""
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+vid AS (
+  SELECT i, 4 + (i*3) % 60 AS p, 2 + (i*11) % 5 AS nt,
+         1 + (i*13) % 24 AS w, 1 + (i*29) % 24 AS h
+  FROM ids
+),
+px AS (
+  SELECT vid.i, t.range AS t, vid.w, vid.h,
+         (x.range + 2*y.range + 3*t.range + i) % p AS j
+  FROM vid, range(6) t, range(24) x, range(24) y
+  WHERE t.range < vid.nt AND t.range % {every_n} = 0
+    AND x.range < vid.w AND y.range < vid.h
+),
+rgb AS (
+  SELECT i, t, w, h,
+         (7*j + i) % 256 AS r, (11*j + 2*i) % 256 AS g,
+         (13*j + 3*i) % 256 AS b
+  FROM px
+)
+SELECT printf('asset-%06d', i) AS asset_id, CAST(t AS BIGINT) AS t,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum1,
+       CAST(SUM(r*r + g*g + b*b) AS BIGINT) AS sum2,
+       CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS vmin,
+       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS vmax,
+       CAST(SUM(CASE WHEN r > g THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+FROM rgb GROUP BY i, t, w, h ORDER BY asset_id, t
 """
