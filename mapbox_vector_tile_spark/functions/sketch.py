@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -190,25 +191,50 @@ def kmv_source_overlap(
     """
     if n < 1 or k < 2:
         raise ValueError(f"need n >= 1 and k >= 2, got n={n} k={k}")
-    grams = (
-        decoded_df.filter(F.col("n_tok") >= n)
-        .select(
-            "source",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.array_distinct(F.expr(_gram_hash_expr(n)))
-                    ),
-                    1,
-                    k,
-                )
-            ).alias("h"),
-        )
-        .distinct()
+    grams = decoded_df.filter(F.col("n_tok") >= n).select(
+        "source",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.expr(_gram_hash_expr(n)))
+                ),
+                1,
+                k,
+            )
+        ).alias("h"),
     )
+
+    # partition-local bottom-k per source BEFORE any shuffle: the rank
+    # window then sees <= partitions x k rows per source, never the
+    # source's whole distinct gram vocabulary (same partial+finisher
+    # shape as the corpus-wide sketch above)
+    reduce_at = max(65536, 8 * k)
+
+    def _reduce(dfs: list) -> "pd.DataFrame":
+        cur = pd.concat(dfs, ignore_index=True)
+        cur = cur.drop_duplicates().sort_values("h", kind="stable")
+        return cur.groupby("source", sort=False).head(k)
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bufs: list = []
+        total = 0
+        for batch in batches:
+            bufs.append(batch.to_pandas())
+            total += batch.num_rows
+            if total >= reduce_at:  # amortized: O(log) reduces per task
+                red = _reduce(bufs)
+                bufs, total = [red], len(red)
+        if bufs:
+            out = _reduce(bufs)
+            if len(out):
+                yield pa.RecordBatch.from_pandas(
+                    out.reset_index(drop=True), preserve_index=False
+                )
+
+    sk = grams.mapInArrow(partial, "source string, h long").distinct()
     rank_w = Window.partitionBy("source").orderBy("h")
     sk = (
-        grams.withColumn("rn", F.row_number().over(rank_w))
+        sk.withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
