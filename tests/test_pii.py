@@ -33,6 +33,38 @@ def test_screen_counts_each_class(spark):
     assert got[4]["pii_total"] == 3 and got[4]["flagged"]
 
 
+def test_card_luhn_screen_and_redact(spark):
+    rows = [
+        "pay 4532015112830366 now",          # Luhn-valid 16-digit
+        "ref 4532015112830367 here",         # invalid (last digit off)
+        "id 79927398713 ok",                 # Luhn-valid 11-digit: NOT 13-16
+        "num 12345678901234567 long",        # 17 digits: no match at all
+    ]
+    got = P.pii_screen(_docs(spark, rows)).orderBy("doc_id").collect()
+    assert [r["n_ccard"] for r in got] == [1, 0, 0, 0]
+    assert got[0]["flagged"] and not got[1]["flagged"]
+    red = [r["redacted"] for r in
+           P.pii_redact(_docs(spark, rows)).orderBy("doc_id").collect()]
+    # redaction masks BOTH valid and invalid candidates (recall), but
+    # leaves non-candidate runs alone
+    assert red[0] == "pay <CARD> now"
+    assert red[1] == "ref <CARD> here"
+    assert red[2] == "id 79927398713 ok"
+    assert red[3] == "num 12345678901234567 long"
+
+
+def test_injected_cards_validate(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(0, 48)],
+        "doc_id long, text string, source string",
+    )
+    scr = {r["doc_id"]: r for r in
+           P.pii_screen(P.with_synthetic_pii(docs)).collect()}
+    for i in range(48):
+        want = 1 if i % 6 == 0 else 0  # %8 injection is Luhn-INVALID
+        assert scr[i]["n_ccard"] == want, i
+
+
 def test_redact_masks_and_preserves_rest(spark):
     rows = ["ask bob@corp.net from 10.1.2.3 dial 555-123-4567 end"]
     out = P.pii_redact(_docs(spark, rows)).first()["redacted"]
@@ -78,7 +110,8 @@ def test_injection_mirror_spark_vs_duckdb(spark):
     assert got == want
     # every class actually occurs in the injected corpus
     scr = P.pii_screen(P.with_synthetic_pii(docs))
-    tot = scr.agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone")).first()
+    tot = scr.agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"),
+                  F.sum("n_ccard")).first()
     assert all(v > 0 for v in tot)
 
 
