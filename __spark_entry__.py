@@ -2678,6 +2678,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pii_screen_by_source"] = pii_screen_by_source
     q["pii_redaction"] = pii_redaction
 
+    # the composed curation pipeline: filter -> dedup -> redact -> split
+    # in ONE Catalyst plan; oracle assembled from the per-op mirrors
+    def curation_pipeline(spark, sf_dir):
+        from mapbox_vector_tile_spark.functions.curation import (
+            curation_pipeline_rollup,
+        )
+
+        return curation_pipeline_rollup(_docs(spark, sf_dir))
+
+    q["curation_pipeline"] = curation_pipeline
+
     q["dedup_exact"] = lambda s, d: T.dedup_exact(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: T.minhash_signatures(_docs(s, d))
     q["lsh_candidate_pairs"] = lambda s, d: T.lsh_candidate_pairs(_docs(s, d))
@@ -3328,6 +3339,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "gif_frame_stats",
     "pii_screen_by_source",
     "pii_redaction",
+    "curation_pipeline",
     "kmv_source_overlap",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
@@ -3581,6 +3593,11 @@ ORDER BY doc_id
 
     o["pii_screen_by_source"] = PII.pii_screen_by_source_sql()
     o["pii_redaction"] = PII.pii_redaction_sql()
+    from mapbox_vector_tile_spark.functions.curation import (
+        curation_pipeline_rollup_sql,
+    )
+
+    o["curation_pipeline"] = curation_pipeline_rollup_sql()
     o["streaming_index_ingest"] = C.index_token_stats_sql(0, 63)
     from mapbox_vector_tile_spark.functions.tokenize import (
         tokenize_checksum_sql,

@@ -219,19 +219,24 @@ FROM pii GROUP BY source ORDER BY source
 """
 
 
+def redact_sql_expr(txt: str) -> str:
+    """DuckDB expression mirroring :func:`pii_redact` over ``txt``
+    (same pass order: email, card, ipv4, phone)."""
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{txt}, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'), "
+        f"'{CARD_RE}', '{CARD_TOKEN}', 'g'), "
+        f"'{IPV4_RE}', '{IPV4_TOKEN}', 'g'), "
+        f"'{PHONE_RE}', '{PHONE_TOKEN}', 'g')"
+    )
+
+
 def pii_redaction_sql() -> str:
     """DuckDB oracle for ``pii_redact(with_synthetic_pii(documents))``:
     the full redacted text compares hash-exact, proving both engines'
     regex passes found and masked identical spans."""
-    txt = with_synthetic_pii_sql_expr()
+    red = redact_sql_expr(with_synthetic_pii_sql_expr())
     return f"""
-SELECT doc_id, source,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace({txt}, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
-             '{CARD_RE}', '{CARD_TOKEN}', 'g'),
-           '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
-         '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS redacted
+SELECT doc_id, source, {red} AS redacted
 FROM documents ORDER BY doc_id
 """

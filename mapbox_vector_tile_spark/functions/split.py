@@ -34,6 +34,20 @@ def split_expr(splits: dict[str, int], doc_id_col: str = "doc_id") -> Column:
             f"split shares must sum to {_SPACE}, got {sum(splits.values())}"
         )
     h = (doc_num_expr(doc_id_col) * F.lit(_HASH_MULT)) % F.lit(_SPACE)
+    return _assign(splits, h)
+
+
+def split_expr_from_num(splits: dict[str, int], num: Column) -> Column:
+    """:func:`split_expr` over an already-numeric doc-id column (e.g.
+    the ``documents`` table's BIGINT ``doc_id``)."""
+    if sum(splits.values()) != _SPACE:
+        raise ValueError(
+            f"split shares must sum to {_SPACE}, got {sum(splits.values())}"
+        )
+    return _assign(splits, (num * F.lit(_HASH_MULT)) % F.lit(_SPACE))
+
+
+def _assign(splits: dict[str, int], h: Column) -> Column:
     names = list(splits)
     expr = F.lit(names[-1])
     edge = 0
