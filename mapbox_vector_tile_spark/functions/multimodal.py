@@ -45,14 +45,18 @@ CONTENT_STATS_SCHEMA = (
     "sum1 long, sum2 long, vmin long, vmax long, zcross long"
 )
 
-try:  # optional: compressed-image decode (JPEG/PNG) when PIL exists
-    import PIL.Image  # noqa: F401
+# Every shipped format decodes with the in-repo codecs (BMP/PNG/JPEG,
+# PCM/mu-law WAV, DIB/MJPEG AVI, GIF) — no external image/audio libs.
+# This flag now gates only formats that genuinely need external
+# decoders (H.264 and friends via PyAV/ffmpeg, absent in this sandbox).
+try:
+    import av  # noqa: F401
 
     REAL_DECODERS_AVAILABLE = True
 except Exception:
     REAL_DECODERS_AVAILABLE = False
 
-REAL_VIDEO_DECODER = True  # uncompressed RIFF/AVI (raw DIB frames), numpy only
+REAL_VIDEO_DECODER = True  # RIFF/AVI (DIB + MJPEG) and GIF, numpy only
 
 FEAT_DIM = 16
 
