@@ -2715,6 +2715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["near_dup_embedding"] = lambda s, d: SIM.near_dup_embedding(
         _emb(s, d), min_dot_pct=30
     )
+    # cluster-level embedding dedup: components over the confirmed pairs
+    # (same min_dot_pct=30 so the graph is non-trivial at sf0.01)
+    q["embedding_dedup_clusters"] = lambda s, d: SIM.embedding_dedup_clusters(
+        _emb(s, d), min_dot_pct=30
+    )
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
     # int8 absmax embedding quantization — integer-exact codes via fixed
@@ -3341,6 +3346,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pii_redaction",
     "curation_pipeline",
     "kmv_source_overlap",
+    "embedding_dedup_clusters",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -4047,6 +4053,9 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["ann_lsh_buckets"] = SIM.lsh_buckets_sql()
     o["ann_lsh_top1"] = SIM.ann_lsh_top1_sql()
     o["near_dup_embedding"] = SIM.near_dup_embedding_sql(min_dot_pct=30)
+    o["embedding_dedup_clusters"] = SIM.embedding_dedup_clusters_sql(
+        min_dot_pct=30
+    )
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["embedding_quantize"] = SIM.embedding_quantize_stats_sql()

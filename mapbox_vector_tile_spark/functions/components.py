@@ -303,3 +303,80 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((cum - n_tok) % {seq_len} AS BIGINT) AS offset_in_seq
 FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components by min-label propagation (shared by the text and
+# embedding dedup-cluster operators)
+# ---------------------------------------------------------------------------
+
+def min_label_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iters: int = 12,
+) -> DataFrame:
+    """``(id_col, cluster_id)`` for every id: connected components over
+    the undirected pair graph, label = the component's minimum id.
+
+    Scale shape: each iteration is one edge-to-label equi-join + a
+    groupBy-min, both keyed on ids — no all-pairs step (the edge list is
+    whatever candidate->verify stage produced it). Iterations needed =
+    graph diameter; near-dup components are near-cliques (diameter
+    2-3), so convergence takes 2-4 rounds, checked by a per-round
+    changed-count action with fail-fast at ``max_iters`` (a graph that
+    deep is not near-dup-shaped — a large-star/small-star variant
+    belongs in the loop instead)."""
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = ids.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).cast("long").alias("cluster_id"),
+    ).persist()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("_id").alias("b"),
+                    F.col("cluster_id").alias("nl"),
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .select(F.col("a").alias("_id"), "nl")
+        )
+        new_labels = (
+            labels.join(neigh, "_id", "left")
+            .select(
+                "_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nl", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"min_label_components did not converge in {max_iters} "
+            f"iterations"
+        )
+    edges.unpersist()
+    return labels.select(F.col("_id").alias(id_col), "cluster_id")

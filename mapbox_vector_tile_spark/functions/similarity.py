@@ -652,3 +652,63 @@ SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(adc AS BIGINT) AS adc_fixed
 FROM best WHERE rn = 1 ORDER BY query_id
 """
+
+
+def embedding_dedup_clusters(
+    emb: DataFrame, min_dot_pct: int = 90, max_iters: int = 12
+) -> DataFrame:
+    """Cluster-level embedding dedup: connected components over the
+    confirmed cosine near-dup pairs (:func:`near_dup_embedding`), one
+    canonical vector per cluster — the embedding-space twin of
+    ``text.dedup_clusters`` (pairwise keep-first is inconsistent across
+    transitive near-dup chains; cluster heads are not). The propagation
+    loop is the shared :func:`.components.min_label_components` (edge
+    list LSH-bounded, per-iteration equi-join + groupBy-min).
+
+    Returns ``(vec_id, cluster_id, cluster_size, is_canonical)`` for
+    every vector, singletons included, ordered by ``vec_id``."""
+    from .components import min_label_components
+
+    pairs = near_dup_embedding(emb, min_dot_pct).select("vec_a", "vec_b")
+    labels = min_label_components(
+        emb.select("vec_id"), pairs, "vec_id", "vec_a", "vec_b", max_iters
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_dedup_clusters_sql(min_dot_pct: int = 90) -> str:
+    """DuckDB oracle: recursive-CTE transitive closure over the SAME
+    confirmed pair SQL, label = min reachable vec_id — the exact
+    fixpoint the propagation loop reaches."""
+    pairs = near_dup_embedding_sql(min_dot_pct).replace(
+        "ORDER BY vec_a, vec_b", ""
+    )
+    return f"""
+WITH RECURSIVE p AS ({pairs}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+          UNION ALL SELECT vec_b, vec_a FROM p),
+reach(n, m) AS (
+  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+labels AS (SELECT n AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       l.vec_id = l.cluster_id AS is_canonical
+FROM labels l JOIN sizes s USING (cluster_id)
+ORDER BY l.vec_id
+"""

@@ -571,54 +571,12 @@ def dedup_clusters(
     document (singletons are their own cluster of size 1), ordered by
     ``doc_id``.
     """
+    from .components import min_label_components
+
     pairs = near_dup_jaccard(docs, min_pct).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist()
-    labels = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("doc_id").cast("long").alias("cluster_id"),
-    ).persist()
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("cluster_id").alias("nl"),
-                ),
-                "doc_b",
-            )
-            .groupBy("doc_a")
-            .agg(F.min("nl").alias("nl"))
-            .select(F.col("doc_a").alias("doc_id"), "nl")
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nl", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise ValueError(
-            f"dedup_clusters did not converge in {max_iters} iterations"
-        )
-    edges.unpersist()
+    labels = min_label_components(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b", max_iters
+    )
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
