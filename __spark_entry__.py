@@ -2720,6 +2720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dedup_clusters"] = lambda s, d: SIM.embedding_dedup_clusters(
         _emb(s, d), min_dot_pct=30
     )
+    # exact fixed-point Gram / second-moment statistics (the PCA and
+    # whitening preprocessing input) via int64 matmul partials
+    q["embedding_gram"] = lambda s, d: SIM.embedding_gram(_emb(s, d))
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
     # int8 absmax embedding quantization — integer-exact codes via fixed
@@ -3347,6 +3350,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "curation_pipeline",
     "kmv_source_overlap",
     "embedding_dedup_clusters",
+    "embedding_gram",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -4056,6 +4060,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     o["embedding_dedup_clusters"] = SIM.embedding_dedup_clusters_sql(
         min_dot_pct=30
     )
+    o["embedding_gram"] = SIM.embedding_gram_sql()
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["embedding_quantize"] = SIM.embedding_quantize_stats_sql()

@@ -17,6 +17,10 @@ hash-partitions by bucket.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
 SCALE = 1 << 20  # fixed-point scale for exact cross-engine dot products
@@ -711,4 +715,120 @@ SELECT l.vec_id, l.cluster_id, s.cluster_size,
        l.vec_id = l.cluster_id AS is_canonical
 FROM labels l JOIN sizes s USING (cluster_id)
 ORDER BY l.vec_id
+"""
+
+
+GRAM_SCALE = 1 << 10  # coarser than SCALE: products*rows must fit int64
+# Range analysis: |e| <= ~1 so |fixed| <= 2^10; a product is <= 2^20 and
+# the (i, j) accumulator after N rows is <= N * 2^20 — int64-safe to
+# N ~ 8e12 rows, i.e. the full 10^12-sequence corpus in one pass. The
+# 2^-10 quantization is ample for covariance/PCA preprocessing; the
+# point of fixing the point is that the oracle reproduces every sum
+# bit-exactly (float matmul would be association-order-dependent).
+
+
+def embedding_gram(emb: DataFrame) -> DataFrame:
+    """Exact second-moment sufficient statistics of the embedding corpus:
+    one row per dimension pair ``i <= j`` with ``(n, sum_i, sum_j,
+    sum_ij)`` in fixed point — everything PCA / whitening / covariance
+    needs, after which the driver-side eigendecomposition is a D x D
+    problem (D ~ 64), not a data problem.
+
+    Scale shape: each Arrow batch contributes one int64 ``E^T E``
+    matmul partial (numpy, zero-copy from the Arrow list buffer) — the
+    map-side combine leaves only ``partitions x D^2`` tiny rows for the
+    final groupBy; the corpus itself never shuffles."""
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        g = None
+        s = None
+        n = 0
+        for batch in batches:
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            d = len(col[0]) if len(col) else 0
+            if not d:
+                continue
+            e = np.floor(
+                flat.astype(np.float64).reshape(-1, d) * GRAM_SCALE
+            ).astype(np.int64)
+            if g is None:
+                g = np.zeros((d, d), dtype=np.int64)
+                s = np.zeros(d, dtype=np.int64)
+            g += e.T @ e
+            s += e.sum(axis=0)
+            n += e.shape[0]
+        if g is None:
+            return
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        rows_i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int32)
+        rows_j = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int32)
+        rows_v = np.concatenate([g[iu, ju], s, [n]]).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(rows_i), pa.array(rows_j), pa.array(rows_v)],
+            names=["i", "j", "v"],
+        )
+
+    agg = (
+        emb.select("embedding")
+        .mapInArrow(partial, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    gram = agg.filter(F.col("j") >= 0).select("i", "j", F.col("v").alias("sum_ij"))
+    dims = agg.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("di"), F.col("v").alias("dsum")
+    )
+    n_row = agg.filter(F.col("i") == -1).select(F.col("v").alias("n"))
+    return (
+        gram.join(F.broadcast(n_row))
+        .join(
+            F.broadcast(dims.select(F.col("di").alias("i"),
+                                    F.col("dsum").alias("sum_i"))), "i"
+        )
+        .join(
+            F.broadcast(dims.select(F.col("di").alias("j"),
+                                    F.col("dsum").alias("sum_j"))), "j"
+        )
+        .select(
+            F.col("i").cast("long"), F.col("j").cast("long"),
+            "n", "sum_i", "sum_j", "sum_ij",
+        )
+        .orderBy("i", "j")
+    )
+
+
+def embedding_gram_sql() -> str:
+    """DuckDB oracle: the same fixed-point sums from exact unnested
+    pairs (a hash match proves the matmul partials + combine reproduce
+    the mathematically-exact integer statistics)."""
+    return f"""
+WITH f AS (
+  SELECT list_transform(embedding, e ->
+           CAST(floor(CAST(e AS DOUBLE) * {GRAM_SCALE}) AS BIGINT)) AS fe
+  FROM embeddings
+),
+px AS (
+  SELECT u.i AS i, v.i AS j, f.fe[u.i+1] * f.fe[v.i+1] AS p
+  FROM f,
+       unnest(range(len(f.fe))) u(i),
+       unnest(range(len(f.fe))) v(i)
+  WHERE u.i <= v.i
+),
+dims AS (
+  SELECT u.i AS i, CAST(SUM(f.fe[u.i+1]) AS BIGINT) AS dsum
+  FROM f, unnest(range(len(f.fe))) u(i) GROUP BY u.i
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)
+SELECT CAST(px.i AS BIGINT) AS i, CAST(px.j AS BIGINT) AS j, nn.n,
+       a.dsum AS sum_i, b.dsum AS sum_j,
+       CAST(SUM(px.p) AS BIGINT) AS sum_ij
+FROM px, nn
+JOIN dims a ON a.i = px.i
+JOIN dims b ON b.i = px.j
+GROUP BY px.i, px.j, nn.n, a.dsum, b.dsum
+ORDER BY i, j
 """
