@@ -2723,6 +2723,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact fixed-point Gram / second-moment statistics (the PCA and
     # whitening preprocessing input) via int64 matmul partials
     q["embedding_gram"] = lambda s, d: SIM.embedding_gram(_emb(s, d))
+
+    # streaming Gram maintenance (5th mergeable sink family): fold
+    # embedding micro-batches by per-cell addition; the final published
+    # state must equal the batch statistics EXACTLY — the oracle is the
+    # same SQL as the batch query
+    def streaming_gram_ingest(spark, sf_dir):
+        import os
+        import shutil
+        import tempfile
+
+        from mapbox_vector_tile_spark.streaming.gram_sink import (
+            read_current_gram,
+            start_gram_maintenance_stream,
+        )
+
+        work = tempfile.mkdtemp(prefix="mvt_gram_")
+        try:
+            emb_pq = os.path.join(work, "emb")
+            _emb(spark, sf_dir).repartition(6).write.parquet(emb_pq)
+            static = spark.read.parquet(emb_pq)
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(emb_pq)
+            )
+            root = os.path.join(work, "gram")
+            sq = start_gram_maintenance_stream(
+                stream, root, os.path.join(work, "ck")
+            )
+            sq.awaitTermination()
+            res = read_current_gram(spark, root).orderBy("i", "j")
+            return spark.createDataFrame(res.collect(), res.schema)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    q["streaming_gram_ingest"] = streaming_gram_ingest
     q["ann_ivf_lists"] = lambda s, d: SIM.ivf_assignments(_emb(s, d))
     q["ann_ivf_top1"] = lambda s, d: SIM.ann_ivf_top1(_emb(s, d))
     # int8 absmax embedding quantization — integer-exact codes via fixed
@@ -3351,6 +3387,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmv_source_overlap",
     "embedding_dedup_clusters",
     "embedding_gram",
+    "streaming_gram_ingest",
     "matview_incremental_rollup",
     # whole-table columnar store (never driver-gated before r5)
     "table_column_roundtrip",
@@ -4061,6 +4098,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         min_dot_pct=30
     )
     o["embedding_gram"] = SIM.embedding_gram_sql()
+    o["streaming_gram_ingest"] = SIM.embedding_gram_sql()
     o["ann_ivf_lists"] = SIM.ivf_assignments_sql()
     o["ann_ivf_top1"] = SIM.ann_ivf_top1_sql()
     o["embedding_quantize"] = SIM.embedding_quantize_stats_sql()
