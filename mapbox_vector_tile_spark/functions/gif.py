@@ -82,6 +82,13 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        # The decoder appends a table entry for this final data code (the
+        # encoder assigns none).  When that append lands exactly on the
+        # width capacity (len(table) == 1 << width) the decoder widens
+        # before reading END — mirror it so END is written at the width
+        # the decoder will read it at.
+        if next_code == (1 << width) and width < 12 and next_code < _MAX_CODE:
+            width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)
