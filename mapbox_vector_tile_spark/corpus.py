@@ -74,11 +74,111 @@ def source_of(doc_ids: np.ndarray) -> np.ndarray:
     return np.array(SOURCES, dtype=object)[(d * 131071) % len(SOURCES)]
 
 
+def _regime_0(did, j):
+    did %= 100
+    return did
+
+
+def _regime_1(did, j):
+    # ((did*31 + j//17) * 2654435761) % 100
+    j //= 17
+    did *= 31
+    did += j
+    did *= 2654435761
+    did %= 100
+    return did
+
+
+def _regime_2(did, j):
+    # (did*2654435761 + j*40503) % 64
+    did *= 2654435761
+    j *= 40503
+    did += j
+    did %= 64
+    return did
+
+
+def _regime_3(did, j):
+    # (did % 1000) + j*8 + ((did*31 + j) * 2654435761) % 8
+    t = did * 31
+    t += j
+    t *= 2654435761
+    t %= 8
+    did %= 1000
+    j *= 8
+    did += j
+    did += t
+    return did
+
+
+def _regime_4(did, j):
+    # 10000 + (did + j*7919) % 256
+    j *= 7919
+    did += j
+    did %= 256
+    did += 10000
+    return did
+
+
+def _regime_5(did, j):
+    # h = (did*48271 + j*16807) % 2147483647; h%16 if h%4 < 3 else h%50257
+    did *= 48271
+    j *= 16807
+    did += j
+    did %= 2147483647
+    return np.where(did % 4 < 3, did % 16, did % 50257)
+
+
+def _regime_6(did, j):
+    # ((did*48271 + j*69621) * 16807) % 2147483647
+    did *= 48271
+    j *= 69621
+    did += j
+    did *= 16807
+    did %= 2147483647
+    return did
+
+
+def _regime_7(did, j):
+    # (j % 64) * (1 - 2*(j % 2)) * 17 + did % 7
+    sign = j & 1
+    sign *= -2
+    sign += 1
+    j %= 64
+    j *= sign
+    j *= 17
+    did %= 7
+    j += did
+    return j
+
+
+_BOUNDARY = np.array([2147483647, -2147483648, 0, -1, 1], dtype=np.int64)
+
+
+def _regime_8(did, j):
+    j %= 5
+    return _BOUNDARY[j]
+
+
+_REGIME_FNS = (
+    _regime_0, _regime_1, _regime_2, _regime_3, _regime_4,
+    _regime_5, _regime_6, _regime_7, _regime_8,
+)
+
+
 def tokens_flat(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Generate all tokens for ``doc_ids``.
 
     Returns ``(lengths, values)`` where ``values`` is the int32 concatenation
-    of every doc's token array in doc order. Fully vectorized.
+    of every doc's token array in doc order. Fully vectorized, grouped by
+    regime: each regime's tokens are built contiguously from per-regime
+    ``(did, j)`` streams and scattered into the doc-order output — no
+    full-stream regime masks, no whole-corpus ``did``/``reg``/``j``
+    materialization, and no final ``astype`` copy (the scatter assignment
+    performs the int32 wraparound cast). The regime formulas run in-place
+    on the per-regime streams, which roughly halves the memory traffic per
+    token — the binding resource for corpus synthesis on bandwidth-limited
+    hosts.
     """
     d = np.asarray(doc_ids, dtype=np.int64)
     if d.size and (int(d.max()) > MAX_DOC_ID or int(d.min()) < 0):
@@ -88,71 +188,90 @@ def tokens_flat(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     total = int(lengths.sum())
     if total == 0:
         return lengths, np.zeros(0, dtype=np.int32)
-    did = np.repeat(d, lengths)
-    reg = np.repeat(regimes, lengths)
-    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    j = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
-
-    tok = np.zeros(total, dtype=np.int64)
-    m = reg == 0
-    tok[m] = did[m] % 100
-    m = reg == 1
-    tok[m] = ((did[m] * 31 + j[m] // 17) * 2654435761) % 100
-    m = reg == 2
-    tok[m] = (did[m] * 2654435761 + j[m] * 40503) % 64
-    m = reg == 3
-    tok[m] = (did[m] % 1000) + j[m] * 8 + ((did[m] * 31 + j[m]) * 2654435761) % 8
-    m = reg == 4
-    tok[m] = 10000 + (did[m] + j[m] * 7919) % 256
-    m = reg == 5
-    h = (did[m] * 48271 + j[m] * 16807) % 2147483647
-    tok[m] = np.where(h % 4 < 3, h % 16, h % 50257)
-    m = reg == 6
-    tok[m] = ((did[m] * 48271 + j[m] * 69621) * 16807) % 2147483647
-    m = reg == 7
-    tok[m] = (j[m] % 64) * (1 - 2 * (j[m] % 2)) * 17 + did[m] % 7
-    m = reg == 8
-    bound = np.array([2147483647, -2147483648, 0, -1, 1], dtype=np.int64)
-    tok[m] = bound[j[m] % 5]
-    return lengths, tok.astype(np.int32)
+    out = np.empty(total, dtype=np.int32)
+    doc_start = np.empty(d.size + 1, dtype=np.int64)
+    doc_start[0] = 0
+    np.cumsum(lengths, out=doc_start[1:])
+    for r, fn in enumerate(_REGIME_FNS):
+        sel = np.flatnonzero(regimes == r)
+        if sel.size == 0:
+            continue
+        lens_r = lengths[sel]
+        tot_r = int(lens_r.sum())
+        if tot_r == 0:
+            continue
+        did = np.repeat(d[sel], lens_r)
+        starts_r = np.empty(sel.size, dtype=np.int64)
+        starts_r[0] = 0
+        np.cumsum(lens_r[:-1], out=starts_r[1:])
+        ar = np.arange(tot_r, dtype=np.int64)
+        j = ar - np.repeat(starts_r, lens_r)
+        # global output position of each regime token: doc_start[doc] + j
+        idx = np.repeat(doc_start[sel] - starts_r, lens_r)
+        idx += ar
+        out[idx] = fn(did, j)  # int64 -> int32 wraparound, as astype did
+    return lengths, out
 
 
-def doc_checksums(doc_ids: np.ndarray, lengths: np.ndarray, values: np.ndarray):
+def doc_checksums(
+    doc_ids: np.ndarray,
+    lengths: np.ndarray,
+    values: np.ndarray,
+    minmax: bool = True,
+):
     """Per-doc order-sensitive checksums of a (possibly decoded) token stream.
 
     Returns dict of numpy arrays aligned with ``doc_ids``:
     ``tok_cks = pmod(sum(tok))``, ``tok_wcks = pmod(sum((j+1)*tok))``,
     ``tok_min/tok_max`` (None encoded as the sentinel float NaN is avoided —
-    callers emit NULL for empty docs).
+    callers emit NULL for empty docs; skipped when ``minmax=False`` — the
+    verify metadata path only ships the two sums, so the two extra
+    reduceat passes would be pure waste there).
+
+    The sums come from prefix-sum differences over the flat stream (one
+    int64 cumsum each) instead of per-doc ``reduceat`` over materialized
+    ``(j+1)*tok`` / an int64 copy of ``values``: the position-weighted doc
+    sum is recovered from the *global*-position-weighted prefix sums via
+    ``sum((j+1)v) = sum((g+1)v) - start*sum(v)``. Intermediate prefix sums
+    may wrap int64; every step is exact modulo 2**64 and the true per-doc
+    results fit in int64, so the wraparound cancels.
     """
     d = np.asarray(doc_ids, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
-    v = np.asarray(values, dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    j = (
-        np.arange(v.size, dtype=np.int64) - np.repeat(starts, lengths)
-        if v.size
-        else np.zeros(0, dtype=np.int64)
-    )
+    v = np.asarray(values)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
     nonempty = lengths > 0
-    tok_sum = np.zeros(d.size, dtype=np.int64)
-    tok_wsum = np.zeros(d.size, dtype=np.int64)
-    if v.size:
-        ne_starts = starts[nonempty]
-        tok_sum[nonempty] = np.add.reduceat(v, ne_starts)
-        tok_wsum[nonempty] = np.add.reduceat((j + 1) * v, ne_starts)
-    tok_min = np.zeros(d.size, dtype=np.int64)
-    tok_max = np.zeros(d.size, dtype=np.int64)
-    if v.size:
-        tok_min[nonempty] = np.minimum.reduceat(v, starts[nonempty])
-        tok_max[nonempty] = np.maximum.reduceat(v, starts[nonempty])
-    return {
+    n = int(v.size)
+    if n:
+        cs = np.empty(n + 1, dtype=np.int64)
+        cs[0] = 0
+        np.cumsum(v, dtype=np.int64, out=cs[1:])
+        tok_sum = cs[ends] - cs[starts]
+        # weights = global position + 1; reuse cs for the weighted prefix
+        w = np.arange(1, n + 1, dtype=np.int64)
+        w *= v
+        np.cumsum(w, out=cs[1:])
+        tok_wsum = cs[ends] - cs[starts]
+        tok_wsum -= starts * tok_sum
+    else:
+        tok_sum = np.zeros(d.size, dtype=np.int64)
+        tok_wsum = np.zeros(d.size, dtype=np.int64)
+    out = {
         "tok_cks": tok_sum % MOD,  # numpy floor-mod == pmod for MOD > 0
         "tok_wcks": tok_wsum % MOD,
-        "tok_min": tok_min,
-        "tok_max": tok_max,
         "nonempty": nonempty,
     }
+    if minmax:
+        tok_min = np.zeros(d.size, dtype=np.int64)
+        tok_max = np.zeros(d.size, dtype=np.int64)
+        if n:
+            v64 = v if v.dtype == np.int64 else v.astype(np.int64)
+            tok_min[nonempty] = np.minimum.reduceat(v64, starts[nonempty])
+            tok_max[nonempty] = np.maximum.reduceat(v64, starts[nonempty])
+        out["tok_min"] = tok_min
+        out["tok_max"] = tok_max
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -152,10 +152,13 @@ def plan_weighted_cuts(
         return []
     per_file_target = max(1, sample_target // n_files)
     groups = _group_files(files, spark.sparkContext.defaultParallelism)
-    tasks = spark.createDataFrame(
+    from ..sources.parquet_direct import task_rows_dataframe
+
+    tasks = task_rows_dataframe(
+        spark,
         [(i, g) for i, g in enumerate(groups)],
         "task_id int, paths array<string>",
-    ).repartition(len(groups), "task_id")
+    )
     cols = list(dict.fromkeys([*key_cols, weight_col]))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -251,10 +254,13 @@ def size_weighted_exchange(
     if n_tasks is None:
         n_tasks = spark.sparkContext.defaultParallelism
     groups = _group_files(files, n_tasks)
-    tasks = spark.createDataFrame(
+    from ..sources.parquet_direct import task_rows_dataframe
+
+    tasks = task_rows_dataframe(
+        spark,
         [(i, g) for i, g in enumerate(groups)],
         "task_id int, paths array<string>",
-    ).repartition(len(groups), "task_id")
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..sources.parquet_direct import write_parquet_atomic
@@ -695,10 +701,13 @@ def exchange_encode_fused(
     if n_tasks is None:
         n_tasks = spark.sparkContext.defaultParallelism
     groups = _group_files(files, n_tasks)
-    tasks = spark.createDataFrame(
+    from ..sources.parquet_direct import task_rows_dataframe
+
+    tasks = task_rows_dataframe(
+        spark,
         [(i, g) for i, g in enumerate(groups)],
         "task_id int, paths array<string>",
-    ).repartition(len(groups), "task_id")
+    )
     read_cols = list(dict.fromkeys([*key_cols, "doc_id", "tokens"]))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -858,9 +867,11 @@ def _fused_direct_run(
     task groups."""
     cuts_b, cuts_w = _cuts_fixed_bytes(cuts)
     os.makedirs(out_path, exist_ok=True)
-    tasks = spark.createDataFrame(
-        groups, "task_id int, paths array<string>"
-    ).repartition(len(groups), "task_id")
+    from ..sources.parquet_direct import task_rows_dataframe
+
+    tasks = task_rows_dataframe(
+        spark, groups, "task_id int, paths array<string>"
+    )
     read_cols = list(dict.fromkeys([*key_cols, "doc_id", "tokens"]))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -100,9 +100,9 @@ def write_corpus_parquet_direct(
         for i in range(num_partitions)
         if bounds[i] < bounds[i + 1]
     ]
-    tasks = spark.createDataFrame(
-        rows, "task_id int, start long, end long"
-    ).repartition(len(rows), "task_id")
+    from ..sources.parquet_direct import task_rows_dataframe
+
+    tasks = task_rows_dataframe(spark, rows, "task_id int, start long, end long")
 
     def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
         import pyarrow.parquet as pq

@@ -210,12 +210,30 @@ def blocks_files_df(spark: SparkSession, blocks_path: str):
     )
 
 
+def task_rows_dataframe(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Task-plan DataFrame with EXACTLY one row (task group) per Spark
+    partition. The previous form — ``createDataFrame(rows).repartition(n,
+    "task_id")`` — hash-partitions ``n`` distinct keys into ``n``
+    partitions, which leaves ~1/e of the partitions empty and stacks up to
+    4 task groups on a single partition (measured at n=64): a straggler
+    tail that multiplies the makespan of the 1-2-wave direct stages.
+    ``parallelize``'s even slicing assigns one group per partition exactly
+    and deterministically, and needs no exchange at all (one fewer shuffle
+    stage per direct-scan job)."""
+    sc = spark.sparkContext
+    return spark.createDataFrame(
+        sc.parallelize(rows, max(1, len(rows))), schema
+    )
+
+
 def _footer_row_counts(spark: SparkSession, files: list[str]) -> dict[str, int]:
     """Distributed footer scan: workers read ``num_rows`` from their share
     of the file list — never a driver loop over footers (at 100 TB even
     listing-adjacent metadata reads belong on executors)."""
-    df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        min(len(files), spark.sparkContext.defaultParallelism)
+    n_parts = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], n_parts),
+        "path string",
     )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -302,10 +320,11 @@ def file_task_dataframe(
         [[f] for f in files] if n_tasks is None
         else group_files_by_size(files, n_tasks)
     )
-    return spark.createDataFrame(
+    return task_rows_dataframe(
+        spark,
         [(i, g) for i, g in enumerate(groups)],
         "task_id int, paths array<string>",
-    ).repartition(len(groups), "task_id")
+    )
 
 
 _TASK_SCHEMA = (
@@ -343,9 +362,7 @@ def block_task_dataframe(
             (i, [p], [lo], [hi]) for i, (p, lo, hi) in enumerate(specs)
         ]
     rows = [r for r in rows if r[1]]
-    return spark.createDataFrame(rows, _TASK_SCHEMA).repartition(
-        len(rows), "task_id"
-    )
+    return task_rows_dataframe(spark, rows, _TASK_SCHEMA)
 
 
 def _iter_task_files(tb: pa.RecordBatch):
@@ -699,7 +716,9 @@ def _doc_cks_batch(doc_ids: pa.Array, lengths, values) -> pa.RecordBatch:
     from .. import corpus as C
 
     lengths = np.asarray(lengths, dtype=np.int64)
-    cks = C.doc_checksums(np.zeros(lengths.size, np.int64), lengths, values)
+    cks = C.doc_checksums(
+        np.zeros(lengths.size, np.int64), lengths, values, minmax=False
+    )
     return pa.RecordBatch.from_arrays(
         [
             doc_ids,
