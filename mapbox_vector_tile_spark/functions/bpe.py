@@ -160,9 +160,20 @@ def bpe_train(
     """Run ``n_merges`` BPE iterations; returns the learned merge table
     ``[(iter, a, b, new_id, n_pairs), ...]`` and the merged corpus
     DataFrame. Driver loop is over merges; each iteration is two corpus
-    passes (count, apply)."""
+    passes (count, apply).
+
+    Each iteration's merged corpus is PERSISTED (memory-and-disk) and the
+    previous iteration's cache dropped once the new one has materialized —
+    a sliding window of at most two cached corpora. Without it, iteration
+    ``k``'s pair count re-executes all ``k`` prior merge passes from the
+    source (O(n_merges^2) corpus passes) and the physical plan deepens
+    linearly; with it every iteration reads the previous merged corpus
+    from cache, so the chain is O(n_merges) passes and iteration ``k``'s
+    plan contains exactly one merge ``mapInArrow`` over an in-memory
+    scan."""
     merges: list[tuple[int, int, int, int, int]] = []
     cur = tokens_df
+    prev = None  # the persisted corpus one iteration back (materialized)
     for it in range(n_merges):
         best = (
             pair_counts(cur)
@@ -170,12 +181,19 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the collect above materialized cur's cache (when persisted), so
+        # the one-older corpus can no longer be needed by any recompute
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         a, b, n = int(best[0].a), int(best[0].b), int(best[0].n)
         new_id = base_vocab + it
         merges.append((it, a, b, new_id, n))
-        cur = apply_merge(cur, a, b, new_id)
+        nxt = apply_merge(cur, a, b, new_id).persist()
+        prev = cur if cur is not tokens_df else None
+        cur = nxt
     return merges, cur
 
 

@@ -98,7 +98,15 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """GIF LZW stream -> palette-index bytes (classic table-lag decoder:
     append ``prev + entry[0]`` before resolving the current code, widen
-    when the table reaches the width capacity)."""
+    when the table reaches the width capacity).
+
+    Codes are extracted in VECTORIZED SPANS: between width changes every
+    code has the same fixed width, and the widen point is predictable
+    (``(1 << width) - len(table)`` appends away), so whole spans unpack
+    via numpy bit matrices instead of a per-bit shift loop — only the
+    table-building walk stays per-code Python. A CLEAR (which resets the
+    width unpredictably) or a widen simply ends the span early; unconsumed
+    span bits are re-extracted at the new width."""
     if not 2 <= min_code_size <= 11:
         raise ValueError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
@@ -108,40 +116,52 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     width = min_code_size + 1
     out = bytearray()
     prev: bytes | None = None
-    acc = 0
-    nbits = 0
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    total = int(bits.size)
     pos = 0
+    weights = (1 << np.arange(12, dtype=np.int32))
     while True:
-        while nbits < width:
-            if pos >= len(data):
-                raise ValueError("LZW stream truncated (no END code)")
-            acc |= data[pos] << nbits
-            nbits += 8
-            pos += 1
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = list(base)
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            return bytes(out)
-        if prev is not None:
-            if code < len(table):
-                table.append(prev + table[code][:1])
-            elif code == len(table):
-                table.append(prev + prev[:1])
-            else:
-                raise ValueError(f"LZW code {code} out of range")
-            if len(table) == (1 << width) and width < 12:
-                width += 1
-        elif code >= len(table):
-            raise ValueError(f"LZW first code {code} out of range")
-        entry = table[code]
-        out += entry
-        prev = entry
+        # codes guaranteed to share this width: the decoder widens only
+        # after (1 << width) - len(table) appends, and appends happen at
+        # most once per code — a span of that many codes cannot straddle
+        # a widen (a CLEAR/widen still ends the span early, checked per
+        # code below)
+        n_safe = ((1 << width) - len(table)) if width < 12 else (1 << 30)
+        n = min(max(n_safe, 1), (total - pos) // width)
+        if n <= 0:
+            raise ValueError("LZW stream truncated (no END code)")
+        codes = (
+            bits[pos:pos + n * width].reshape(n, width) @ weights[:width]
+        ).tolist()
+        w0 = width
+        used = 0
+        for code in codes:
+            used += 1
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                break
+            if code == end:
+                return bytes(out)
+            if prev is not None:
+                ln = len(table)
+                if code < ln:
+                    table.append(prev + table[code][:1])
+                elif code == ln:
+                    table.append(prev + prev[:1])
+                else:
+                    raise ValueError(f"LZW code {code} out of range")
+                if ln + 1 == (1 << width) and width < 12:
+                    width += 1
+            elif code >= len(table):
+                raise ValueError(f"LZW first code {code} out of range")
+            entry = table[code]
+            out += entry
+            prev = entry
+            if width != w0:
+                break  # widened: re-extract the rest at the new width
+        pos += used * w0
 
 
 def _sub_blocks(data: bytes) -> bytes:

@@ -158,10 +158,21 @@ def _build_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
     return out
 
 
-class _DecodeTable:
-    """T.81 F.2.2.3 DECODE tables: mincode/maxcode/valptr per length."""
+_LUT_CACHE: dict[tuple, list] = {}
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+class _DecodeTable:
+    """T.81 F.2.2.3 DECODE tables, plus a single-step 16-bit LOOKUP table:
+    JPEG huffman codes are at most 16 bits, so a 65536-entry table indexed
+    by the next 16 bits of the stream yields ``(symbol << 5) | code_length``
+    in ONE lookup — the classic table-driven decode that replaces the
+    per-bit tree walk (the entropy loop was the documented per-symbol
+    wall). Entry 0 marks an invalid prefix. Tables are cached by
+    ``(bits, vals)`` content: MJPEG streams repeat the same Annex K
+    tables every frame, so the 65536-entry build is paid once per
+    process, not once per frame."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals", "lut")
 
     def __init__(self, bits, vals):
         self.vals = list(vals)
@@ -179,6 +190,24 @@ class _DecodeTable:
                 k += n
                 self.maxcode[length] = code - 1
             code <<= 1
+        key = (tuple(bits), tuple(vals))
+        lut = _LUT_CACHE.get(key)
+        if lut is None:
+            arr = np.zeros(1 << 16, dtype=np.uint32)
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    lo = code << (16 - length)
+                    arr[lo:lo + (1 << (16 - length))] = (
+                        (self.vals[k] << 5) | length
+                    )
+                    code += 1
+                    k += 1
+                code <<= 1
+            lut = arr.tolist()
+            _LUT_CACHE[key] = lut
+        self.lut = lut
 
 
 class _BitWriter:
@@ -207,41 +236,100 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads MSB-first bits from already-destuffed entropy bytes."""
+    """Reads MSB-first bits from already-destuffed entropy bytes.
 
-    __slots__ = ("data", "pos", "acc", "nbits")
+    Keeps a small integer accumulator topped up to >=16 bits so huffman
+    symbols resolve with ONE 16-bit peek into the decode table's LUT and
+    magnitude bits extract with one shift — no per-bit loop. Peeks past
+    the end of the data see zero padding; CONSUMING into the padding (the
+    truncated-stream case) still raises, preserving the strict-error
+    contract of the per-bit reader."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "total", "consumed")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.total = 8 * len(data)
+        self.consumed = 0
+
+    def _fill(self, need: int) -> None:
+        # top up well past `need` in one from_bytes so the refill runs
+        # once per few symbols, not once per symbol
+        pos = self.pos
+        take = min(6, len(self.data) - pos)
+        if take > 0:
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                self.data[pos:pos + take], "big"
+            )
+            self.nbits += 8 * take
+            self.pos = pos + take
+        while self.nbits < need:
+            self.acc <<= 8  # zero padding; consumption checks catch overrun
+            self.nbits += 8
 
     def bit(self) -> int:
-        if not self.nbits:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return self.bits(1)
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        self.consumed += n
+        if self.consumed > self.total:
+            raise ValueError("JPEG entropy data exhausted")
+        nbits = self.nbits - n
+        v = (self.acc >> nbits) & ((1 << n) - 1)
+        self.nbits = nbits
+        self.acc &= (1 << nbits) - 1
         return v
 
     def decode(self, tab: _DecodeTable) -> int:
-        code = self.bit()
-        length = 1
-        while code > tab.maxcode[length]:
-            length += 1
-            if length > 16:
-                raise ValueError("invalid huffman code")
-            code = (code << 1) | self.bit()
-        return tab.vals[tab.valptr[length] + code - tab.mincode[length]]
+        if self.nbits < 16:
+            self._fill(16)
+        e = tab.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        length = e & 31
+        if length == 0:
+            raise ValueError("invalid huffman code")
+        self.consumed += length
+        if self.consumed > self.total:
+            raise ValueError("JPEG entropy data exhausted")
+        nbits = self.nbits - length
+        self.nbits = nbits
+        self.acc &= (1 << nbits) - 1
+        return e >> 5
+
+    def huff_extend(self, tab: _DecodeTable) -> tuple[int, int]:
+        """One fused step of the entropy loop: huffman symbol ``rs`` plus
+        its EXTENDed magnitude value (low-nibble ``s`` bits, F.2.2.1) in a
+        single fill/peek — the coefficient loop makes one call per
+        coefficient instead of three (decode, bits, extend)."""
+        if self.nbits < 27:  # 16-bit code + up to 11 magnitude bits
+            self._fill(27)
+        nbits = self.nbits
+        acc = self.acc
+        e = tab.lut[(acc >> (nbits - 16)) & 0xFFFF]
+        length = e & 31
+        if length == 0:
+            raise ValueError("invalid huffman code")
+        rs = e >> 5
+        s = rs & 15
+        self.consumed += length + s
+        if self.consumed > self.total:
+            raise ValueError("JPEG entropy data exhausted")
+        nbits -= length
+        if s:
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            value = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        else:
+            value = 0
+        self.nbits = nbits
+        self.acc = acc & ((1 << nbits) - 1)
+        return rs, value
 
 
 def _extend(v: int, size: int) -> int:
@@ -490,27 +578,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
 
-    # destuff entropy data; split on restart markers
+    # destuff entropy data; split on restart markers. Vectorized: find
+    # every 0xFF with numpy, walk only the (rare) marker positions in
+    # Python, and build segments from plain byte slices — the per-byte
+    # copy loop was measurable against the fast entropy loop.
     segments: list[bytes] = []
+    n_pay = len(payload)
+    arr = np.frombuffer(payload, np.uint8)
+    ffs = np.flatnonzero(arr[pos:] == 0xFF) + pos
     cur = bytearray()
     p = pos
-    n_pay = len(payload)
-    while p < n_pay:
-        b = payload[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        nxt = payload[p + 1] if p + 1 < n_pay else 0xD9
+    end = n_pay
+    for fpos in ffs:
+        fpos = int(fpos)
+        if fpos < p:
+            continue  # consumed as part of a previous 2-byte marker
+        nxt = payload[fpos + 1] if fpos + 1 < n_pay else 0xD9
         if nxt == 0x00:
-            cur.append(0xFF)
-            p += 2
+            cur += payload[p:fpos + 1]  # keep the 0xFF, drop the stuffing
+            p = fpos + 2
         elif 0xD0 <= nxt <= 0xD7:
+            cur += payload[p:fpos]
             segments.append(bytes(cur))
             cur = bytearray()
-            p += 2
+            p = fpos + 2
         else:
+            end = fpos
             break  # next real marker (EOI or otherwise) ends the scan
+    cur += payload[p:end]
     segments.append(bytes(cur))
 
     hmax = max(c[1] for c in comps)
@@ -539,6 +634,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             reader = _BitReader(segments[seg_i])
             preds = {c[0]: 0 for c in comps}
         my, mx = divmod(m, mcus_x)
+        huff_extend = reader.huff_extend
         for cid, hf, vf, _tq in order:
             dct = htabs.get((0, dc_sel[cid]))
             act = htabs.get((1, ac_sel[cid]))
@@ -547,24 +643,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             g = grids[cid]
             for v in range(vf):
                 for hh in range(hf):
-                    blk = np.zeros(64, dtype=np.int64)
-                    size = reader.decode(dct)
-                    diff = _extend(reader.bits(size), size)
+                    blk = [0] * 64
+                    _, diff = huff_extend(dct)
                     preds[cid] += diff
                     blk[0] = preds[cid]
                     k = 1
                     while k < 64:
-                        rs = reader.decode(act)
-                        r, s = rs >> 4, rs & 0xF
+                        rs, value = huff_extend(act)
+                        s = rs & 0xF
                         if s == 0:
-                            if r == 15:
+                            if rs == 0xF0:
                                 k += 16  # ZRL
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("AC run past block end")
-                        blk[k] = _extend(reader.bits(s), s)
+                        blk[k] = value
                         k += 1
                     g[my * vf + v, mx * hf + hh] = blk
 

@@ -1273,7 +1273,11 @@ def _scan_with_partitions(spark, meta: dict, files: list[DataFile],
         for f in sfiles:
             key = tuple((f.partition or {}).get(c) for c in id_cols)
             groups.setdefault(key, []).append(f.file_path)
-        for key, paths in sorted(groups.items()):
+        # NULL partition values (None) sort after strings deterministically
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        ):
             g = attach_meta(spark.read.schema(reduced_ddl).parquet(*paths))
             for c, v in zip(id_cols, key):
                 g = g.withColumn(c, F.lit(v).cast("string"))
@@ -1520,22 +1524,65 @@ def commit_position_deletes(
 
 
 def delete_where(spark, table_path: str, predicate: str) -> dict:
-    """Row-level DELETE WHERE: find matching rows' (file, position) via
-    the metadata columns, commit them as one position-delete file. The
-    position scan is fully distributed; only the matched positions reach
-    the driver (bounded by the delete, not the table)."""
+    """Row-level DELETE WHERE with a DISTRIBUTED position-delete writer:
+    matching rows' (file, position) pairs are found via the metadata
+    columns and each scan partition writes its own spec-sorted
+    position-delete parquet fragment worker-side (deterministic name from
+    the commit sequence + partition id, atomic tmp+rename — the
+    ``parquet_direct`` sink pattern), so matched positions NEVER reach the
+    driver: a predicate-wave delete (e.g. a GDPR purge by domain) commits
+    millions of positions with only one metadata row per fragment
+    crossing to the driver. Empty partitions write nothing; the single
+    manifest commit registers every fragment (the reader already unions
+    all content=1 files)."""
+    from collections.abc import Iterator as _It
+
+    import pyarrow as pa
     from pyspark.sql import functions as F
 
     files = plan_scan(table_path)
     meta = load_metadata(table_path)
+    seq = meta["last-sequence-number"] + 1
+    dd = os.path.join(table_path, "data", f"deletes-seq={seq}")
+    os.makedirs(dd, exist_ok=True)
+    token = _det_uuid(f"{table_path}:del:{seq}")
     df = _scan_with_partitions(spark, meta, files, need_meta=True)
     hits = df.filter(predicate).select(
         F.col("__fp").alias("file_path"),
-        F.col("__pos").alias("pos"),
-    ).collect()
-    return commit_position_deletes(
-        table_path, [(r.file_path, r.pos) for r in hits]
+        F.col("__pos").cast("long").alias("pos"),
     )
+
+    def fn(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        from .parquet_direct import write_parquet_atomic
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx else 0
+        parts = [b for b in batches if b.num_rows]
+        out_schema = pa.schema([("path", pa.string()), ("n", pa.int64()),
+                                ("size", pa.int64())])
+        if parts:
+            tbl = pa.Table.from_batches(parts).sort_by(
+                [("file_path", "ascending"), ("pos", "ascending")]
+            )
+            path = os.path.join(dd, f"delete-{token}-{part:05d}.parquet")
+            write_parquet_atomic(tbl, path)
+            yield pa.RecordBatch.from_pydict(
+                {"path": [path], "n": [tbl.num_rows],
+                 "size": [os.path.getsize(path)]},
+                schema=out_schema,
+            )
+
+    written = hits.mapInArrow(fn, "path string, n long, size long").collect()
+    new = [
+        DataFile(r.path, int(r.n), int(r.size), content=POSITION_DELETES)
+        for r in written
+    ]
+    live = _plan_files(
+        table_path, meta, meta["current-snapshot-id"], content=None
+    )
+    return _commit(table_path, live + new, [], "delete")
 
 
 def incremental_scan(
@@ -1908,12 +1955,27 @@ def _write_data_files(
         writer = writer.partitionBy(*part_cols)
     writer.parquet(data_dir)
     name_by_part = {p: f["name"] for p, f in zip(part_cols, fields)}
+
+    # Spark URL-escapes special characters in partition directory names
+    # (space -> %20, ':' -> %3A, '%' -> %25) and writes NULL values as
+    # __HIVE_DEFAULT_PARTITION__. Manifest partition values must hold the
+    # LOGICAL value, or plan_scan's transform-equality and lexicographic
+    # range compares would match escaped text against unescaped filter
+    # values and silently prune files that DO contain matching rows.
+    from urllib.parse import unquote
+
+    def _unescape(v: str):
+        return None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+
     new_files = []
     for dp, _dirs, names in sorted(os.walk(data_dir)):
         rel = os.path.relpath(dp, data_dir)
-        pvals = dict(
-            seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
-        )
+        pvals = {
+            k: _unescape(v)
+            for k, v in (
+                seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
+            )
+        }
         for name in sorted(names):
             if not name.endswith(".parquet"):
                 continue

@@ -45,6 +45,16 @@ def published_batch_ids(root: str) -> set[int]:
 
 
 def current_gram_dir(root: str) -> str | None:
+    """The LEDGER is the single source of truth: the published state is
+    the ``dir`` of the last ``_versions.jsonl`` line, so the atomic
+    ledger append in :func:`publish_gram_batch` IS the publish point. A
+    crash on either side of it is clean: before the append the batch
+    replays (id not in the ledger), after it the replay is a no-op and
+    readers already see the new version — the ``_current`` pointer file
+    is only a convenience cache and can lag without losing a batch."""
+    log = version_log(root)
+    if log:
+        return os.path.join(root, log[-1]["dir"])
     cur = os.path.join(root, "_current")
     if not os.path.exists(cur):
         return None

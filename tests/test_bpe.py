@@ -87,3 +87,31 @@ def test_bpe_train_spark(spark):
     assert rows["doc-1"] == [100, 5, 100]
     assert rows["doc-2"] == [101, 101]
     assert rows["doc-3"] == []
+
+
+def test_bpe_train_persists_per_iteration(spark):
+    """Iteration k must read the previous merged corpus from cache, not
+    re-execute all k prior merge passes: the final merged plan's lineage
+    reaches an InMemoryTableScan (the persisted previous iteration) and
+    the trainer leaves at most the sliding window of caches behind."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"doc-{i}" for i in range(8)],
+                "tokens": [[1, 2, 1, 2, 3, 4, 3, 4]] * 8,
+                "n_tok": [8] * 8,
+            }
+        ),
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    merges, merged = BPE.bpe_train(df, n_merges=3, base_vocab=100)
+    assert len(merges) == 3
+    plan = merged._jdf.queryExecution().optimizedPlan().toString()
+    # the last apply_merge must sit on the cached iteration-2 corpus
+    assert "InMemoryRelation" in plan
+    # ... and produce the right arrays (cache does not change results)
+    rows = {r.doc_id: list(r.tokens) for r in merged.collect()}
+    # iter0: (1,2)->100; iter1: (3,4)->101; iter2: (100,100)->102
+    assert rows["doc-0"] == [102, 101, 101]

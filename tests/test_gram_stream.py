@@ -68,3 +68,38 @@ def test_stream_matches_batch(spark, tmp_path):
     # multiple micro-batches actually happened
     assert len(version_log(root)) >= 2
     assert os.path.exists(os.path.join(root, "_current"))
+
+
+def test_crash_between_ledger_and_pointer_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """The ledger append is the publish point: a crash AFTER the ledger
+    line but BEFORE the _current swap must not lose the batch — readers
+    and the next merge follow the ledger, not the stale pointer."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 0.3, (60, 4)).astype(np.float32)
+    root = str(tmp_path / "gram")
+    publish_gram_batch(spark, root, _emb_df(spark, X[:20]), 0)
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith("_current"):
+            raise OSError("simulated crash before pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crashing_replace)
+    try:
+        publish_gram_batch(spark, root, _emb_df(spark, X[20:40], 20), 1)
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    # batch 1 is in the ledger; its state must be visible despite the
+    # stale pointer, and the replay must be a no-op
+    assert len(version_log(root)) == 2
+    assert current_gram_dir(root).endswith(version_log(root)[-1]["dir"])
+    assert publish_gram_batch(spark, root, _emb_df(spark, X[20:40], 20), 1) is None
+    publish_gram_batch(spark, root, _emb_df(spark, X[40:], 40), 2)
+    got = sorted(map(tuple, read_current_gram(spark, root).collect()))
+    want = sorted(map(tuple, embedding_gram(_emb_df(spark, X)).collect()))
+    assert got == want

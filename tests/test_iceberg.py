@@ -227,10 +227,12 @@ def test_iceberg_position_deletes_mor(spark, tmp_path):
     after = {r.doc_id for r in ICE.read_table(spark, tp).collect()}
     assert len(after) == 180 and "doc-00000030" not in after
     assert "doc-00000199" in after
-    # delete-manifest planning surfaces the delete file with its seq
+    # delete-manifest planning surfaces the delete fragments with their
+    # seq (the distributed writer emits one spec-sorted fragment per
+    # non-empty scan partition)
     dels = ICE.plan_scan(tp, content=ICE.POSITION_DELETES)
-    assert len(dels) == 1 and dels[0].record_count == 20
-    assert dels[0].sequence_number == 3  # committed after two appends
+    assert dels and sum(d.record_count for d in dels) == 20
+    assert all(d.sequence_number == 3 for d in dels)  # after two appends
     # the file-level scan path refuses tables with live deletes
     from mapbox_vector_tile_spark.sources.parquet_direct import (
         list_parquet_files,
@@ -861,3 +863,60 @@ def test_range_pruning_through_monotonic_transforms(spark, tmp_path):
     # window this wide overlaps files in many buckets
     assert len({f.partition["event_id_bucket"] for f in pr4}) > 1
     assert n_all >= len(pr4) > 0
+
+
+def test_delete_where_distributed_writer(spark, tmp_path):
+    """delete_where writes position-delete fragments from the workers:
+    a predicate spanning several data files commits spec-sorted parquet
+    fragments under data/deletes-seq=N (no matched position ever crosses
+    to the driver — only one manifest row per fragment), and the
+    merge-on-read result is identical to the single-file form."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    tp = _table(spark, tmp_path, name="tdist")
+    # predicate hits rows in every one of the 4 data files
+    ICE.delete_where(spark, tp, "n_tok >= 500")
+    dels = ICE.plan_scan(tp, content=ICE.POSITION_DELETES)
+    assert dels, "delete commit must register fragments"
+    frags = glob.glob(os.path.join(tp, "data", "deletes-seq=3", "*.parquet"))
+    assert set(f for f in frags) == {d.file_path for d in dels}
+    n_rows = 0
+    touched_files = set()
+    for f in frags:
+        t = pq.read_table(f)
+        pairs = list(zip(t.column("file_path").to_pylist(),
+                         t.column("pos").to_pylist()))
+        assert pairs == sorted(pairs)  # spec: sorted by (file_path, pos)
+        n_rows += len(pairs)
+        touched_files |= {p for p, _ in pairs}
+    assert len(touched_files) >= 2  # the wave spans multiple data files
+    assert sum(d.record_count for d in dels) == n_rows
+    # read-back excludes exactly the matched rows
+    got = ICE.read_table(spark, tp)
+    assert got.filter(F.col("n_tok") >= 500).count() == 0
+    kept = got.count()
+    all_rows = ICE.read_table(spark, tp, snapshot_id=2).count()
+    assert kept == all_rows - n_rows and n_rows > 0
+
+
+def test_partition_values_unescaped_from_paths(spark, tmp_path):
+    """Spark URL-escapes special characters in partition directories
+    (space -> %20, ':' -> %3A) and writes NULL as
+    __HIVE_DEFAULT_PARTITION__; the manifest must record the LOGICAL
+    values or partition-filter pruning silently drops matching files."""
+    tp = str(tmp_path / "tesc")
+    rows = [("a", "US east"), ("b", "EU:west"), ("c", None), ("d", "plain")]
+    df = spark.createDataFrame(rows, "doc_id string, region string")
+    ICE.append_dataframe(spark, df, tp, partition_by=["region"])
+    parts = {f.partition["region"] for f in ICE.plan_scan(tp)}
+    assert parts == {"US east", "EU:west", None, "plain"}
+    for want in ("US east", "EU:west", "plain"):
+        pruned = ICE.plan_scan(tp, partition_filter={"region": want})
+        assert len(pruned) == 1, want
+        got = ICE.read_table(
+            spark, tp, partition_filter={"region": want}
+        ).collect()
+        assert [r.region for r in got] == [want]

@@ -80,13 +80,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *name_filters: str) -> int:
     for name, fn in qs.items():
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
-        took = time.time() - t0
+        spark_s = time.time() - t0
         if name not in oracles:
-            print(f"  {name}: {len(sdf)} rows (rows-only, no oracle) [{took:.1f}s]")
+            print(
+                f"  {name}: {len(sdf)} rows (rows-only, no oracle) "
+                f"[spark {spark_s:.1f}s]"
+            )
             if len(sdf) == 0:
                 failures.append((name, "0 rows"))
             continue
+        t0 = time.time()
         odf = con.sql(oracles[name]).df()
+        oracle_s = time.time() - t0
         s_n, o_n = normalize(sdf), normalize(odf)
         ok_count = len(s_n) == len(o_n)
         ok_cols = list(s_n.columns) == list(o_n.columns)
@@ -95,7 +100,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *name_filters: str) -> int:
         print(
             f"  {name}: {status} rows={len(s_n)}/{len(o_n)} "
             f"cols={'=' if ok_cols else f'{list(s_n.columns)} vs {list(o_n.columns)}'} "
-            f"values={'=' if ok_vals else 'DIFF'} [{took:.1f}s]"
+            f"values={'=' if ok_vals else 'DIFF'} "
+            f"[spark {spark_s:.1f}s, oracle {oracle_s:.1f}s]"
         )
         if status == "FAIL":
             failures.append((name, "mismatch"))
