@@ -155,7 +155,16 @@ def recrawl_delta_stats(df: DataFrame) -> DataFrame:
         F.col("n_tok") > 1,
         F.slice(F.col("tokens"), F.lit(2), F.col("n_tok") - 1),
     ).otherwise(F.array().cast("array<int>"))
-    cn = _chunk_structs(toks_new, n_new)
+    # LET-BIND the sliced new-version array through a one-element
+    # ``transform`` before chunking it: the chunker's nested lambdas read
+    # the token array via ``element_at`` once per window position, and a
+    # non-attribute input (the ``slice`` above) is RE-EVALUATED on every
+    # such read — an O(n_tok) array copy per element access, O(n_tok^2)
+    # per row (measured 93 s for 500 docs at sf0.01; 0.7 s bound). The
+    # lambda variable makes the slice evaluate once per row.
+    cn = F.transform(
+        F.array(toks_new), lambda ts: _chunk_structs(ts, F.size(ts))
+    )[0]
 
     def _cnt(arr: Column, ch: Column) -> Column:
         return F.size(F.filter(arr, lambda c: c == ch))

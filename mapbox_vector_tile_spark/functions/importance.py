@@ -46,16 +46,23 @@ _SEP = "\x01"  # never appears in whitespace-split words
 
 
 def _gram_buckets() -> F.Column:
-    """``documents.text`` -> array of hashed-bigram bucket ids (long)."""
-    ws = F.split(F.col("text"), " ")
+    """``documents.text`` -> array of hashed-bigram bucket ids (long).
+
+    The word array is LET-BOUND through a one-element ``transform`` so
+    the ``split`` runs once per row — ``element_at`` over a non-attribute
+    array expression re-evaluates that expression on EVERY access (two
+    re-splits per bigram here, O(words^2) per row)."""
     return F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.pmod(
-            h48(F.concat(F.element_at(ws, i + 1), F.lit(_SEP),
-                         F.element_at(ws, i + 2))),
-            F.lit(NUM_BUCKETS),
+        F.array(F.split(F.col("text"), " ")),
+        lambda ws: F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.pmod(
+                h48(F.concat(F.element_at(ws, i + 1), F.lit(_SEP),
+                             F.element_at(ws, i + 2))),
+                F.lit(NUM_BUCKETS),
+            ),
         ),
-    )
+    )[0]
 
 
 def importance_scores(docs: DataFrame, target_source: str) -> DataFrame:

@@ -93,16 +93,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
     Docs with <3 words have no shingles -> NULL signature components.
     """
-    w = _words()
-    shingles = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+    # let-bind the split word array (one-element transform) so the split
+    # runs once per row, not once per element_at inside the shingle lambda
+    shingles = F.transform(
+        F.array(_words()),
+        lambda w: F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
     out = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         shingles.alias("_sh"),
