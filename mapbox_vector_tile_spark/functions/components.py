@@ -340,6 +340,7 @@ def min_label_components(
         F.col(id_col).cast("long").alias("_id"),
         F.col(id_col).cast("long").alias("cluster_id"),
     ).persist()
+    cached = labels  # the persisted handle (labels may become a projection)
     for _ in range(max_iters):
         neigh = (
             edges.join(
@@ -353,24 +354,27 @@ def min_label_components(
             .agg(F.min("nl").alias("nl"))
             .select(F.col("a").alias("_id"), "nl")
         )
-        new_labels = (
+        # the change flag rides along the label fold (a label changes iff
+        # a neighbour label beats it), so convergence detection costs one
+        # aggregation over the already-persisted result instead of a
+        # second labels-to-labels equi-join per iteration
+        folded = (
             labels.join(neigh, "_id", "left")
             .select(
                 "_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce("nl", "cluster_id")
                 ).alias("cluster_id"),
+                (F.coalesce("nl", "cluster_id") < F.col("cluster_id"))
+                .cast("long")
+                .alias("_chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = folded.agg(F.sum("_chg")).first()[0] or 0
+        cached.unpersist()
+        cached = folded
+        labels = folded.select("_id", "cluster_id")
         if changed == 0:
             break
     else:

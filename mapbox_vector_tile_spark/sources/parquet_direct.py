@@ -296,15 +296,23 @@ def list_parquet_files(path: str) -> list[str]:
 
 def group_files_by_size(files: list[str], n_tasks: int) -> list[list[str]]:
     """Greedy size-balanced grouping (largest-first into lightest group) —
-    the fan-in that keeps per-task work even when fragment sizes skew."""
+    the fan-in that keeps per-task work even when fragment sizes skew.
+    Lightest-group selection via a heap: O(n log k) over n files, not the
+    O(n*k) linear scan per file (driver-side planning cost matters once
+    fragment counts reach the millions)."""
+    import heapq
+
     n_tasks = max(1, min(n_tasks, len(files)))
     sized = sorted(((os.path.getsize(f), f) for f in files), key=lambda t: -t[0])
     groups: list[list[str]] = [[] for _ in range(n_tasks)]
-    loads = [0] * n_tasks
+    # (load, group_index) heap; ties break on the lower index, matching
+    # the list-scan behavior so existing groupings are unchanged
+    heap = [(0, i) for i in range(n_tasks)]
+    heapq.heapify(heap)
     for sz, f in sized:
-        i = loads.index(min(loads))
+        load, i = heapq.heappop(heap)
         groups[i].append(f)
-        loads[i] += sz
+        heapq.heappush(heap, (load + sz, i))
     return [sorted(g) for g in groups if g]
 
 
