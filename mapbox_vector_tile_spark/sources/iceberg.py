@@ -1497,10 +1497,10 @@ def commit_position_deletes(
     """Commit row-level deletes as a v2 position-delete file: parquet of
     ``(file_path, pos)`` sorted by that pair (spec ordering), registered
     through a content=1 manifest. Existing data/delete files carry over.
-    The driver writes one delete file per commit — delete sets are
-    bounded by the rows of ONE maintenance operation; a distributed
-    delete-file writer is the scale extension (same worker-side-sink
-    pattern as ``sources/parquet_direct``)."""
+    This is the SMALL-SET form (the driver writes one delete file; use it
+    for explicit, bounded row lists); predicate-driven deletes go through
+    :func:`delete_where`, whose workers write the delete fragments so
+    matched positions never reach the driver."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
