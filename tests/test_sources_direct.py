@@ -219,3 +219,24 @@ def test_decode_to_parquet_direct_roundtrip(spark, tmp_path):
         spark.read.parquet(tokens_pq), spark.read.parquet(out_pq)
     ).first()
     assert (res.n_docs, res.n_match, res.n_mismatch) == (300, 300, 0)
+
+
+def test_task_rows_dataframe_one_group_per_partition(spark):
+    """Task plans must place EXACTLY one task group per Spark partition:
+    the old repartition(n, "task_id") hashed n keys into n partitions,
+    leaving ~1/e of them empty and stacking up to 4 groups on one — a
+    straggler tail on 1-2-wave direct stages."""
+    from mapbox_vector_tile_spark.sources.parquet_direct import (
+        task_rows_dataframe,
+    )
+
+    for n in (1, 7, 32, 64):
+        rows = [(i, [f"f{i}"]) for i in range(n)]
+        df = task_rows_dataframe(
+            spark, rows, "task_id int, paths array<string>"
+        )
+        loads = df.rdd.glom().map(len).collect()
+        assert loads == [1] * n, (n, loads)
+        # and the plan has no exchange at all
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
