@@ -56,7 +56,11 @@ def verify_roundtrip_checksums(
     answer is known without shuffling a single row — at fleet scale this
     removes the only all-rows exchange in the verify. Any difference
     falls back to the exact full-outer join so mismatch COUNTS are always
-    join-exact."""
+    join-exact. Deliberate trade: the fallback recomputes both checksum
+    inputs (the probe made the function eager), so the RARE mismatch
+    case costs two passes — callers expecting mismatches can persist
+    their inputs first; the match case (every healthy bench/job run)
+    must not pay a materialization it does not need."""
     h = F.xxhash64("doc_id", "n_tok", "tok_cks", "tok_wcks").cast(
         "decimal(38,0)"
     )

@@ -194,13 +194,21 @@ def bpe_train(
         nxt = apply_merge(cur, a, b, new_id).persist()
         prev = cur if cur is not tokens_df else None
         cur = nxt
+    if prev is not None:
+        # materialize the final corpus cache, then drop the one-older
+        # cache it was derived from — without this, a completed training
+        # run strands the second-to-last iteration's corpus in storage
+        # (one full cached corpus leaked per bpe_train call)
+        cur.count()
+        prev.unpersist()
     return merges, cur
 
 
 def merge_table_df(tokens_df: DataFrame, n_merges: int, base_vocab: int) -> DataFrame:
     """The learned merge table as a DataFrame (oracle-gated surface)."""
     spark = tokens_df.sparkSession
-    merges, _ = bpe_train(tokens_df, n_merges, base_vocab)
+    merges, merged = bpe_train(tokens_df, n_merges, base_vocab)
+    merged.unpersist()  # only the merge table is consumed here
     return spark.createDataFrame(
         [
             {"it": it, "a": a, "b": b, "new_id": nid, "n_pairs": n}

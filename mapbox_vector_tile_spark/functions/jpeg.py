@@ -161,35 +161,26 @@ def _build_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
 _LUT_CACHE: dict[tuple, list] = {}
 
 
-class _DecodeTable:
-    """T.81 F.2.2.3 DECODE tables, plus a single-step 16-bit LOOKUP table:
-    JPEG huffman codes are at most 16 bits, so a 65536-entry table indexed
-    by the next 16 bits of the stream yields ``(symbol << 5) | code_length``
-    in ONE lookup — the classic table-driven decode that replaces the
-    per-bit tree walk (the entropy loop was the documented per-symbol
-    wall). Entry 0 marks an invalid prefix. Tables are cached by
-    ``(bits, vals)`` content: MJPEG streams repeat the same Annex K
-    tables every frame, so the 65536-entry build is paid once per
-    process, not once per frame."""
+_LUT_CACHE_MAX = 64  # distinct huffman tables kept (Annex K streams use 4)
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals", "lut")
+
+class _DecodeTable:
+    """Single-step 16-bit huffman LOOKUP table (replaces the T.81
+    F.2.2.3 per-length DECODE walk): JPEG codes are at most 16 bits, so
+    a 65536-entry table indexed by the next 16 bits of the stream yields
+    ``(symbol << 5) | code_length`` in ONE lookup — the classic
+    table-driven decode that replaces the per-bit tree walk (the entropy
+    loop was the documented per-symbol wall). Entry 0 marks an invalid
+    prefix. Tables are cached by ``(bits, vals)`` content: MJPEG streams
+    repeat the same Annex K tables every frame, so the 65536-entry build
+    is paid once per process, not once per frame; the cache is bounded
+    (FIFO evict at ``_LUT_CACHE_MAX``) so a corpus of per-image
+    optimized tables cannot grow worker RSS without bound."""
+
+    __slots__ = ("vals", "lut")
 
     def __init__(self, bits, vals):
         self.vals = list(vals)
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += n
-                k += n
-                self.maxcode[length] = code - 1
-            code <<= 1
         key = (tuple(bits), tuple(vals))
         lut = _LUT_CACHE.get(key)
         if lut is None:
@@ -206,6 +197,8 @@ class _DecodeTable:
                     k += 1
                 code <<= 1
             lut = arr.tolist()
+            while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+                _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
             _LUT_CACHE[key] = lut
         self.lut = lut
 
@@ -287,21 +280,6 @@ class _BitReader:
         self.acc &= (1 << nbits) - 1
         return v
 
-    def decode(self, tab: _DecodeTable) -> int:
-        if self.nbits < 16:
-            self._fill(16)
-        e = tab.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
-        length = e & 31
-        if length == 0:
-            raise ValueError("invalid huffman code")
-        self.consumed += length
-        if self.consumed > self.total:
-            raise ValueError("JPEG entropy data exhausted")
-        nbits = self.nbits - length
-        self.nbits = nbits
-        self.acc &= (1 << nbits) - 1
-        return e >> 5
-
     def huff_extend(self, tab: _DecodeTable) -> tuple[int, int]:
         """One fused step of the entropy loop: huffman symbol ``rs`` plus
         its EXTENDed magnitude value (low-nibble ``s`` bits, F.2.2.1) in a
@@ -330,13 +308,6 @@ class _BitReader:
         self.nbits = nbits
         self.acc = acc & ((1 << nbits) - 1)
         return rs, value
-
-
-def _extend(v: int, size: int) -> int:
-    # T.81 F.2.2.1 EXTEND: map the raw magnitude bits to a signed value
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def _magnitude(v: int) -> tuple[int, int]:
