@@ -55,9 +55,13 @@ def _alp_candidate(a: np.ndarray) -> tuple[int, np.ndarray] | None:
         x = np.rint(a * m)
         if (np.abs(x) >= 2.0**62).any():
             return None  # image overflows; larger e only grows it
-        back = x / m
+        # verify through the EXACT decode arithmetic (int64 image, not the
+        # float rint result): astype(int64) maps -0.0 to 0, so checking
+        # `x / m` alone would accept -0.0 and then lose its sign bit
+        image = x.astype(np.int64)
+        back = image.astype(np.float64) / m
         if np.array_equal(back.view(np.uint64), bits):
-            return e, x.astype(np.int64)
+            return e, image
     return None
 
 

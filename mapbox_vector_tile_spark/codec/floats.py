@@ -61,9 +61,13 @@ def _alp_candidate(a: np.ndarray) -> tuple[int, np.ndarray] | None:
         v = np.rint(x * m)
         if np.abs(v).max() > np.iinfo(np.int32).max:
             return None  # |v| grows with e; larger exponents only worsen
-        back = (v / m).astype(np.float32)
+        # verify through the EXACT decode arithmetic (int32 image, not the
+        # float rint result): astype(int32) maps -0.0 to 0, so checking
+        # `v / m` alone would accept -0.0 and then lose its sign bit
+        image = v.astype(np.int32)
+        back = (image.astype(np.float64) / m).astype(np.float32)
         if np.array_equal(back.view(np.uint32), bits):
-            return e, v.astype(np.int32)
+            return e, image
     return None
 
 

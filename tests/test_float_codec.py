@@ -8,7 +8,7 @@ input's IEEE-754 bit pattern, including NaN payloads, infinities and -0.0.
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from mapbox_vector_tile_spark.codec import floats as FC
@@ -84,6 +84,13 @@ def test_minus_zero_not_alp():
     a = np.array([-0.0, 1.0, 2.0], dtype=np.float32)
     blob = _roundtrip(a)
     assert FC.float_block_codec(blob) != "f_alp"
+    # regression (r6): a long all-zero block with one -0.0 — here ALP's
+    # tiny int image would win on size, so the exactness check itself must
+    # reject it (astype(int32) maps -0.0 to 0, losing the sign bit)
+    b = np.zeros(64, dtype=np.float32)
+    b[-1] = np.float32(-0.0)
+    blob = _roundtrip(b)
+    assert FC.float_block_codec(blob) != "f_alp"
 
 
 def test_bad_codec_id_raises():
@@ -92,6 +99,8 @@ def test_bad_codec_id_raises():
 
 
 @settings(max_examples=200, deadline=None)
+# regression: 0x80000000 is -0.0 — see test_minus_zero_not_alp
+@example(bit_list=[0, 0, 0, 0x80000000])
 @given(
     st.lists(
         st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=300
