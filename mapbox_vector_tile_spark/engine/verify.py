@@ -77,8 +77,15 @@ def verify_roundtrip_checksums(
     probe = u.agg(*cols).first()
     if probe.n_o == probe.n_d and probe.h_o == probe.h_d:
         n = int(probe.n_o)
-        return original_cks.sparkSession.createDataFrame(
-            [(n, n, 0)], "n_docs long, n_match long, n_mismatch long"
+        # JVM-side one-row literal result: createDataFrame([row]) slices
+        # into defaultParallelism near-empty Python partitions, and the
+        # caller's .first() then walks them with incremental take jobs —
+        # ~32 Python task round-trips for one literal row (measured up to
+        # 3.5 s late in a bench session). range(1)+lit is a single JVM task.
+        return original_cks.sparkSession.range(1).select(
+            F.lit(n).cast("long").alias("n_docs"),
+            F.lit(n).cast("long").alias("n_match"),
+            F.lit(0).cast("long").alias("n_mismatch"),
         )
     o = original_cks.select(
         "doc_id",

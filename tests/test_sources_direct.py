@@ -221,22 +221,33 @@ def test_decode_to_parquet_direct_roundtrip(spark, tmp_path):
     assert (res.n_docs, res.n_match, res.n_mismatch) == (300, 300, 0)
 
 
-def test_task_rows_dataframe_one_group_per_partition(spark):
-    """Task plans must place EXACTLY one task group per Spark partition:
-    the old repartition(n, "task_id") hashed n keys into n partitions,
-    leaving ~1/e of them empty and stacking up to 4 groups on one — a
-    straggler tail on 1-2-wave direct stages."""
+def test_task_rows_dataframe_balanced_partitions(spark):
+    """Task plans must spread groups evenly and deterministically with no
+    exchange: up to 4x parallelism the Arrow-backed local table slices
+    positionally into min(n, parallelism) even partitions (ONE Python pass
+    per direct job); beyond that, parallelize keeps exactly one group per
+    partition (retry/straggler granularity at fleet scale). The old
+    repartition(n, "task_id") hashed n keys into n partitions, leaving
+    ~1/e empty and stacking up to 4 groups on one arbitrarily."""
     from mapbox_vector_tile_spark.sources.parquet_direct import (
         task_rows_dataframe,
     )
 
+    par = spark.sparkContext.defaultParallelism
     for n in (1, 7, 32, 64):
         rows = [(i, [f"f{i}"]) for i in range(n)]
         df = task_rows_dataframe(
             spark, rows, "task_id int, paths array<string>"
         )
-        loads = df.rdd.glom().map(len).collect()
-        assert loads == [1] * n, (n, loads)
+        parts = df.rdd.glom().map(lambda rs: [r.task_id for r in rs]).collect()
+        loads = [len(p) for p in parts]
+        if n <= 4 * par:
+            assert len(parts) == min(n, par), (n, loads)
+            assert max(loads) - min(loads) <= 1, (n, loads)
+            # positional slicing: consecutive ids, order preserved
+            assert [i for p in parts for i in p] == list(range(n))
+        else:
+            assert loads == [1] * n, (n, loads)
         # and the plan has no exchange at all
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
