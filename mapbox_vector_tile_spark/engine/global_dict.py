@@ -95,9 +95,9 @@ def _dict_arrays(dict_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Collect the vocab-bounded dictionary: (toks_sorted, code_of_sorted)
     for encode-side lookup. Driver-side by design — the table is
     tokenizer-vocabulary-sized (broadcast class), never corpus-sized."""
-    rows = dict_df.select("code", "tok").collect()
-    toks = np.fromiter((r.tok for r in rows), np.int64, len(rows))
-    codes = np.fromiter((r.code for r in rows), np.int64, len(rows))
+    tbl = dict_df.select("code", "tok").toArrow()
+    toks = tbl.column("tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = tbl.column("code").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(toks)
     return toks[order], codes[order]
 
@@ -156,10 +156,11 @@ def decode_global_dict(
     one vectorized dict lookup — ``(doc_id, tokens, n_tok)``."""
     from .decode import decode_dataframe
 
-    rows = dict_df.select("code", "tok").collect()
-    tok_for_code = np.zeros(len(rows), np.int64)
-    for r in rows:
-        tok_for_code[r.code] = r.tok
+    tbl = dict_df.select("code", "tok").toArrow()
+    codes = tbl.column("code").to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = tbl.column("tok").to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_for_code = np.zeros(len(codes), np.int64)
+    tok_for_code[codes] = toks
     decoded = decode_dataframe(coded_blocks)
 
     out_schema = pa.schema(

@@ -68,14 +68,20 @@ def weighted_cuts(
     if sample_fraction is None:
         n = df.count()
         sample_fraction = min(1.0, _SAMPLE_TARGET / max(n, 1))
-    sample = (
+    # Arrow collect: to_pylist yields the same Python values as Row fields
+    # but skips per-row unpickling (~2x the sample job's own cost at 100k
+    # rows, measured r6); the sort and walk below are unchanged.
+    tbl = (
         df.select(sort_col, weight_col)
         .sample(fraction=sample_fraction, seed=42)
-        .collect()
+        .toArrow()
     )
-    if not sample:
+    if tbl.num_rows == 0:
         return []
-    sample.sort(key=lambda r: r[0])
+    sample = sorted(
+        zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()),
+        key=lambda r: r[0],
+    )
     total = sum(max(int(r[1]), 1) for r in sample)
     target = total / num_partitions
     cuts, acc = [], 0.0
