@@ -329,13 +329,25 @@ def min_label_components(
     changed-count action with fail-fast at ``max_iters`` (a graph that
     deep is not near-dup-shaped — a large-star/small-star variant
     belongs in the loop instead)."""
+    # symmetrize via explode, not union: the two union branches are
+    # separate subtrees, so whatever candidate->verify pipeline produced
+    # ``pairs`` would execute TWICE to build the edge cache (measured r6:
+    # the LSH pair pipeline dominated embedding_dedup_clusters' wall).
+    # One explode evaluates it once and emits both directions.
     edges = pairs.select(
-        F.col(a_col).cast("long").alias("a"),
-        F.col(b_col).cast("long").alias("b"),
-    )
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).cast("long").alias("a"),
+                    F.col(b_col).cast("long").alias("b"),
+                ),
+                F.struct(
+                    F.col(b_col).cast("long").alias("a"),
+                    F.col(a_col).cast("long").alias("b"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b").persist()
     labels = ids.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(id_col).cast("long").alias("cluster_id"),

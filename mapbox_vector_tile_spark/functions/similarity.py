@@ -104,8 +104,12 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
-def lsh_buckets(emb: DataFrame) -> DataFrame:
-    """(vec_id, bucket): sign pattern under N_PLANES fixed hyperplanes."""
+def _bucket_col():
+    """The LSH bucket as a Catalyst column over ``embedding`` — computed
+    inline wherever a consumer needs it, so attaching buckets to a corpus
+    is a projection, never a self-join (r6: ``emb.join(lsh_buckets(emb))``
+    put a shuffle join + the helper's global sort under every LSH
+    consumer; a bucket is a per-row function of the embedding)."""
     bucket = None
     for kp in range(N_PLANES):
         signs = F.array(
@@ -120,8 +124,23 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
         )
         term = F.when(proj >= 0, F.lit(2**kp).cast("long")).otherwise(0)
         bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def _with_buckets(emb: DataFrame) -> DataFrame:
+    """(vid, bucket, embedding) — one narrow projection, zero exchanges."""
     return emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"), bucket.alias("bucket")
+        F.col("vec_id").cast("long").alias("vid"),
+        _bucket_col().alias("bucket"),
+        "embedding",
+    )
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket): sign pattern under N_PLANES fixed hyperplanes."""
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _bucket_col().alias("bucket"),
     ).orderBy("vec_id")
 
 
@@ -147,10 +166,7 @@ FROM embeddings e ORDER BY vec_id
 def ann_lsh_top1(emb: DataFrame, n_queries: int = 10) -> DataFrame:
     """Approximate nearest neighbor: best same-bucket match per query
     (NULL neighbor when the query is alone in its bucket)."""
-    b = lsh_buckets(emb)
-    withb = emb.join(b, emb.vec_id == b.vec_id).select(
-        b.vec_id.alias("vid"), "bucket", "embedding"
-    )
+    withb = _with_buckets(emb)
     q = withb.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("bucket"), F.col("embedding").alias("qv")
     )
@@ -190,10 +206,7 @@ def near_dup_embedding(
     The bucket key bounds the pair space (no all-pairs join); the exact dot
     then confirms — the candidate->verify shape every near-dup family here
     follows (minhash->jaccard, simhash, and this one for embeddings)."""
-    b = lsh_buckets(emb)
-    withb = emb.join(b, "vec_id").select(
-        F.col("vec_id").cast("long").alias("vid"), "bucket", "embedding"
-    )
+    withb = _with_buckets(emb)
     a = withb.select(
         F.col("vid").alias("vec_a"), "bucket", F.col("embedding").alias("va")
     )
